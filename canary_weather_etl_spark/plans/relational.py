@@ -1,0 +1,355 @@
+"""Core relational surface (SURVEY.md §2.1-§2.2, §2.4, §2.6, §2.8).
+
+These transpose the reference's three Athena queries (README.md:778-809) and
+its projection/filter/scalar-function vocabulary onto the driver fixtures.
+Each is declarative DataFrame API — Catalyst supplies column pruning,
+predicate pushdown into the parquet scan, partial+final hash aggregation,
+and TakeOrderedAndProject for top-k (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact_avg
+from .registry import load, register
+
+
+# --- The three reference queries, transposed (README.md:778-809) ----------
+
+@register(
+    "q1_groupby_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(l_extendedprice) / 100 AS avg_price_h,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY avg_price_h DESC
+    """,
+    doc="Ref Q1 'sunniest location' (README.md:778-783): single-key group-by "
+        "AVG with scalar division, global sort desc. AVG uses the "
+        "decimal-exact pattern (functions.exact_avg) for cross-engine "
+        "bitwise determinism.",
+    tags=("agg", "sort"), bench=True,
+)
+def q1_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            (exact_avg("l_extendedprice") / 100).alias("avg_price_h"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.desc("avg_price_h"))
+    )
+
+
+@register(
+    "q2_groupby2_topk",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(MONTH(o_orderdate) AS INT) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_total
+    FROM orders
+    GROUP BY o_orderpriority, MONTH(o_orderdate)
+    ORDER BY avg_total DESC, o_orderpriority, month
+    LIMIT 10
+    """,
+    doc="Ref Q2 'sunniest month per location' (README.md:790-796): two-key "
+        "group-by AVG + ORDER BY DESC LIMIT 10 → TakeOrderedAndProjectExec, "
+        "a true distributed top-k (no global sort materialized).",
+    tags=("agg", "topk"), bench=True,
+)
+def q2_groupby2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.month("o_orderdate").alias("month"))
+        .agg(exact_avg("o_totalprice").alias("avg_total"))
+        .orderBy(F.desc("avg_total"), "o_orderpriority", "month")
+        .limit(10)
+    )
+
+
+@register(
+    "q3_filtered_groupby_avg",
+    oracle="""
+    SELECT CAST(MONTH(o_orderdate) AS INT) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY MONTH(o_orderdate)
+    ORDER BY avg_total DESC
+    """,
+    doc="Ref Q3 'best UV month at one station' (README.md:803-809): filter "
+        "on a low-cardinality column (the reference's partition predicate, "
+        "14x scan cut at README.md:801) + single-key AVG.",
+    tags=("agg", "filter"), bench=True,
+)
+def q3_filtered_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.month("o_orderdate").alias("month"))
+        .agg(exact_avg("o_totalprice").alias("avg_total"))
+        .orderBy(F.desc("avg_total"))
+    )
+
+
+# --- Projection / derived / literal / rename / drop (README.md:622-745) ---
+
+@register(
+    "q_projection_derived",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber AS line_no,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           'lineitem' AS src
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+    doc="select / alias / withColumn-derived / lit constant "
+        "(README.md:622-666, 740-745). Row-wise double arithmetic is "
+        "IEEE-deterministic, so no rounding needed for the oracle hash.",
+    tags=("projection",),
+)
+def q_projection_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("charge", F.col("revenue") * (1 + F.col("l_tax")))
+        .withColumn("src", F.lit("lineitem"))
+        .withColumnRenamed("l_linenumber", "line_no")
+        .select("l_orderkey", "line_no", "revenue", "charge", "src")
+    )
+
+
+@register(
+    "q_filter_null_empty",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE text IS NOT NULL
+      AND LENGTH(text) > 0
+      AND lang IS NOT NULL
+      AND LENGTH(lang) > 0
+      AND n_chars > 400
+    """,
+    doc="Null / empty-string conjunctive filter (README.md:1306-1311): "
+        "isNotNull & length>0 guards on discovered path components.",
+    tags=("filter",),
+)
+def q_filter_null_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+            & F.col("lang").isNotNull() & (F.length("lang") > 0)
+            & (F.col("n_chars") > 400)
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "q_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    doc="distinct() de-dupe of (island, location)-style pairs "
+        "(README.md:623, 1303) → partial+final hash aggregate.",
+    tags=("distinct",),
+)
+def q_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --- Sorts / limits / top-k (README.md:782, 794, 808) ---------------------
+
+@register(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="Global ORDER BY DESC LIMIT k (README.md:794): "
+        "TakeOrderedAndProjectExec — per-partition heap + driver merge, no "
+        "full sort. o_orderkey tiebreak keeps the cut deterministic.",
+    tags=("topk",),
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --- Scalar function families (SURVEY.md §2.8) -----------------------------
+
+@register(
+    "q_scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           CAST(REGEXP_EXTRACT(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+           LENGTH(c_name) AS name_len,
+           UPPER(c_mktsegment) AS seg_upper,
+           CONCAT_WS('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_path
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    doc="String family: regexp_extract path-parsing (README.md:622-623), "
+        "length (README.md:1308), concat_ws literal building (README.md:644).",
+    tags=("scalar",),
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("name_num"),
+            F.length("c_name").alias("name_len"),
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.concat_ws("/", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_path"),
+        )
+    )
+
+
+@register(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dom,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1997
+    """,
+    doc="Date family: to_date / year / month derivation feeding the "
+        "reference's partition columns (README.md:740-741, 1272, 1361).",
+    tags=("scalar",),
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.year("o_orderdate") == 1997)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+    )
+
+
+@register(
+    "q_conditional_case",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 150 THEN 'high'
+                WHEN value >= 50  THEN 'mid'
+                ELSE 'low' END AS band,
+           COALESCE(NULLIF(event_type, 'error'), 'unknown') AS et_clean
+    FROM events
+    """,
+    doc="Conditional/null family: F.when chain + coalesce "
+        "(SURVEY.md §2.8 'Conditional / null').",
+    tags=("scalar",),
+)
+def q_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") >= 150, "high")
+         .when(F.col("value") >= 50, "mid")
+         .otherwise("low").alias("band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias("et_clean"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON scalar ops over events.props (SURVEY.md §2.8 JSON row): Spark "
+        "side uses get_json_object; oracle uses a regexp so no JSON "
+        "extension dependency. avg over exact ints → deterministic double.",
+    tags=("scalar", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_type",
+                 F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        # integer sum is exact → cast→divide is bitwise-deterministic
+        .agg((F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --- Aggregation extensions (SURVEY.md §2.4 last row) ----------------------
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Distinct-aggregate (expand + two-phase agg under Catalyst). "
+        "sum over exact small doubles is deterministic at this scale; "
+        "sum_qty values are integral-valued doubles.",
+    tags=("agg",),
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_approx_count_distinct",
+    oracle=None,  # approximate by construction — rows-only check
+    doc="approx_count_distinct (HyperLogLog++) — the sketch path for "
+        "100 TB-scale distinct counts (SURVEY.md §2.4). Not exactly "
+        "SQL-matchable; pytest asserts relative error vs exact.",
+    tags=("agg", "approx"),
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )

@@ -1,0 +1,245 @@
+"""Window functions, grouping sets, and temporal windows
+(SURVEY.md §2.5, §2.4 grouping-sets row, §2.9).
+
+The reference imports ``pyspark.sql.window.Window`` and never uses it
+(README.md:606) — this module ships the implied surface: rank/row_number per
+group (the correct answer to the reference Q2's 'best month per location',
+which it approximates with LIMIT 10 at README.md:794), rolling means over
+daily series, lag/lead day-over-day deltas, plus rollup/cube for the
+climatology use-case and tumbling/sliding event-time windows runnable
+identically in batch and Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import exact_avg, exact_sum
+from .registry import load, register
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="row_number/rank per group — 'best N per key', the window the "
+        "reference's Q2 LIMIT-10 approximates (SURVEY.md §2.5). One shuffle "
+        "on the partition key, sort within partitions.",
+    tags=("window",), bench=True,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS roll_avg7,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="7-row rolling mean per user over the event-time series — the "
+        "rolling-analytics surface implied by README.md:606. Decimal-exact "
+        "windowed sum → deterministic across engines.",
+    tags=("window",),
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-6, Window.currentRow))
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            (F.sum(F.col("value").cast("decimal(28,2)")).over(w).cast("double")
+             / F.count(F.lit(1)).over(w)).alias("roll_avg7"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+        )
+    )
+
+
+@register(
+    "q_window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS delta_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+    """,
+    doc="lag/lead day-over-day deltas (SURVEY.md §2.5). Subtraction of two "
+        "stored doubles is deterministic — no rounding needed.",
+    tags=("window",),
+)
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id", "value",
+            (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+# --- Grouping sets (SURVEY.md §2.4 'cube/rollup' engine surface) -----------
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="rollup: hierarchical subtotals + grand total. sum_qty is a sum of "
+        "small integral-valued doubles → exact in IEEE754, no rounding.",
+    tags=("agg", "groupingsets"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(o_totalprice) AS avg_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="cube: all grouping-set combinations (climatology-style 'by island, "
+        "by month, by both, overall' in one pass).",
+    tags=("agg", "groupingsets"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_avg("o_totalprice").alias("avg_total"))
+    )
+
+
+# --- Event-time windows (SURVEY.md §2.9) -----------------------------------
+# Same F.window expressions run unchanged under readStream; the streaming
+# module wires them with watermarks. Batch-mode here so DuckDB can oracle.
+
+@register(
+    "q_events_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time window per type — the streaming-capable "
+        "replacement for the reference's monthly micro-batch bucketing "
+        "(README.md:812-818).",
+    tags=("temporal",), bench=True,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "q_events_sliding",
+    oracle="""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')
+               AS win_start, value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM buckets
+    GROUP BY win_start
+    """,
+    doc="Sliding window (1 h length, 30 min slide): each event lands in two "
+        "overlapping windows. Oracle = union of the two aligned bucketings.",
+    tags=("temporal",),
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "q_events_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Session window (30-min gap) per user via F.session_window — "
+        "Spark-native sessionization; oracle is the classic gaps-and-islands "
+        "rewrite. Streaming-capable with a watermark.",
+    tags=("temporal",),
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "sum_value")
+    )

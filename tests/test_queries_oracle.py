@@ -1,0 +1,79 @@
+"""Differential test: every registered query vs its DuckDB oracle, mirroring
+the driver's CORRECTNESS check (row count + schema + order-insensitive
+values) at sf=0.01. Stricter than the driver in one way: on mismatch it
+prints the first differing rows so float-discipline bugs are debuggable.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+
+from canary_weather_etl_spark.plans import REGISTRY
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        # canonical text form: driver hashes values; engines must agree bitwise
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _canon(rows, cols):
+    """Sort columns by name, normalize cells, sort rows — order-insensitive
+    multiset comparison like the driver's value hash."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(cols), out
+
+
+SQL_CHECKED = [n for n, s in REGISTRY.items() if s.oracle is not None]
+ROWS_ONLY = [n for n, s in REGISTRY.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = list(sdf.columns)
+
+    cur = duck.execute(spec.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column names differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count differs: spark={len(s_rows)} duck={len(d_rows)}")
+
+    sc, s_canon = _canon(s_rows, s_cols)
+    dc, d_canon = _canon(d_rows, d_cols)
+    if s_canon != d_canon:
+        diffs = [(a, b) for a, b in zip(s_canon, d_canon) if a != b][:5]
+        pytest.fail(f"{name}: value mismatch; first diffs (spark, duck): {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    rows = sdf.collect()
+    assert len(rows) >= 0  # smoke: runs end-to-end with a stable schema
+    assert len(sdf.columns) > 0
