@@ -1,0 +1,262 @@
+"""Weather ingestion: the reference pipeline, fully distributed.
+
+The reference (Glue job B3, README.md:595-760) reads two raw JSON shapes,
+flattens them, joins per location in a *driver-side sequential loop*, and
+writes 4-level Hive-partitioned parquet. Its struct-of-arrays flatten
+collect()s every array to the driver and zips in Python (README.md:694-725)
+— O(data) through one process. This module re-expresses the whole job as a
+single declarative plan:
+
+- struct-of-arrays (Open-Meteo shape)  → ``arrays_zip`` + ``explode``
+  (one narrow stage, never leaves the executors)
+- array-of-structs (Visual Crossing shape) → ``explode`` + struct flatten
+- per-location loop → one global read; lineage recovered from file paths
+  with ``input_file_name`` + ``regexp_extract`` (README.md:622-623)
+- per-partition upsert loop (B6, README.md:1488-1545) → left_anti +
+  unionByName + dynamic partition overwrite, one write
+
+Schemas are explicit ``StructType``s (no inference — at 100 TB schema
+inference is an extra full scan per read, SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The 20 daily variables (README.md:174-181) + the parallel date array.
+OPEN_METEO_DAILY_VARS: dict[str, type] = {
+    "weather_code": LongType,
+    "temperature_2m_max": DoubleType,
+    "temperature_2m_min": DoubleType,
+    "temperature_2m_mean": DoubleType,
+    "apparent_temperature_max": DoubleType,
+    "apparent_temperature_min": DoubleType,
+    "apparent_temperature_mean": DoubleType,
+    "sunrise": StringType,
+    "sunset": StringType,
+    "daylight_duration": DoubleType,
+    "sunshine_duration": DoubleType,
+    "precipitation_sum": DoubleType,
+    "rain_sum": DoubleType,
+    "snowfall_sum": DoubleType,
+    "precipitation_hours": DoubleType,
+    "wind_speed_10m_max": DoubleType,
+    "wind_gusts_10m_max": DoubleType,
+    "wind_direction_10m_dominant": DoubleType,
+    "shortwave_radiation_sum": DoubleType,
+    "et0_fao_evapotranspiration": DoubleType,
+}
+
+# Struct-of-arrays document (README.md:545-551): parallel arrays under
+# `daily`, indexed by day.
+OPEN_METEO_SCHEMA = StructType([
+    StructField("location", StringType()),
+    StructField("latitude", DoubleType()),
+    StructField("longitude", DoubleType()),
+    StructField("elevation", DoubleType()),
+    StructField("timezone", StringType()),
+    StructField("daily", StructType(
+        [StructField("date", ArrayType(StringType()))]
+        + [StructField(name, ArrayType(typ())) for name, typ in
+           OPEN_METEO_DAILY_VARS.items()]
+    )),
+])
+
+# Array-of-structs document (README.md:553-589): one struct per day.
+VISUAL_CROSSING_DAY_FIELDS: dict[str, type] = {
+    "cloudcover": DoubleType,
+    "visibility": DoubleType,
+    "solarradiation": DoubleType,
+    "solarenergy": DoubleType,
+    "uvindex": DoubleType,
+    "moonphase": DoubleType,
+    "conditions": StringType,
+    "description": StringType,
+    "icon": StringType,
+}
+
+VISUAL_CROSSING_SCHEMA = StructType([
+    StructField("queryCost", DoubleType()),
+    StructField("latitude", DoubleType()),
+    StructField("longitude", DoubleType()),
+    StructField("resolvedAddress", StringType()),
+    StructField("address", StringType()),
+    StructField("timezone", StringType()),
+    StructField("tzoffset", DoubleType()),
+    StructField("days", ArrayType(StructType(
+        [StructField("datetime", StringType())]
+        + [StructField(name, typ()) for name, typ in
+           VISUAL_CROSSING_DAY_FIELDS.items()]
+    ))),
+])
+
+# Raw-layer key scheme: .../<island>/<location>/<file>.json (README.md:232).
+_PATH_PATTERN = r".*/([^/]+)/([^/]+)/[^/]+\.json$"
+
+
+def lineage_from_path(df: DataFrame) -> DataFrame:
+    """Attach island / location_name columns parsed from the source file
+    path (README.md:622-623's input_file_name + regexp_extract), with the
+    reference's null/empty guard (README.md:1306-1311)."""
+    return (
+        df.withColumn("island",
+                      F.regexp_extract(F.input_file_name(), _PATH_PATTERN, 1))
+        .withColumn("location_name",
+                    F.regexp_extract(F.input_file_name(), _PATH_PATTERN, 2))
+        .filter(
+            F.col("island").isNotNull() & (F.length("island") > 0)
+            & F.col("location_name").isNotNull() & (F.length("location_name") > 0)
+        )
+    )
+
+
+def read_open_meteo(spark: SparkSession, path: str,
+                    validate_lengths: bool = True) -> DataFrame:
+    """Read + flatten the struct-of-arrays shape, one row per (location, date).
+
+    Replaces README.md:694-728 (per-field collect() + Python zip loop +
+    crossJoin metadata re-attach): ``arrays_zip`` pairs the parallel arrays
+    positionally *within each row*, which is exactly the per-file alignment
+    invariant the reference asserts manually; metadata columns simply ride
+    along — no crossJoin, no driver round-trip.
+    """
+    raw = (spark.read.schema(OPEN_METEO_SCHEMA)
+           .option("multiLine", "true").json(path))
+    raw = lineage_from_path(raw)
+
+    fields = ["date", *OPEN_METEO_DAILY_VARS]
+    if validate_lengths:
+        # Reference treats unequal parallel-array lengths as fatal
+        # (README.md:699-704) — but probes with one size()+collect() job per
+        # field (21 jobs). Single distributed pass instead.
+        mism = raw.filter(
+            ~functools_reduce_and([
+                F.size(F.col(f"daily.{f}")) == F.size(F.col("daily.date"))
+                for f in OPEN_METEO_DAILY_VARS
+            ])
+        ).select("location").limit(1).collect()
+        if mism:
+            raise ValueError(
+                f"parallel daily arrays have unequal lengths for "
+                f"location={mism[0]['location']!r}")
+
+    zipped = raw.select(
+        "location", "latitude", "longitude", "elevation", "timezone",
+        "island", "location_name",
+        F.explode(F.arrays_zip(*[F.col(f"daily.{f}").alias(f) for f in fields]))
+         .alias("day"),
+    )
+    return zipped.select(
+        "location", "latitude", "longitude", "elevation", "timezone",
+        "island", "location_name",
+        F.col("day.date").alias("date"),
+        *[F.col(f"day.{f}").alias(f) for f in OPEN_METEO_DAILY_VARS],
+    )
+
+
+def functools_reduce_and(conds: list) -> F.Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def read_visual_crossing(spark: SparkSession, path: str) -> DataFrame:
+    """Read + flatten the array-of-structs shape (README.md:640-666):
+    project scalars, explode ``days``, flatten the 10 per-day struct fields.
+    """
+    raw = (spark.read.schema(VISUAL_CROSSING_SCHEMA)
+           .option("multiLine", "true").json(path))
+    raw = lineage_from_path(raw)
+    exploded = raw.select(
+        F.col("address").alias("location"),
+        "latitude", "longitude",
+        "island", "location_name",
+        F.explode("days").alias("day_data"),
+    )
+    return exploded.select(
+        "location", "latitude", "longitude", "island", "location_name",
+        F.col("day_data.datetime").alias("date"),
+        *[F.col(f"day_data.{f}").alias(f) for f in VISUAL_CROSSING_DAY_FIELDS],
+    )
+
+
+def build_clean(om: DataFrame, vc: DataFrame) -> DataFrame:
+    """Merge the two flattened frames into the wide clean-layer fact table,
+    one row per (location, date) — README.md:737-745.
+
+    Join keys: (location, date) plus the lineage columns. The reference also
+    keys on raw float latitude/longitude (README.md:737); we deliberately
+    don't — float equality as a join key is fragile (the two APIs echo the
+    coordinates at different precisions at the first divergence), and the
+    pair (location, date) is already the declared grain.
+    """
+    keys = ["location", "date", "island", "location_name"]
+    vc_metrics = vc.select(*keys, *VISUAL_CROSSING_DAY_FIELDS)
+    merged = om.join(vc_metrics, on=keys, how="inner")
+    return (
+        merged
+        .withColumn("date", F.to_date("date", "yyyy-MM-dd"))
+        .withColumn("year", F.year("date"))
+        .withColumn("month", F.month("date"))
+    )
+
+
+PARTITION_COLS = ("island", "location_name", "year", "month")
+
+
+def write_clean(df: DataFrame, out: str, mode: str = "append") -> None:
+    """Hive-partitioned parquet sink (README.md:750-752): 4-level layout so
+    partition pruning replaces Athena's scan-cost cut (14x claim at
+    README.md:801)."""
+    df.write.mode(mode).partitionBy(*PARTITION_COLS).parquet(out)
+
+
+def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
+                 keys: tuple[str, ...] = ("location", "date"),
+                 staging_path: str | None = None) -> None:
+    """Partition-level upsert: new batch wins on ``keys``; only partitions
+    present in the batch are rewritten, all others stay byte-identical.
+
+    Replaces the whole of B6's per-partition driver loop
+    (README.md:1485-1545: distinct().collect() of affected partitions,
+    per-partition SQL NOT EXISTS, hand-built overwrite paths) with one plan:
+
+    1. survivors = existing rows in affected partitions whose key is NOT in
+       the new batch (left_anti — Catalyst's own rewrite of NOT EXISTS)
+    2. output = survivors ∪ new batch (unionByName)
+    3. one dynamic-partition-overwrite write: Spark rewrites exactly the
+       partitions present in the output frame.
+
+    Spark can't safely overwrite a path it is reading in the same job, so
+    the combined frame is staged to parquet first (two-phase commit; at
+    production scale this is where an ACID table format slots in).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    existing = spark.read.parquet(table_path)
+    cols = existing.columns
+    part_cols = [c for c in PARTITION_COLS if c in cols]
+
+    affected = new_batch.select(*part_cols).distinct()
+    survivors = (
+        existing
+        # restrict to affected partitions (broadcast semi join → the scan
+        # prunes everything else; untouched partitions are never read)
+        .join(F.broadcast(affected), on=part_cols, how="left_semi")
+        .join(new_batch.select(*keys), on=list(keys), how="left_anti")
+    )
+    combined = survivors.select(*cols).unionByName(new_batch.select(*cols))
+
+    staging = staging_path or f"{table_path}__staging"
+    combined.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    staged.write.mode("overwrite").partitionBy(*part_cols).parquet(table_path)

@@ -1,0 +1,196 @@
+"""Golden-fixture tests for the weather ingestion pipeline (SURVEY.md §5):
+the two raw JSON shapes (README.md:545-589) → flatten → join → partitioned
+write → incremental upsert. Fixtures are synthesized deterministically in
+the layout the reference uses: raw/<island>/<location>/{2*.json, vc*.json}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.sources import weather as W
+
+LOCATIONS = [
+    ("Tenerife", "Vilaflor", 28.15, -16.63, 1400.0),
+    ("Gran_Canaria", "Las_Palmas", 28.12, -15.43, 8.0),
+    ("La_Palma", "Santa_Cruz", 28.68, -17.76, 35.0),
+]
+
+
+def _dates(start_day: int, n: int) -> list[str]:
+    return [f"2024-01-{d:02d}" for d in range(start_day, start_day + n)]
+
+
+def _om_doc(island, loc, lat, lon, elev, dates, bias=0.0):
+    n = len(dates)
+    daily = {"date": dates}
+    for i, (name, typ) in enumerate(W.OPEN_METEO_DAILY_VARS.items()):
+        if typ.__name__ == "StringType":
+            daily[name] = [f"{d}T07:0{i % 10}" for d in dates]
+        elif typ.__name__ == "LongType":
+            daily[name] = [(j * 7 + i) % 100 for j in range(n)]
+        else:
+            daily[name] = [round(bias + i + j * 0.25, 2) for j in range(n)]
+    return {"location": f"{island}/{loc}", "latitude": lat, "longitude": lon,
+            "elevation": elev, "timezone": "Atlantic/Canary", "daily": daily}
+
+
+def _vc_doc(island, loc, lat, lon, dates, bias=0.0):
+    days = []
+    for j, d in enumerate(dates):
+        day = {"datetime": d}
+        for i, (name, typ) in enumerate(W.VISUAL_CROSSING_DAY_FIELDS.items()):
+            if typ.__name__ == "StringType":
+                day[name] = f"{name}_{j}"
+            else:
+                day[name] = round(bias + 10 * i + j * 0.5, 2)
+        days.append(day)
+    return {"queryCost": 1.0, "latitude": lat, "longitude": lon,
+            "resolvedAddress": f"{lat},{lon}", "address": f"{island}/{loc}",
+            "timezone": "Atlantic/Canary", "tzoffset": 0.0, "days": days}
+
+
+def _write_raw(root, dates, bias=0.0, suffix="a"):
+    for island, loc, lat, lon, elev in LOCATIONS:
+        d = os.path.join(root, island, loc)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"2024_{suffix}.json"), "w") as f:
+            json.dump(_om_doc(island, loc, lat, lon, elev, dates, bias), f)
+        with open(os.path.join(d, f"vc_{suffix}.json"), "w") as f:
+            json.dump(_vc_doc(island, loc, lat, lon, dates, bias), f)
+
+
+@pytest.fixture()
+def raw_dir(tmp_path):
+    root = str(tmp_path / "raw")
+    _write_raw(root, _dates(1, 10))
+    return root
+
+
+def test_open_meteo_flatten(spark, raw_dir):
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/2*.json")
+    rows = om.collect()
+    assert len(rows) == 3 * 10  # one row per (location, date)
+    r = {(x["location"], x["date"]): x for x in rows}[("Tenerife/Vilaflor", "2024-01-03")]
+    # positional alignment: value j of var i is bias + i + j*0.25, j=2 here
+    assert r["temperature_2m_max"] == pytest.approx(1 + 2 * 0.25)
+    assert r["weather_code"] == (2 * 7 + 0) % 100
+    assert r["island"] == "Tenerife" and r["location_name"] == "Vilaflor"
+    assert r["elevation"] == 1400.0  # metadata carried through, no crossJoin
+
+
+def test_open_meteo_unequal_arrays_fatal(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    d = os.path.join(root, "Tenerife", "Vilaflor")
+    os.makedirs(d)
+    doc = _om_doc("Tenerife", "Vilaflor", 28.15, -16.63, 1400.0, _dates(1, 5))
+    doc["daily"]["rain_sum"] = doc["daily"]["rain_sum"][:-2]  # truncate one array
+    with open(os.path.join(d, "2024_bad.json"), "w") as f:
+        json.dump(doc, f)
+    with pytest.raises(ValueError, match="unequal lengths"):
+        W.read_open_meteo(spark, f"{root}/*/*/2*.json")
+
+
+def test_visual_crossing_flatten(spark, raw_dir):
+    vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
+    rows = vc.collect()
+    assert len(rows) == 3 * 10
+    r = {(x["location"], x["date"]): x for x in rows}[("La_Palma/Santa_Cruz", "2024-01-02")]
+    assert r["uvindex"] == pytest.approx(10 * 4 + 1 * 0.5)
+    assert r["conditions"] == "conditions_1"
+
+
+def test_build_and_write_clean(spark, raw_dir, tmp_path):
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/2*.json")
+    vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
+    clean = W.build_clean(om, vc)
+    rows = clean.collect()
+    assert len(rows) == 30
+    cols = set(clean.columns)
+    assert set(W.OPEN_METEO_DAILY_VARS) <= cols
+    assert set(W.VISUAL_CROSSING_DAY_FIELDS) <= cols
+    assert {"year", "month", "island", "location_name", "elevation"} <= cols
+
+    out = str(tmp_path / "clean")
+    W.write_clean(clean, out)
+    # Hive layout: island=<..>/location_name=<..>/year=<..>/month=<..>
+    assert os.path.isdir(f"{out}/island=Tenerife/location_name=Vilaflor/year=2024/month=1")
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    # partition pruning survives the layout (the 14x claim, README.md:801)
+    pruned = back.filter((F.col("island") == "Tenerife") & (F.col("month") == 1))
+    assert pruned.count() == 10
+
+
+def test_upsert_new_wins_and_untouched_partitions_preserved(spark, tmp_path):
+    raw1 = str(tmp_path / "raw1")
+    _write_raw(raw1, _dates(1, 10), bias=0.0)
+    out = str(tmp_path / "clean")
+    clean1 = W.build_clean(W.read_open_meteo(spark, f"{raw1}/*/*/2*.json"),
+                           W.read_visual_crossing(spark, f"{raw1}/*/*/vc*.json"))
+    W.write_clean(clean1, out)
+
+    # snapshot a partition that the update must NOT touch (different month)
+    feb_raw = str(tmp_path / "rawfeb")
+    for island, loc, lat, lon, elev in LOCATIONS[:1]:
+        d = os.path.join(feb_raw, island, loc)
+        os.makedirs(d, exist_ok=True)
+        dates = [f"2024-02-{i:02d}" for i in range(1, 4)]
+        with open(os.path.join(d, "2024_feb.json"), "w") as f:
+            json.dump(_om_doc(island, loc, lat, lon, elev, dates), f)
+        with open(os.path.join(d, "vc_feb.json"), "w") as f:
+            json.dump(_vc_doc(island, loc, lat, lon, dates), f)
+    cleanfeb = W.build_clean(W.read_open_meteo(spark, f"{feb_raw}/*/*/2*.json"),
+                             W.read_visual_crossing(spark, f"{feb_raw}/*/*/vc*.json"))
+    W.write_clean(cleanfeb, out)
+    feb_dir = f"{out}/island=Tenerife/location_name=Vilaflor/year=2024/month=2"
+    feb_files_before = sorted(os.listdir(feb_dir))
+
+    # second batch: overlaps days 6-10, adds days 11-15, different values
+    raw2 = str(tmp_path / "raw2")
+    _write_raw(raw2, _dates(6, 10), bias=100.0, suffix="b")
+    batch2 = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/2*.json"),
+                           W.read_visual_crossing(spark, f"{raw2}/*/*/vc*.json"))
+    W.upsert_clean(spark, out, batch2)
+
+    final = spark.read.parquet(out)
+    jan = final.filter(F.col("month") == 1)
+    # 15 jan days x 3 locations, no duplicates on the key
+    assert jan.count() == 45
+    assert jan.select("location", "date").distinct().count() == 45
+    # overlap days: new batch won (bias=100 → temperature >= 100)
+    d8 = jan.filter((F.col("location") == "Tenerife/Vilaflor")
+                    & (F.col("date") == F.lit("2024-01-08").cast("date"))).collect()[0]
+    assert d8["temperature_2m_max"] >= 100
+    # pre-overlap days: original values survive
+    d2 = jan.filter((F.col("location") == "Tenerife/Vilaflor")
+                    & (F.col("date") == F.lit("2024-01-02").cast("date"))).collect()[0]
+    assert d2["temperature_2m_max"] < 100
+    # untouched partition (feb) not rewritten: same files on disk
+    assert sorted(os.listdir(feb_dir)) == feb_files_before
+    # feb rows intact
+    assert final.filter(F.col("month") == 2).count() == 3
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    raw1 = str(tmp_path / "raw1")
+    _write_raw(raw1, _dates(1, 8))
+    out = str(tmp_path / "clean")
+    clean1 = W.build_clean(W.read_open_meteo(spark, f"{raw1}/*/*/2*.json"),
+                           W.read_visual_crossing(spark, f"{raw1}/*/*/vc*.json"))
+    W.write_clean(clean1, out)
+
+    raw2 = str(tmp_path / "raw2")
+    _write_raw(raw2, _dates(5, 6), bias=50.0, suffix="b")
+    batch = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/2*.json"),
+                          W.read_visual_crossing(spark, f"{raw2}/*/*/vc*.json"))
+
+    W.upsert_clean(spark, out, batch, staging_path=str(tmp_path / "s1"))
+    snap1 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    W.upsert_clean(spark, out, batch, staging_path=str(tmp_path / "s2"))
+    snap2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert snap1 == snap2  # running the same 31-day batch twice is a no-op
