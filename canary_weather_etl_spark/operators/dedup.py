@@ -1,0 +1,191 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, MinHash+LSH near-dup,
+SimHash, n-gram Jaccard.
+
+Design for 100 TB: every stage is shuffle-minimal and built-in-function-only.
+- exact dedup: one hash-aggregate on the content key
+- MinHash: shingle → seeded xxhash64 → per-doc min per permutation — a
+  single explode + groupBy (one shuffle); banding turns O(n²) pair search
+  into a self-join on (band_id, band_signature), which only materializes
+  rows for colliding buckets
+- verification joins fetch shingle sets only for *candidate* pairs, so the
+  quadratic step never touches the full corpus
+
+References: reference repo has no dedup beyond the upsert anti-join
+(README.md:1517-1526); the near-dup designs follow the standard MinHash/LSH
+construction (Broder; see PAPERS.md similarity-search entries for the
+distributed top-k context).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT_RE
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup on a column set: keep one row per key (dropDuplicates).
+    At scale this is one hash-shuffle on the key; prefer a content hash
+    (xxhash64) as the key for long text so the shuffle moves 8 bytes/row."""
+    return df.dropDuplicates(key_cols)
+
+
+def dup_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
+    """Group rows by a content key; emit keeper (min id) + multiplicity.
+    The groupBy form of exact dedup — keeps the evidence of what collided."""
+    return (
+        df.select(F.col(id_col), key.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(F.min(id_col).alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_ngrams(col: F.Column | str, n: int = 2) -> F.Column:
+    """Distinct word n-gram (shingle) array. Built-in only: transform over
+    an index sequence + concat of token slices."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), TOKEN_SPLIT_RE)
+    # guard: sequence(0, k) with k<0 would generate a DESCENDING range in
+    # Spark, not an empty one — short docs must yield an empty shingle set
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 2) -> DataFrame:
+    """Exploded (id, shingle) table — the input to MinHash and to exact
+    Jaccard verification."""
+    return (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(word_ngrams(text_col, n)).alias("shingle"))
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc, minhash array[num_hashes]) via seeded xxhash64: permutation i is
+    xxhash64(shingle, i); signature_i = min over the doc's shingles. One
+    groupBy — the mins for all permutations compute in the same aggregate."""
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sigs = shingles.groupBy("doc").agg(*aggs)
+    return sigs.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)])
+                       .alias("signature"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): docs agreeing
+    on any full band become a candidate pair. Output (a, b) with a < b.
+
+    The banding join is the scale move: instead of n² comparisons, only
+    docs that collide in a bucket meet. Skewed buckets (boilerplate docs)
+    are handled by AQE skew-join splitting.
+    """
+    banded = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(
+                            F.col("signature"),
+                            b * (F.size(F.col("signature")) / bands).cast("int") + 1,
+                            (F.size(F.col("signature")) / bands).cast("int"),
+                        ),
+                        lambda v: v.cast("string"),
+                    )),
+                    b,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact Jaccard over the shingle table. With `pairs` given, verifies
+    only candidates (the LSH path); without, does the full join on shared
+    shingles (only sane when shingle selectivity bounds the blow-up —
+    fine for the oracle check, not the 100 TB path).
+
+    jaccard(a,b) = |A∩B| / (|A| + |B| − |A∩B|) — computed from exact
+    integer counts, so the double division is engine-deterministic.
+    """
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    l = shingles.alias("l")
+    r = shingles.alias("r")
+    common = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+               & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, on=["a", "b"], how="left_semi")
+    out = (
+        common
+        .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("jaccard",
+                    F.col("common").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 2, num_hashes: int = 32, bands: int = 8,
+                           threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH candidates → exact
+    Jaccard verification ≥ threshold. The canonical LLM-corpus near-dedup."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return exact_jaccard(sh, pairs=cands, threshold=threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 32) -> DataFrame:
+    """SimHash per doc: hash each token, sum ±1 per bit position weighted by
+    term frequency, bit b of the result = sign of the sum. Near-dup docs
+    land at small Hamming distance. One explode + one groupBy (the per-bit
+    sums all ride in the same aggregate)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                    TOKEN_SPLIT_RE)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_aggs = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("doc").agg(*bit_aggs)
+    sim = sums.select(
+        "doc",
+        sum((F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(bits)).alias("simhash"),
+    )
+    return sim
+
+
+def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
+    """Popcount of XOR — built-in bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))

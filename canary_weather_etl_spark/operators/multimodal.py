@@ -1,0 +1,150 @@
+"""Multimodal column plumbing (SURVEY.md §2.11).
+
+Images / audio / video ride through the engine as opaque ``binary`` columns
+with typed metadata structs — every relational operator (filter, join,
+partition, dedup) works on the metadata while the payload stays untouched
+bytes. Decode / feature-extraction runs as Arrow-batched ``mapInPandas``
+stages: the Spark-side contract (schema, batch shape, partitioning) is real
+and tested; the actual codec call is stubbed behind ``DECODERS`` because
+image/audio libraries aren't in this container — swap the stub for
+PIL/torchaudio/ffmpeg in production and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema of a multimodal asset row: payload + typed metadata.
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("modality", StringType()),       # image | audio | video
+    StructField("content", BinaryType()),        # opaque payload
+    StructField("media_format", StringType()),   # e.g. png, wav, mp4
+])
+
+META_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("modality", StringType()),
+    StructField("media_format", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+    StructField("width", IntegerType()),         # image/video; None otherwise
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),   # audio/video; None otherwise
+])
+
+
+def _decode_stub(modality: str, fmt: str, payload: bytes) -> dict:
+    """Deterministic fake decoder. Real deployments replace this with
+    PIL.Image.open / soundfile / pyav; the surrounding Spark plumbing
+    (schemas, batching, partitioning) is identical either way."""
+    h = hashlib.sha256(payload or b"").digest()
+    if modality == "image":
+        return {"width": 16 + h[0] % 64, "height": 16 + h[1] % 64,
+                "duration_ms": None}
+    if modality in ("audio", "video"):
+        return {"width": (16 + h[0] % 64) if modality == "video" else None,
+                "height": (16 + h[1] % 64) if modality == "video" else None,
+                "duration_ms": 1000 + int.from_bytes(h[2:4], "big") % 60000}
+    raise NotImplementedError(f"unknown modality: {modality}")
+
+
+DECODERS = {"image": _decode_stub, "audio": _decode_stub, "video": _decode_stub}
+
+
+def extract_metadata(assets: DataFrame, decoder=None) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary payloads.
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame; the UDF
+    emits the typed metadata frame. No shuffle — this is a narrow map stage
+    that parallelizes per input partition, the right shape for decoding
+    billions of assets.
+
+    The default UDF is deliberately **self-contained** (stdlib imports
+    inside, no references to this module): cloudpickle then ships it by
+    value, so Spark's Python workers don't need this package on their
+    PYTHONPATH — the driver harness imports `__spark_entry__` by file path,
+    and nothing guarantees workers can import us. A custom `decoder`
+    callable may be passed, with the same self-containment caveat.
+    """
+    cols = [f.name for f in META_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _decode(modality, fmt, payload):
+            h = _hashlib.sha256(payload or b"").digest()
+            if modality == "image":
+                return {"width": 16 + h[0] % 64, "height": 16 + h[1] % 64,
+                        "duration_ms": None}
+            if modality in ("audio", "video"):
+                return {
+                    "width": (16 + h[0] % 64) if modality == "video" else None,
+                    "height": (16 + h[1] % 64) if modality == "video" else None,
+                    "duration_ms": 1000 + int.from_bytes(h[2:4], "big") % 60000,
+                }
+            raise NotImplementedError(f"unknown modality: {modality}")
+
+        dec = decoder or _decode
+        for pdf in batches:
+            meta = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["content"]) if row["content"] is not None else b""
+                d = dec(row["modality"], row["media_format"], payload)
+                meta.append({
+                    "asset_id": row["asset_id"],
+                    "modality": row["modality"],
+                    "media_format": row["media_format"],
+                    "n_bytes": len(payload),
+                    "sha256": _hashlib.sha256(payload).hexdigest(),
+                    **d,
+                })
+            yield _pd.DataFrame(meta, columns=cols)
+
+    return assets.mapInPandas(run, schema=META_SCHEMA)
+
+
+def exact_dedup_assets(assets: DataFrame) -> DataFrame:
+    """Byte-identical asset dedup: group on the payload hash (computed
+    JVM-side — sha2 over binary is a built-in, the 8-byte-ish key shuffles
+    instead of the payload)."""
+    return (
+        assets.withColumn("content_hash", F.sha2("content", 256))
+        .groupBy("content_hash")
+        .agg(F.min("asset_id").alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def frame_sample_stub(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: explodes each video asset into
+    (asset_id, frame_idx, frame_ts_ms) rows using the stub-decoded duration.
+    The real frame extraction (bytes per frame) is the stubbed step; the
+    row-multiplying plan — metadata decode → sequence → explode — is the
+    production shape."""
+    meta = extract_metadata(assets.filter(F.col("modality") == "video"))
+    return (
+        meta.select(
+            "asset_id",
+            F.posexplode(
+                F.sequence(F.lit(0), (F.col("duration_ms") / every_ms).cast("int"))
+            ).alias("frame_idx", "step"),
+        )
+        .select("asset_id", "frame_idx",
+                (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))
+    )

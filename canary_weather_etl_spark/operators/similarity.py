@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+Two paths, per the PAPERS.md distributed-top-k literature:
+- **brute force** (baseline, exact): broadcast the query set, score every
+  candidate with built-in array ops (zip_with + aggregate — JVM-side, no
+  Python), rank per query with a window. Exact, one shuffle (the window's
+  partitionBy query). Right answer at any scale where k·|queries| is small
+  and a full scan is affordable.
+- **LSH-bucketed** (scale path, approximate): random-hyperplane signatures
+  (SimHash for vectors) bucket both sides; only same-bucket pairs are
+  scored. Probing multiple signature permutations recovers recall. This is
+  the 100 TB shape: the candidate join replaces the full cross product.
+
+All float math is done in double; cosine of the same input arrays is a
+fixed left-to-right fold (F.aggregate), deterministic per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(col: F.Column | str) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Σ aᵢbᵢ as a strict left-to-right double fold."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     round_to: int | None = 6) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    `queries` is small (it broadcasts); candidates stream through the scan
+    once. Ranking uses the *rounded* score with the candidate id as
+    tie-break so the cut is deterministic (duplicate embeddings would
+    otherwise make rank order engine-dependent).
+    Output: (query_id, rank, vec_id, cos_sim).
+    """
+    cand = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double(vec_col).alias("qv"))
+    scored = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("cos").alias("cos_sim"))
+    )
+
+
+def hyperplane_signature(vec: F.Column, dim: int, bits: int = 16,
+                         seed: int = 42) -> F.Column:
+    """Random-hyperplane LSH signature: bit j = sign(⟨v, r_j⟩) where r_j is a
+    deterministic pseudo-random ±1 hyperplane derived from xxhash64(j, i,
+    seed). Cosine-similar vectors agree on most bits. Built-in-only: the
+    hyperplanes are generated *inside the expression*, no driver-side
+    randomness, no UDF, fully distributed."""
+    def bit(j: int) -> F.Column:
+        # ⟨v, r_j⟩ with r_j[i] = ±1 from the parity of a hash of (i, j, seed)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i: F.when(
+                                F.xxhash64(i, F.lit(j), F.lit(seed)) % 2 == 0,
+                                F.lit(1.0)).otherwise(F.lit(-1.0))),
+                lambda x, r: x * r),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    sig = bit(0)
+    for j in range(1, bits):
+        sig = sig + bit(j)
+    return sig
+
+
+def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", dim: int = 64,
+             bits: int = 4, probes: int = 8,
+             round_to: int | None = 6) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing an LSH bucket with
+    the query under any of `probes` independent signature functions; exact
+    cosine + rank only on candidates. The join is equi (bucket = signature
+    value per probe), so at scale it's a plain shuffled hash join instead of
+    a cross product.
+
+    Tuning: P(query and true neighbor share a bucket under one probe) =
+    p^bits with p = 1 − θ/π; overall recall ≈ 1 − (1 − p^bits)^probes.
+    More bits → smaller buckets (cheaper rescoring) but lower recall; more
+    probes recover it. Defaults (4, 8) target unclustered corpora where top
+    neighbors sit near cos≈0.4 (p≈0.63 → ~70% recall) — the worst case;
+    real embedding corpora cluster much tighter, so production settings
+    raise `bits` to shrink candidate sets."""
+    cand = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double(vec_col).alias("qv"))
+
+    def with_buckets(df: DataFrame, vcol: str, out: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.posexplode(F.array(*[
+                hyperplane_signature(F.col(vcol), dim, bits, seed=1000 + p)
+                for p in range(probes)
+            ])).alias(f"{out}_probe", out),
+        )
+
+    cb = with_buckets(cand, "v", "bucket")
+    qb = with_buckets(q, "qv", "bucket")
+    scored = (
+        cb.join(qb, on=["bucket_probe", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", "qv").distinct()
+        .select("query_id", "vec_id",
+                cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("cos").alias("cos_sim"))
+    )
+
+
+def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int = 64, bits: int = 10,
+                          probes: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold) via
+    LSH bucketing + exact verification — semantic dedup for an LLM corpus."""
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             as_double(vec_col).alias("v"))
+    bucketed = base.select(
+        "*",
+        F.posexplode(F.array(*[
+            hyperplane_signature(F.col("v"), dim, bits, seed=2000 + p)
+            for p in range(probes)
+        ])).alias("probe", "bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.probe") == F.col("r.probe"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        .distinct()
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,150 @@
+"""Text analysis operators (SURVEY.md §2.11): tokenization, quality
+scoring, language ID, fingerprinting.
+
+All hot-path logic is built-in `pyspark.sql.functions` column expressions —
+JVM-side, whole-stage-codegen-friendly, no Python UDFs (the reference's own
+discipline, SURVEY.md §2.10, kept at 100 TB scale). Each operator has a
+documented ANSI-SQL twin so the DuckDB oracle can verify it; the shared
+constants below are the single source of truth for both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared constants — the SQL twins in plans/llm.py are generated from these.
+TOKEN_SPLIT_RE = r"\s+"
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+# Marker-word/char heuristics per language (n-gram-ish language ID: count
+# distinctive function words; CJK detected by codepoint class). Ordered —
+# first maximal score wins, 'und' (undetermined) when nothing matches.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|was|for|with)\b",
+    "es": r"\b(el|la|los|las|que|de|y|en|por)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
+    "fr": r"\b(le|les|des|et|est|une|dans|pour)\b",
+    "zh": r"[一-鿿]",
+}
+
+PUNCT_RE = r"[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count. SQL twin: LEN(STRING_SPLIT_REGEX(TRIM(x), '\\s+'))."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: word-piece-ish segmentation by a regex
+    that splits words, digits runs, and punctuation separately — the cheap
+    stand-in for a real tokenizer when budgeting LLM training data.
+    SQL twin: LEN(REGEXP_EXTRACT_ALL(x, pattern))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), 0))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_word_len(col: Column | str) -> Column:
+    """Mean token length: chars-with-no-whitespace ÷ tokens (exact integer
+    division → deterministic double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    return nonspace.cast("double") / token_count(c)
+
+
+def stopword_count(col: Column | str) -> Column:
+    """Number of stopword tokens (word-boundary regex count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    return stopword_count(col).cast("double") / token_count(col)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars ÷ total chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)).cast("double")
+            / F.length(c))
+
+
+def quality_ok(col: Column | str,
+               min_tokens: int = 20,
+               max_avg_word_len: float = 12.0,
+               max_punct_ratio: float = 0.3) -> Column:
+    """Boolean quality gate: the standard cheap pre-filters an LLM data
+    pipeline applies before expensive dedup/scoring stages."""
+    return (
+        (token_count(col) >= min_tokens)
+        & (avg_word_len(col) <= max_avg_word_len)
+        & (punct_ratio(col) <= max_punct_ratio)
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {lang: F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+            for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: argmax of marker scores, 'und' if all zero.
+    Deterministic tie-break = declaration order of LANG_MARKERS (first
+    language hitting the max wins). SQL twin: GREATEST(...) + CASE chain
+    in the same order."""
+    scores = lang_scores(col)
+    mx = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == mx, lang).otherwise(expr)
+    return F.when(mx <= 0, "und").otherwise(expr)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint (OpenRefine-style): lowercase, split,
+    distinct, sort, re-join. Two docs with the same bag of words collide —
+    the cheap 'same content, different order' dedup key.
+    SQL twin: ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(LOWER(x),' '))), ' ')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.lower(F.trim(c)), TOKEN_SPLIT_RE))))
+
+
+def fingerprint_hash(col: Column | str) -> Column:
+    """64-bit content fingerprint of the canonical form (xxhash64 —
+    engine-specific, so rows-only checked; use `fingerprint` for the
+    SQL-matchable variant)."""
+    return F.xxhash64(fingerprint(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: every metric above as columns. Single narrow
+    projection — no shuffle, fully codegen'd."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        avg_word_len(c).alias("avg_word_len"),
+        stopword_ratio(c).alias("stop_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_ok(c).alias("quality_ok"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,382 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.11): text analysis, dedup,
+similarity search, multimodal plumbing — each a `queries()` entry with a
+DuckDB oracle where the semantics are SQL-expressible, rows-only otherwise
+(engine-specific hashes, LSH bucketing).
+
+The SQL twins are *generated from the same constants* (stopword list,
+language markers, regexes) as the Spark expressions in operators/text.py —
+one source of truth, two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from .registry import load, register
+
+# ---- generated SQL fragments (single source of truth with operators.text) -
+
+_SQL_TOKENS = r"string_split_regex(trim({c}), '\s+')"
+_SQL_STOPPAT = r"\b(" + "|".join(T.STOPWORDS) + r")\b"
+_SQL_BPE_PAT = r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"
+
+
+def _sql_lang_id(col: str = "text") -> str:
+    score = {lang: f"len(regexp_extract_all(lower({col}), '{pat}'))"
+             for lang, pat in T.LANG_MARKERS.items()}
+    mx = "greatest(" + ", ".join(score.values()) + ")"
+    chain = " ".join(
+        f"WHEN {score[lang]} = {mx} THEN '{lang}'" for lang in T.LANG_MARKERS)
+    return f"CASE WHEN {mx} <= 0 THEN 'und' {chain} ELSE 'und' END"
+
+
+# --------------------------- text analysis ---------------------------------
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS.format(c='text')}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len({_SQL_TOKENS.format(c='text')}) AS avg_word_len,
+           CAST(len(regexp_extract_all(lower(text), '{_SQL_STOPPAT}')) AS DOUBLE)
+               / len({_SQL_TOKENS.format(c='text')}) AS stop_ratio,
+           (len({_SQL_TOKENS.format(c='text')}) >= 20
+            AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                / len({_SQL_TOKENS.format(c='text')}) <= 12.0
+            AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                / length(text) <= 0.3) AS quality_ok
+    FROM documents
+    """,
+    doc="Text quality profile: token count (whitespace), BPE-ish token "
+        "count (regex segmentation), mean word length, stopword ratio, "
+        "boolean quality gate. All JVM-side built-ins (operators/text.py); "
+        "SQL twin generated from the same constants.",
+    tags=("llm", "text"), bench=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+        T.avg_word_len("text").alias("avg_word_len"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.quality_ok("text").alias("quality_ok"),
+    )
+
+
+@register(
+    "q_text_lang_id",
+    oracle=f"""
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_agree
+    FROM (SELECT lang, {_sql_lang_id()} AS lang_pred FROM documents)
+    GROUP BY lang_pred
+    ORDER BY lang_pred
+    """,
+    doc="Language ID (marker-word/charset heuristic, operators/text.py "
+        "LANG_MARKERS) aggregated per predicted language with agreement "
+        "count against the stored label.",
+    tags=("llm", "text"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
+                   .otherwise(0)).alias("n_label_agree"))
+        .orderBy("lang_pred")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp_md5,
+           CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+               AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+    doc="Document fingerprint (OpenRefine-style: lowercase → distinct "
+        "tokens → sort → join → md5): the cheap same-bag-of-words dedup "
+        "key. md5 rather than raw so the hashed value is what ships.",
+    tags=("llm", "text", "dedup"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), T.TOKEN_SPLIT_RE))
+    return d.select(
+        "doc_id",
+        F.md5(T.fingerprint("text")).alias("fp_md5"),
+        F.size(toks).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+# ------------------------------ dedup ---------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text AS dedup_key,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup as keeper-selection: group by content, keep min id, "
+        "count multiplicity (operators/dedup.dup_groups). One "
+        "hash-aggregate — the content hash variant shuffles 8 bytes/row "
+        "instead of the text.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.dup_groups(d, "doc_id", F.col("text"))
+
+
+@register(
+    "q_dedup_unique_count",
+    oracle="""
+    SELECT COUNT(DISTINCT text) AS n_unique, COUNT(*) AS n_total
+    FROM documents
+    """,
+    doc="Corpus-level dedup stats via 64-bit content hashing: "
+        "count(distinct xxhash64(text)) — at 100 TB the distinct runs on "
+        "8-byte hashes, not documents. Equals exact distinct unless a "
+        "2^-64 collision.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_unique_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct(F.xxhash64("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+_JACCARD_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), common AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS common
+        FROM grams l JOIN grams r
+          ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=_JACCARD_SQL,
+    doc="Exact word-bigram Jaccard near-dup pairs (≥0.5): shingle → "
+        "shared-shingle join → |∩|/|∪| from exact integer counts "
+        "(deterministic double). The oracle-checkable ground truth that "
+        "the MinHash/LSH path (q_dedup_minhash_lsh) approximates.",
+    tags=("llm", "dedup"), bench=True,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", n=2)
+    return D.exact_jaccard(sh, threshold=0.5)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # xxhash64-seeded signatures are engine-specific
+    doc="MinHash(32 perms) + LSH(8 bands) near-dup pipeline with exact "
+        "Jaccard verification ≥0.5 (operators/dedup.near_dup_pairs_minhash)."
+        " pytest asserts recall vs the exact q_ngram_jaccard_pairs result.",
+    tags=("llm", "dedup", "approx"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return D.near_dup_pairs_minhash(d, "doc_id", "text",
+                                    n=2, num_hashes=32, bands=8, threshold=0.5)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # hash-specific
+    doc="SimHash(32-bit) signatures per doc + count of pairs within "
+        "Hamming distance 3 — the other classic near-dup family. pytest "
+        "asserts planted near-dups land at small distance.",
+    tags=("llm", "dedup", "approx"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sim = D.simhash(d, "doc_id", "text", bits=32)
+    l, r = sim.alias("l"), sim.alias("r")
+    return (
+        l.join(r, F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
+                D.hamming_distance(F.col("l.simhash"), F.col("r.simhash"))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# --------------------------- similarity search ------------------------------
+
+_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 5
+    ), pairs AS (
+        SELECT query_id, vec_id, qv, embedding AS v
+        FROM embeddings, q WHERE vec_id != query_id
+    ), expl AS (
+        SELECT query_id, vec_id, qv, v,
+               unnest(generate_series(1, len(v))) AS i
+        FROM pairs
+    ), dots AS (
+        SELECT query_id, vec_id,
+               SUM(CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS dp,
+               SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS qq,
+               SUM(CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS vv
+        FROM expl GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, vec_id,
+               ROUND(dp / (SQRT(qq) * SQRT(vv)), 6) AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(dp / (SQRT(qq) * SQRT(vv)), 6) DESC, vec_id
+               ) AS INT) AS rank
+        FROM dots
+    )
+    SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "q_sim_topk_bruteforce",
+    oracle=_TOPK_SQL,
+    doc="Exact top-10 cosine neighbors for 5 query vectors: broadcast "
+        "queries × one candidate scan, zip_with/aggregate dot product "
+        "(JVM-side), row_number cut on (rounded cos, vec_id) so the ranking "
+        "is engine-deterministic (operators/similarity.topk_brute_force).",
+    tags=("llm", "similarity"), bench=True,
+)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.topk_brute_force(e, q, k=10)
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=None,  # LSH bucketing is hash-specific; recall checked in pytest
+    doc="Approximate top-10 via random-hyperplane LSH buckets (4 bits, 8 "
+        "probes — tuned for the unclustered fixture, the LSH worst case) + "
+        "exact rescoring of candidates only (operators/similarity.topk_lsh)."
+        " The 100 TB shape: equi-join on bucket instead of a cross product.",
+    tags=("llm", "similarity", "approx"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.topk_lsh(e, q, k=10, dim=64, bits=4, probes=8)
+
+
+@register(
+    "q_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 6) AS l2_norm
+    FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
+    GROUP BY vec_id, label
+    """,
+    doc="Vector column plumbing: per-vector L2 norm via zip_with/aggregate "
+        "fold — arrays as first-class citizens through relational ops.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label",
+        F.round(S.l2_norm(S.as_double("embedding")), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "q_cosine_near_dup",
+    oracle=None,  # LSH candidate generation is hash-specific
+    doc="Embedding-cosine near-duplicate pairs (≥0.4) via hyperplane-LSH "
+        "bucketing + exact verification "
+        "(operators/similarity.cosine_near_dup_pairs) — semantic dedup.",
+    tags=("llm", "similarity", "dedup", "approx"),
+)
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(e, threshold=0.4, dim=64, bits=10, probes=4)
+
+
+# ----------------------------- multimodal -----------------------------------
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                ELSE 'mp4' END AS media_format,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="Multimodal plumbing, differentially tested: documents.text encoded "
+        "as a binary payload column + modality metadata, pushed through the "
+        "Arrow-batched mapInPandas metadata extractor "
+        "(operators/multimodal.extract_metadata). The byte length and "
+        "sha256 computed in Python must equal DuckDB's over the same bytes "
+        "— proving the binary column and the pandas batch path are "
+        "byte-faithful. Decoded width/height/duration come from the stub "
+        "DECODERS (no codec libs in container) and are excluded here.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+         .when(F.col("doc_id") % 3 == 1, "wav")
+         .otherwise("mp4").alias("media_format"),
+    )
+    meta = M.extract_metadata(assets)
+    return meta.select("asset_id", "modality", "media_format",
+                       "n_bytes", "sha256")

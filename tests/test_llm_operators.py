@@ -1,0 +1,117 @@
+"""Quality checks for the approximate LLM operators: the rows-only queries
+(MinHash/LSH, SimHash, ANN) are validated here against exact ground truth,
+since the DuckDB oracle can't express engine-specific hashing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.operators import dedup as D
+from canary_weather_etl_spark.operators import multimodal as M
+from canary_weather_etl_spark.operators import similarity as S
+from canary_weather_etl_spark.plans.registry import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    sh = D.shingle_table(docs, "doc_id", "text", n=2)
+    exact = {(r["a"], r["b"]) for r in
+             D.exact_jaccard(sh, threshold=0.5).collect()}
+    assert len(exact) >= 10, "fixture should contain planted near-dups"
+    found = {(r["a"], r["b"]) for r in
+             D.near_dup_pairs_minhash(docs, "doc_id", "text",
+                                      n=2, num_hashes=32, bands=8,
+                                      threshold=0.5).collect()}
+    # verification step guarantees precision = 1.0 (jaccard recomputed
+    # exactly); banding with 8 bands x 4 rows has >99% recall at j>=0.7
+    # and good recall at 0.5
+    assert found <= exact
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_simhash_separates_near_dups(spark, docs):
+    """Planted near-dup pairs (jaccard>=0.8) should sit at much smaller
+    hamming distance than random pairs."""
+    sh = D.shingle_table(docs, "doc_id", "text", n=2)
+    planted = D.exact_jaccard(sh, threshold=0.8).collect()
+    assert planted, "expect some high-jaccard planted pairs"
+    sim = D.simhash(docs, "doc_id", "text", bits=32)
+    sigs = {r["doc"]: r["simhash"] for r in sim.collect()}
+    near = [bin(sigs[r["a"]] ^ sigs[r["b"]]).count("1") for r in planted]
+    ids = sorted(sigs)
+    far = [bin(sigs[ids[i]] ^ sigs[ids[i + 37]]).count("1")
+           for i in range(0, 200, 7)]
+    assert sum(near) / len(near) < sum(far) / len(far) / 2, (
+        f"near-dup mean hamming {sum(near)/len(near)} not clearly below "
+        f"random mean {sum(far)/len(far)}")
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = S.topk_brute_force(emb, q, k=10).collect()
+    approx = S.topk_lsh(emb, q, k=10, dim=64, bits=4, probes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[qid] & approx_sets.get(qid, set())) / 10
+               for qid in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    # random embeddings are the worst case for LSH (no cluster structure);
+    # 12-bit buckets with 3 probes should still recover a meaningful share
+    assert mean_recall >= 0.3, f"ANN recall collapsed: {recalls}"
+
+
+def test_cosine_near_dup_threshold(spark, emb):
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.4, dim=64,
+                                    bits=10, probes=4).collect()
+    for r in pairs:
+        assert r["cos_sim"] >= 0.4
+        assert r["a"] < r["b"]
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    assets = docs.limit(30).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("mp4").alias("media_format"),
+    )
+    frames = M.frame_sample_stub(assets, every_ms=1000)
+    rows = frames.collect()
+    assert rows, "frame sampling produced no rows"
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    meta = {r["asset_id"]: r for r in M.extract_metadata(assets).collect()}
+    for aid, fr in by_asset.items():
+        idxs = sorted(x["frame_idx"] for x in fr)
+        assert idxs == list(range(len(idxs)))  # contiguous frame indices
+        assert len(fr) == meta[aid]["duration_ms"] // 1000 + 1
+        for x in fr:
+            assert x["frame_ts_ms"] == x["frame_idx"] * 1000
+
+
+def test_multimodal_exact_dedup(spark, docs):
+    # duplicate every payload once → every group has exactly 2 copies
+    a1 = docs.limit(20).select(F.col("doc_id").alias("asset_id"),
+                               F.encode("text", "UTF-8").alias("content"))
+    a2 = a1.withColumn("asset_id", F.col("asset_id") + 1000)
+    groups = M.exact_dedup_assets(a1.unionByName(a2)).collect()
+    assert len(groups) == 20
+    assert all(g["n_copies"] == 2 for g in groups)
+    assert all(g["keeper_id"] < 1000 for g in groups)
