@@ -1,0 +1,99 @@
+"""Streaming jobs: the batch plans from plans/windows.py, run as Structured
+Streaming queries. The aggregation expressions are identical — only the
+source (``readStream``) and the sink/trigger differ, which is the point:
+one logical plan, two execution modes.
+
+Scale notes:
+- Watermarks bound state: a 1-hour-window agg with a 2-hour watermark keeps
+  ~3 windows of state per key, regardless of stream length.
+- ``dropDuplicates`` after ``withWatermark`` is the streaming analogue of
+  the reference's anti-join upsert dedupe (README.md:1517-1529): late
+  re-sends of the same key are discarded while inside the watermark.
+- ``Trigger.AvailableNow`` processes the backlog then stops — the exact
+  semantics of the reference's EventBridge-scheduled monthly catch-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact_sum
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       schema, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over parquet/json event drops (the reference's
+    `updates/` staging prefix, README.md:919)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_tumbling_agg(events: DataFrame,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate per event_type — the streaming
+    twin of plans/windows.q_events_tumbling (same expressions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type",
+                "n", "sum_value")
+    )
+
+
+def stream_session_agg(events: DataFrame,
+                       gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows per user — streaming twin of
+    q_events_session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n", "sum_value")
+    )
+
+
+def stream_dedupe(events: DataFrame, keys: list[str],
+                  watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedupe on ``keys`` within the watermark horizon —
+    the streaming analogue of the upsert anti-join (new arrivals of an
+    already-seen key are dropped)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_upsert_sink(stream: DataFrame, table_path: str,
+                       checkpoint: str,
+                       keys: tuple[str, ...] = ("location", "date")):
+    """foreachBatch sink running the SAME upsert operator as the batch path
+    (sources.weather.upsert_clean): each micro-batch is a '31-day window
+    re-fetch' and lands with new-wins-on-key, partition-scoped-rewrite
+    semantics. Returns the StreamingQuery."""
+    from ..sources.weather import upsert_clean, write_clean
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            spark.read.parquet(table_path).limit(1).collect()
+            exists = True
+        except Exception:
+            exists = False
+        if not exists:
+            write_clean(batch, table_path)
+        else:
+            upsert_clean(spark, table_path, batch, keys=keys,
+                         staging_path=f"{checkpoint}/_staging_{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

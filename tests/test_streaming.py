@@ -1,0 +1,100 @@
+"""Structured Streaming tests: the streaming twins must produce the same
+results as their batch plans once the backlog is fully processed
+(Trigger.AvailableNow + append/complete to memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.plans.registry import load
+from canary_weather_etl_spark.streaming import jobs as J
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize the events fixture as a micro-batched directory (3 file
+    drops) so the file-source stream has a real backlog to chew through."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load(spark, sf_dir, "events")
+    ev.withColumn("bucket", F.pmod(F.xxhash64("event_id"), F.lit(3))) \
+      .repartition(3, "bucket").drop("bucket") \
+      .write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_to_memory(stream_df, name: str, mode: str) -> None:
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir, sf_dir):
+    ev_batch = load(spark, sf_dir, "events")
+    schema = spark.read.parquet(events_dir).schema
+    stream = J.read_events_stream(spark, events_dir, schema,
+                                  max_files_per_trigger=1)
+    _run_to_memory(J.stream_tumbling_agg(stream), "tumb", "complete")
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM tumb").collect()}
+    exp = {tuple(r) for r in (
+        ev_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,2)")).cast("double")
+             .alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                "sum_value")
+    ).collect()}
+    assert got == exp
+
+
+def test_stream_dedupe_drops_resends(spark, tmp_path):
+    # craft a drop dir where the same (user_id, ts) batch lands twice
+    base = load(spark, "/root/testdata/sf0.001", "events").limit(200).cache()
+    d = str(tmp_path / "dups")
+    base.write.mode("overwrite").parquet(d)
+    base.write.mode("append").parquet(d)  # resend of the whole batch
+    assert spark.read.parquet(d).count() == 400
+
+    schema = base.schema
+    stream = J.read_events_stream(spark, d, schema)
+    _run_to_memory(J.stream_dedupe(stream, ["event_id"]), "dedup", "append")
+    assert spark.sql("SELECT count(*) c FROM dedup").collect()[0]["c"] == 200
+
+
+def test_stream_upsert_sink_matches_batch_upsert(spark, tmp_path):
+    """foreachBatch upsert: stream two overlapping weather-like batches;
+    final table must equal new-wins-on-key semantics."""
+    rows1 = [("loc_a", f"2024-01-{i:02d}", 1.0) for i in range(1, 11)]
+    rows2 = [("loc_a", f"2024-01-{i:02d}", 2.0) for i in range(6, 16)]
+
+    def mk(rows):
+        return (spark.createDataFrame(rows, ["location", "date", "metric"])
+                .withColumn("date", F.to_date("date"))
+                .withColumn("island", F.lit("isl"))
+                .withColumn("location_name", F.lit("loc_a"))
+                .withColumn("year", F.year("date"))
+                .withColumn("month", F.month("date")))
+
+    drops = str(tmp_path / "drops")
+    mk(rows1).coalesce(1).write.mode("overwrite").parquet(drops)
+
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(drops).schema
+    stream = spark.readStream.schema(schema).parquet(drops)
+    q = J.stream_upsert_sink(stream, table, ckpt, keys=("location", "date"))
+    q.awaitTermination(120)
+
+    mk(rows2).coalesce(1).write.mode("append").parquet(drops)
+    stream = spark.readStream.schema(schema).parquet(drops)
+    q = J.stream_upsert_sink(stream, table, ckpt, keys=("location", "date"))
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(table)
+    assert final.count() == 15
+    assert final.select("location", "date").distinct().count() == 15
+    overlap = final.filter(F.col("date") == F.lit("2024-01-08").cast("date")).collect()
+    assert overlap[0]["metric"] == 2.0  # new batch won
+    early = final.filter(F.col("date") == F.lit("2024-01-02").cast("date")).collect()
+    assert early[0]["metric"] == 1.0  # pre-overlap survived
