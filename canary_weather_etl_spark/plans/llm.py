@@ -17,7 +17,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
-from .registry import load, register
+from .registry import load, load_par, register
 
 # ---- generated SQL fragments (single source of truth with operators.text) -
 
@@ -61,7 +61,7 @@ def _sql_lang_id(col: str = "text") -> str:
     tags=("llm", "text"), bench=True,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.token_count("text").cast("bigint").alias("n_tokens"),
@@ -88,7 +88,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     return (
         d.select("lang", T.lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -115,7 +115,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "dedup"),
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), T.TOKEN_SPLIT_RE))
     return d.select(
         "doc_id",
@@ -200,11 +200,13 @@ _JACCARD_SQL = r"""
     doc="Exact word-bigram Jaccard near-dup pairs (≥0.5): shingle → "
         "shared-shingle join → |∩|/|∪| from exact integer counts "
         "(deterministic double). The oracle-checkable ground truth that "
-        "the MinHash/LSH path (q_dedup_minhash_lsh) approximates.",
-    tags=("llm", "dedup"), bench=True,
+        "the MinHash/LSH path (q_dedup_minhash_lsh) approximates. "
+        "Quadratic in shingle document-frequency — correctness-scale only; "
+        "the benched scale path is the LSH variant.",
+    tags=("llm", "dedup"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     sh = D.shingle_table(d, "doc_id", "text", n=2)
     return D.exact_jaccard(sh, threshold=0.5)
 
@@ -215,10 +217,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash(32 perms) + LSH(8 bands) near-dup pipeline with exact "
         "Jaccard verification ≥0.5 (operators/dedup.near_dup_pairs_minhash)."
         " pytest asserts recall vs the exact q_ngram_jaccard_pairs result.",
-    tags=("llm", "dedup", "approx"),
+    tags=("llm", "dedup", "approx"), bench=True,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     return D.near_dup_pairs_minhash(d, "doc_id", "text",
                                     n=2, num_hashes=32, bands=8, threshold=0.5)
 
@@ -232,7 +234,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "approx"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     sim = D.simhash(d, "doc_id", "text", bits=32)
     l, r = sim.alias("l"), sim.alias("r")
     return (
@@ -286,7 +288,7 @@ _TOPK_SQL = """
     tags=("llm", "similarity"), bench=True,
 )
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load_par(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.topk_brute_force(e, q, k=10)
@@ -302,7 +304,7 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "approx"),
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load_par(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.topk_lsh(e, q, k=10, dim=64, bits=4, probes=8)
@@ -321,7 +323,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity"),
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load_par(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id", "label",
         F.round(S.l2_norm(S.as_double("embedding")), 6).alias("l2_norm"),
@@ -337,7 +339,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "dedup", "approx"),
 )
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load_par(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(e, threshold=0.4, dim=64, bits=10, probes=4)
 
 
@@ -366,7 +368,7 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load_par(spark, sf_dir, "documents")
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")

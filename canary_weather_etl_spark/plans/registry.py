@@ -54,6 +54,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like `load`, but repartitioned to the session's parallelism.
+
+    The fixture tables are single parquet files → Spark gives them one
+    input partition, which serializes compute-heavy per-row work (shingle
+    hashing, regex profiling, cosine folds) onto one core. At production
+    scale inputs arrive as many files and this is unnecessary; for the
+    single-file case the tiny shuffle buys full-width parallelism."""
+    df = load(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 @dataclass
 class QuerySpec:
     name: str
