@@ -14,5 +14,6 @@ from . import relational  # noqa: E402,F401  §2.1-2.2, 2.4, 2.6, 2.8
 from . import joins       # noqa: E402,F401  §2.3, 2.7
 from . import windows     # noqa: E402,F401  §2.5, 2.9, grouping sets
 from . import llm         # noqa: E402,F401  §2.11 dedup/similarity/text/multimodal
+from . import arrays      # noqa: E402,F401  §2.8 array/JSON families, SQL façade
 
 __all__ = ["REGISTRY", "QuerySpec", "load", "oracle_sql", "queries", "register"]

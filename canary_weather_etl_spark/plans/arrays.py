@@ -1,0 +1,168 @@
+"""Array / JSON / SQL-façade queries (SURVEY.md §2.8 array+JSON families,
+§3.2 SQL entry point).
+
+The array family is the heart of the reference's ingestion rewrite: the
+struct-of-arrays flatten is `arrays_zip`+`explode` (SURVEY.md §4.2 calls it
+'the single most important rewrite'). The weather tests exercise it on raw
+JSON; these queries expose the same operators over the fixture tables so
+the DuckDB oracle can hash-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+
+@register(
+    "q_array_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(i - 1 AS INT) AS pos,
+           embedding[i] AS val
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings
+          WHERE vec_id < 20)
+    """,
+    doc="posexplode of an array column (README.md:648's explode, with "
+        "position): array<float> → (pos, val) rows. Values pass through "
+        "untouched — float-exact across engines.",
+    tags=("array",),
+)
+def q_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@register(
+    "q_arrays_zip_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(i - 1 AS INT) AS pos,
+           embedding[i] AS lo,
+           embedding[i + 32] AS hi,
+           CAST(embedding[i] AS DOUBLE) * CAST(embedding[i + 32] AS DOUBLE)
+               AS prod
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, 32)) AS i
+          FROM embeddings
+          WHERE vec_id < 20)
+    """,
+    doc="arrays_zip + explode — THE struct-of-arrays flatten (replaces the "
+        "reference's driver-side parallel-array zip, README.md:694-725): "
+        "two parallel 32-slices of the embedding zipped positionally, "
+        "exploded to one row per index, with a derived product column.",
+    tags=("array",),
+)
+def q_arrays_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    zipped = e.select(
+        "vec_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice("embedding", 1, 32).alias("lo"),
+                F.slice("embedding", 33, 32).alias("hi"),
+            )
+        ).alias("pos", "z"),
+    )
+    return zipped.select(
+        "vec_id", "pos",
+        F.col("z.lo").alias("lo"),
+        F.col("z.hi").alias("hi"),
+        (F.col("z.lo").cast("double") * F.col("z.hi").cast("double")).alias("prod"),
+    )
+
+
+@register(
+    "q_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           list_max(embedding) AS mx,
+           list_min(embedding) AS mn,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+    doc="Array scalar family: size (README.md:696's length checks), "
+        "array_max/array_min, filter — per-row array reductions, all "
+        "codegen'd.",
+    tags=("array",),
+)
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max("embedding").alias("mx"),
+        F.array_min("embedding").alias("mn"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "q_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) % 10
+               AS k_mod
+    FROM events
+    WHERE CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) >= 50
+    """,
+    doc="from_json with an explicit schema over events.props (SURVEY.md "
+        "§2.8 JSON family; get_json_object covered by q_json_extract) — "
+        "typed struct access, filter pushed onto the parsed field.",
+    tags=("json",),
+)
+def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .filter(F.col("k") >= 50)
+        .withColumn("k_mod", F.col("k") % 10)
+    )
+
+
+_REF_Q1_SQL = """
+    SELECT l_returnflag AS location,
+           ROUND(AVG(l_extendedprice) / 3600, 2) AS avg_sunshine_hours
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY avg_sunshine_hours DESC
+"""
+
+
+@register(
+    "q_sql_facade",
+    oracle="""
+    SELECT l_returnflag AS location,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice) / 3600, 2) AS avg_sunshine_hours
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY avg_sunshine_hours DESC
+    """,
+    doc="SQL façade (SURVEY.md §3.2): temp view + spark.sql running the "
+        "reference's Q1 shape verbatim (README.md:778-783, transposed "
+        "column names). Proves the Athena entry point maps 1:1 onto "
+        "Spark SQL. The Spark side uses the decimal-exact AVG inside the "
+        "SQL text itself.",
+    tags=("sql",),
+)
+def q_sql_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag AS location,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+                     / COUNT(l_extendedprice) / 3600, 2) AS avg_sunshine_hours
+        FROM lineitem_v
+        GROUP BY l_returnflag
+        ORDER BY avg_sunshine_hours DESC
+    """)
