@@ -2,4 +2,4 @@
 text analysis, multimodal column plumbing — the LLM-data-pipeline surface
 layered on the same DataFrame discipline as the relational core."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, multimodal, similarity, skew, temporal, text  # noqa: F401

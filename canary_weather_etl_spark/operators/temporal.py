@@ -1,0 +1,61 @@
+"""Temporal joins the reference lacks but a time-series engine needs
+(SURVEY.md §2.3 notes the reference delegates all physical join choice;
+as-of/range are the operators Spark itself has no built-in for — composed
+here from existing DataFrame ops, per the custom-operator ladder).
+
+As-of join, Spark-shaped: instead of a per-row subquery ("latest left row
+at or before each right row"), union both sides with a tag, sort within the
+key partition by time, and carry the last-seen left value forward with
+`last(..., ignorenulls=True)` over an unbounded-preceding window. One
+shuffle (by key), no N×M blow-up, no skew beyond the key's own — the same
+plan shape at 100 TB as at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
+              value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """For each row of `right`, attach the most recent `left` row with
+    left.on <= right.on, matched per `by` key. Right rows with no prior
+    left row keep nulls (ASOF LEFT JOIN semantics, as in DuckDB).
+
+    value_cols: left columns to carry (default: all but on/by). Right's own
+    payload columns ride through the union untouched — single pass, one
+    shuffle, no re-join.
+    """
+    value_cols = value_cols or [c for c in left.columns if c not in (on, by)]
+    right_payload = [c for c in right.columns if c not in (on, by)]
+
+    l = left.select(
+        F.col(by), F.col(on),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right_payload],
+        F.lit(0).alias("__side"),
+    )
+    r = right.select(
+        F.col(by), F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in value_cols],
+        *[F.col(c) for c in right_payload],
+        F.lit(1).alias("__side"),
+    )
+    merged = l.unionByName(r)
+
+    # left rows sort before right rows at equal timestamps so an exact-tie
+    # left row is visible to the right row (<= semantics)
+    w = (Window.partitionBy(by).orderBy(F.col(on).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = merged.select(
+        by, on, "__side", *right_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True)
+         .over(w).alias(f"{on}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

@@ -15,5 +15,6 @@ from . import joins       # noqa: E402,F401  §2.3, 2.7
 from . import windows     # noqa: E402,F401  §2.5, 2.9, grouping sets
 from . import llm         # noqa: E402,F401  §2.11 dedup/similarity/text/multimodal
 from . import arrays      # noqa: E402,F401  §2.8 array/JSON families, SQL façade
+from . import temporal_skew  # noqa: E402,F401  as-of join, skew mitigation
 
 __all__ = ["REGISTRY", "QuerySpec", "load", "oracle_sql", "queries", "register"]

@@ -1,0 +1,101 @@
+"""As-of join + skew-mitigation queries.
+
+The as-of join is the flagship 'operator Spark lacks' composition (one
+union + one window, single shuffle); DuckDB has a native ASOF JOIN, which
+makes it fully oracle-checkable. The skew queries prove the salted
+rewrites are *semantically invisible*: their oracles are the plain
+unsalted SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_join, two_phase_agg
+from ..operators.temporal import asof_join
+from .registry import load, register
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           p.value,
+           c.value AS click_value_asof,
+           c.ts AS ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (operators/temporal.asof_join): for every purchase, the "
+        "latest prior click by the same user. Spark composition = tagged "
+        "union + last(ignorenulls) over an unbounded-preceding window — one "
+        "shuffle, no N×M. Oracle: DuckDB's native ASOF LEFT JOIN.",
+    tags=("temporal", "join"), bench=True,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("value").alias("click_value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    value_cols=["click_value"])
+    return out.select("event_id", "user_id", "ts", "value",
+                      "click_value_asof", "ts_asof")
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type,
+               CASE WHEN event_type IN ('purchase', 'signup') THEN 10.0
+                    ELSE 1.0 END AS weight
+        FROM events
+    )
+    SELECT e.event_id, e.event_type, d.weight,
+           e.value * d.weight AS weighted
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+    doc="Salted join (operators/skew.salted_join): events are heavily "
+        "skewed on event_type (5 values); the skewed side is salted into 8 "
+        "subkeys and the dim replicated 8x, splitting each hot partition. "
+        "The oracle is the PLAIN join — salting must be semantically "
+        "invisible.",
+    tags=("skew", "join"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dim = (ev.select("event_type").distinct()
+           .withColumn("weight",
+                       F.when(F.col("event_type").isin("purchase", "signup"),
+                              F.lit(10.0)).otherwise(F.lit(1.0))))
+    joined = salted_join(ev, dim, key="event_type", salt_factor=8)
+    return joined.select(
+        "event_id", "event_type", "weight",
+        (F.col("value") * F.col("weight")).alias("weighted"),
+    )
+
+
+@register(
+    "q_two_phase_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_val,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation (operators/skew.two_phase_agg): "
+        "partial agg on (key, salt) then merge — the manual skew-spread for "
+        "hot keys. Decimal-exact partials make the result bit-identical to "
+        "the single-phase oracle.",
+    tags=("skew", "agg"),
+)
+def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return two_phase_agg(ev, key="event_type", agg_col="value",
+                         salt_factor=16)
