@@ -1,0 +1,74 @@
+"""Scale-machinery tests: bucketed co-located joins (no exchange in plan),
+salted-join plan shape, stateful streaming operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.plans.registry import load
+from canary_weather_etl_spark.sources.bucketing import bucketed_join, write_bucketed
+from canary_weather_etl_spark.streaming.stateful import running_user_totals
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # warehouse.dir is a static conf — bucketed tables land in the default
+    # spark-warehouse/ (gitignored), dropped in the finally below
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "li_b", "l_orderkey", buckets=8)
+    write_bucketed(o, "o_b", "l_orderkey", buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "li_b", "o_b", "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it's correct
+        n = joined.count()
+        expected = (load(spark, sf_dir, "lineitem")
+                    .join(load(spark, sf_dir, "orders"),
+                          F.col("l_orderkey") == F.col("o_orderkey")).count())
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the second batch's output
+    must include the first batch's totals — state survived."""
+    ev = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("user_id", "ts", "value")
+    d = str(tmp_path / "drops")
+    one_user = ev.filter(F.col("user_id") == ev.first()["user_id"]).cache()
+    half1 = one_user.limit(10)
+    half2 = one_user.exceptAll(half1).limit(10)
+    half1.coalesce(1).write.mode("overwrite").parquet(d)
+    half2.coalesce(1).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM totals").collect()
+    # one emission per batch that saw the user; final cumulative = 20 events
+    assert len(rows) == 2
+    final = max(rows, key=lambda r: r["n_events"])
+    assert final["n_events"] == 20
+    exact = one_user.limit(10).unionByName(half2).agg(
+        F.sum("value"), F.max("value")).collect()[0]
+    assert final["total_value"] == pytest.approx(exact[0])
+    assert final["max_value"] == exact[1]
