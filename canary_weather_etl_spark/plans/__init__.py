@@ -16,5 +16,6 @@ from . import windows     # noqa: E402,F401  §2.5, 2.9, grouping sets
 from . import llm         # noqa: E402,F401  §2.11 dedup/similarity/text/multimodal
 from . import arrays      # noqa: E402,F401  §2.8 array/JSON families, SQL façade
 from . import temporal_skew  # noqa: E402,F401  as-of join, skew mitigation
+from . import analytics   # noqa: E402,F401  range join, rollups, percentiles, moments
 
 __all__ = ["REGISTRY", "QuerySpec", "load", "oracle_sql", "queries", "register"]

@@ -1,0 +1,209 @@
+"""Advanced analytics queries: range join, hypertable-style multi-
+granularity rollups, percentiles (exact + sketch), statistical moments.
+
+Range join strategy (the task's 'operator Spark lacks' ladder, rung (a) —
+composition of existing ops): a naive |ts_a − ts_b| ≤ δ join is a cross
+product with a filter. The scale shape buckets both sides into δ-wide time
+buckets, equi-joins each left bucket to its right bucket and the two
+adjacent ones, then applies the exact predicate — candidate set shrinks
+from N×M to only temporally-close pairs, and the join is a plain shuffled
+equi-join (AQE-skew-splittable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import exact_avg, exact_sum
+from .registry import load, register
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT e.event_id AS err_id,
+           p.event_id AS buy_id,
+           e.user_id,
+           CAST(date_diff('millisecond', p.ts, e.ts) AS BIGINT) AS lag_ms
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts
+    """,
+    doc="Range join: purchases within the 10 minutes preceding each error "
+        "by the same user. Spark composition: bucket both sides into "
+        "10-minute epochs, equi-join on (user, bucket) ∪ (user, bucket−1), "
+        "then exact BETWEEN filter — no cross product, plain shuffled "
+        "equi-join.",
+    tags=("temporal", "join"), bench=True,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    delta_ms = 10 * 60 * 1000
+    err = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("err_id"), "user_id",
+                   F.col("ts").alias("e_ts")))
+    buy = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("buy_id"),
+                   F.col("user_id").alias("b_user"),
+                   F.col("ts").alias("p_ts")))
+
+    def bucket(c):
+        return F.floor(F.unix_millis(c) / delta_ms).cast("bigint")
+
+    # each error probes its own bucket and the previous one — any purchase
+    # within [e_ts - δ, e_ts] lives in one of the two
+    err_b = err.withColumn(
+        "bkt", F.explode(F.array(bucket(F.col("e_ts")),
+                                 bucket(F.col("e_ts")) - 1)))
+    buy_b = buy.withColumn("bkt_r", bucket(F.col("p_ts")))
+    return (
+        err_b.join(buy_b,
+                   (F.col("user_id") == F.col("b_user"))
+                   & (F.col("bkt") == F.col("bkt_r")))
+        .filter((F.col("p_ts") <= F.col("e_ts"))
+                & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 MINUTES")))
+        .select("err_id", "buy_id", "user_id",
+                (F.unix_millis("e_ts") - F.unix_millis("p_ts")).alias("lag_ms"))
+        .distinct()
+    )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+               'hour' AS granularity,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 3
+    ), daily AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+               'day' AS granularity,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 3
+    )
+    SELECT * FROM hourly UNION ALL SELECT * FROM daily
+    """,
+    doc="Hypertable-style multi-granularity rollup: hourly and daily "
+        "continuous-aggregate views in one result (the daily tier is "
+        "re-aggregated from the hourly partials — at 100 TB the coarse "
+        "tiers cost one extra tiny shuffle, not a second scan).",
+    tags=("temporal", "agg"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,2)")).alias("_sum_dec"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "n", "_sum_dec")
+    )
+    # daily tier: merge the hourly partials (no second scan of events)
+    daily = (
+        hourly.groupBy(F.window("bucket_start", "1 day").alias("w"),
+                       "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("_sum_dec").alias("_sum_dec"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "n", "_sum_dec")
+    )
+    out_h = hourly.select("bucket_start", F.lit("hour").alias("granularity"),
+                          "event_type", "n",
+                          F.col("_sum_dec").cast("double").alias("sum_value"))
+    out_d = daily.select("bucket_start", F.lit("day").alias("granularity"),
+                         "event_type", "n",
+                         F.col("_sum_dec").cast("double").alias("sum_value"))
+    return out_h.unionByName(out_d)
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           MIN(o_totalprice) AS mn,
+           MAX(o_totalprice) AS mx
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (median, p90) per group — Spark "
+        "`percentile` ≡ DuckDB `quantile_cont`. Rounded at 4: the linear "
+        "interpolation a+(b−a)·frac can associate differently across "
+        "engines; min/max are exact.",
+    tags=("agg", "stats"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+    )
+
+
+@register(
+    "q_approx_percentile",
+    oracle=None,  # sketch-based by construction
+    doc="approx_percentile (KLL-ish sketch) — the 100 TB percentile path; "
+        "exactness traded for a single pass + fixed memory. Accuracy vs "
+        "exact asserted in tests/test_scale_ops.py.",
+    tags=("agg", "stats", "approx"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+             .alias("approx_p"))
+    )
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))
+                    * CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))
+                    * CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(*))
+             / (COUNT(*) - 1) AS variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical moments from exact decimal power sums: variance = "
+        "(Σx² − (Σx)²/n)/(n−1) computed from bit-identical doubles — the "
+        "decimal-exact pattern extended to second moments (native "
+        "stddev/var are Welford-order-dependent across engines).",
+    tags=("agg", "stats"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(28,2)")
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance"),
+        )
+    )

@@ -72,3 +72,16 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
         F.sum("value"), F.max("value")).collect()[0]
     assert final["total_value"] == pytest.approx(exact[0])
     assert final["max_value"] == exact[1]
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """The sketch percentile must land within 2% relative error of exact."""
+    from canary_weather_etl_spark.plans import REGISTRY
+    approx = {r["o_orderstatus"]: r["approx_p"]
+              for r in REGISTRY["q_approx_percentile"].fn(spark, sf_dir).collect()}
+    exact = {r["o_orderstatus"]: (r["p50"], r["p90"])
+             for r in REGISTRY["q_percentiles"].fn(spark, sf_dir).collect()}
+    for status, (p50, p90) in exact.items():
+        a50, a90 = approx[status]
+        assert abs(a50 - p50) / p50 < 0.02
+        assert abs(a90 - p90) / p90 < 0.02
