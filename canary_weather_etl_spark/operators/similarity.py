@@ -176,3 +176,70 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos_sim") >= threshold)
     )
     return pairs
+
+
+def topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", n_lists: int = 8,
+             n_probe: int = 3, seed: int = 42,
+             round_to: int | None = 6) -> DataFrame:
+    """IVF-style approximate top-k: a KMeans coarse quantizer partitions the
+    corpus into `n_lists` inverted lists; each query is scored only against
+    the `n_probe` lists whose centroids are nearest to it.
+
+    The complementary scale path to `topk_lsh`: IVF adapts to the data
+    distribution (centroids follow clusters, so recall on clustered
+    embedding corpora is high with small n_probe), at the cost of a
+    training pass. Candidate volume ≈ n_probe/n_lists of the corpus.
+    Everything after training is DataFrame-only: assignment via
+    crossJoin-free broadcast of centroids, candidate probing via equi-join
+    on list id.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = embeddings.sparkSession
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double(vec_col).alias("v"))
+    train = base.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # centroid table as literal arrays — tiny, broadcast everywhere
+    centers_rows = [(i, c) for i, c in enumerate(centers)]
+    cdf = spark.createDataFrame(centers_rows, ["list_id", "centroid"])
+
+    def nearest_lists(df: DataFrame, idc: str, vcol: str, n: int) -> DataFrame:
+        """Attach the n nearest list ids (by L2 to centroid) to each row."""
+        from pyspark.sql import Window
+        scored = (df.crossJoin(F.broadcast(cdf))
+                  .withColumn("d2", F.aggregate(
+                      F.zip_with(F.col(vcol), F.col("centroid"),
+                                 lambda a, b: (a - b) * (a - b)),
+                      F.lit(0.0), lambda acc, x: acc + x)))
+        w = Window.partitionBy(idc).orderBy(F.asc("d2"), F.asc("list_id"))
+        return (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= n).drop("d2", "rk", "centroid"))
+
+    # corpus side: each vector lives in exactly its nearest list
+    assigned = nearest_lists(base, "vec_id", "v", 1)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       as_double(vec_col).alias("qv"))
+    probes_df = nearest_lists(q, "query_id", "qv", n_probe)
+
+    scored = (
+        assigned.join(probes_df, on="list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id",
+                cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .distinct()
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("cos").alias("cos_sim"))
+    )

@@ -17,5 +17,6 @@ from . import llm         # noqa: E402,F401  §2.11 dedup/similarity/text/multim
 from . import arrays      # noqa: E402,F401  §2.8 array/JSON families, SQL façade
 from . import temporal_skew  # noqa: E402,F401  as-of join, skew mitigation
 from . import analytics   # noqa: E402,F401  range join, rollups, percentiles, moments
+from . import scalars_ext  # noqa: E402,F401  extended string/date scalar coverage
 
 __all__ = ["REGISTRY", "QuerySpec", "load", "oracle_sql", "queries", "register"]

@@ -382,3 +382,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = M.extract_metadata(assets)
     return meta.select("asset_id", "modality", "media_format",
                        "n_bytes", "sha256")
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=None,  # KMeans-trained quantizer; recall checked in pytest
+    doc="IVF-style approximate top-10: KMeans coarse quantizer (8 lists), "
+        "queries probe their 4 nearest lists, exact cosine rescoring on "
+        "candidates only (operators/similarity.topk_ivf). The "
+        "data-adaptive complement to the hyperplane-LSH path — centroids "
+        "track corpus clusters, so clustered real-world embeddings get "
+        "high recall with small n_probe.",
+    tags=("llm", "similarity", "approx"),
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_par(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4)

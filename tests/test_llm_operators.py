@@ -115,3 +115,20 @@ def test_multimodal_exact_dedup(spark, docs):
     assert len(groups) == 20
     assert all(g["n_copies"] == 2 for g in groups)
     assert all(g["keeper_id"] < 1000 for g in groups)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = S.topk_brute_force(emb, q, k=10).collect()
+    approx = S.topk_ivf(emb, q, k=10, n_lists=8, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[qid] & approx_sets.get(qid, set())) / 10
+               for qid in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    # probing half the lists on an unclustered corpus should recover ~half+
+    assert mean_recall >= 0.4, f"IVF recall collapsed: {recalls}"
