@@ -98,3 +98,46 @@ def test_stream_upsert_sink_matches_batch_upsert(spark, tmp_path):
     assert overlap[0]["metric"] == 2.0  # new batch won
     early = final.filter(F.col("date") == F.lit("2024-01-02").cast("date")).collect()
     assert early[0]["metric"] == 1.0  # pre-overlap survived
+
+
+def test_stream_weather_ingest_matches_batch(spark, tmp_path):
+    """Streaming JSON ingestion must produce the same flattened rows as the
+    batch reader over the same raw files."""
+    import json as _json
+
+    from canary_weather_etl_spark.sources import weather as W
+    from canary_weather_etl_spark.streaming.jobs import stream_weather_ingest
+
+    raw = str(tmp_path / "raw")
+    dates = [f"2024-05-{i:02d}" for i in range(1, 8)]
+    for island, loc in [("Tenerife", "Vilaflor"), ("El_Hierro", "Valverde")]:
+        d = f"{raw}/{island}/{loc}"
+        import os as _os
+        _os.makedirs(d)
+        daily = {"date": dates}
+        for i, (name, typ) in enumerate(W.OPEN_METEO_DAILY_VARS.items()):
+            if typ.__name__ == "StringType":
+                daily[name] = [f"{x}T07:00" for x in dates]
+            elif typ.__name__ == "LongType":
+                daily[name] = list(range(len(dates)))
+            else:
+                daily[name] = [i + j * 0.5 for j in range(len(dates))]
+        doc = {"location": f"{island}/{loc}", "latitude": 28.0,
+               "longitude": -16.0, "elevation": 100.0,
+               "timezone": "Atlantic/Canary", "daily": daily}
+        with open(f"{d}/2024.json", "w") as f:
+            _json.dump(doc, f)
+
+    out = str(tmp_path / "clean")
+    q = stream_weather_ingest(spark, f"{raw}/*/*/2*.json", out,
+                              str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 2 * 7
+    batch = W.read_open_meteo(spark, f"{raw}/*/*/2*.json")
+    assert batch.count() == got.count()
+    g = got.filter((F.col("location") == "Tenerife/Vilaflor")
+                   & (F.col("date") == F.lit("2024-05-03").cast("date"))).collect()[0]
+    assert g["temperature_2m_max"] == 1 + 2 * 0.5
+    assert g["island"] == "Tenerife" and g["month"] == 5
