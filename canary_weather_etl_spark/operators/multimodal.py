@@ -103,13 +103,17 @@ def extract_metadata(assets: DataFrame, decoder=None) -> DataFrame:
         dec = decoder or _decode
         for pdf in batches:
             meta = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["content"]) if row["content"] is not None else b""
-                d = dec(row["modality"], row["media_format"], payload)
+            # column-wise zip, not iterrows — ~5x less per-row overhead in
+            # the decode loop that dominates at billions of assets
+            for aid, mod, fmt, content in zip(
+                    pdf["asset_id"], pdf["modality"],
+                    pdf["media_format"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                d = dec(mod, fmt, payload)
                 meta.append({
-                    "asset_id": row["asset_id"],
-                    "modality": row["modality"],
-                    "media_format": row["media_format"],
+                    "asset_id": aid,
+                    "modality": mod,
+                    "media_format": fmt,
                     "n_bytes": len(payload),
                     "sha256": _hashlib.sha256(payload).hexdigest(),
                     **d,
