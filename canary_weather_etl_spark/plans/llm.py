@@ -400,3 +400,61 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4)
+
+
+_TFIDF_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=_TFIDF_SQL,
+    doc="TF-IDF top-3 terms per document: token explode -> tf per "
+        "(doc,term), document frequency per term (broadcastable — vocab "
+        "<< corpus), idf = ln(N/df), window rank on (rounded score, term). "
+        "The classic keyword-extraction primitive for corpus curation; "
+        "rank ties (idf=0 for corpus-wide terms) break alphabetically so "
+        "the cut is deterministic in both engines.",
+    tags=("llm", "text"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_par(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                          T.TOKEN_SPLIT_RE)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # tiny driver-side scalar; at scale: a broadcast agg
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .withColumn("tfidf",
+                    F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
