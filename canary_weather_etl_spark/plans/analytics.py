@@ -207,3 +207,43 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("variance"),
         )
     )
+
+
+@register(
+    "q_data_quality_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_orderkey) AS null_orderkeys,
+           COUNT(*) - COUNT(l_shipdate) AS null_shipdates,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_discount) AS min_disc,
+           MAX(l_discount) AS max_disc,
+           COUNT(DISTINCT l_returnflag) AS n_flags,
+           COUNT(DISTINCT l_linestatus) AS n_statuses,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_discounts
+    FROM lineitem
+    """,
+    doc="Single-pass data-quality profile (the deequ-style pre-load gate a "
+        "100 TB pipeline runs before committing a batch): null counts, "
+        "value ranges, domain cardinalities, constraint violations — one "
+        "scan, one row out, all in the same aggregate.",
+    tags=("quality", "agg"),
+)
+def q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    c = F.count(F.lit(1))
+    return li.agg(
+        c.alias("n_rows"),
+        (c - F.count("l_orderkey")).alias("null_orderkeys"),
+        (c - F.count("l_shipdate")).alias("null_shipdates"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+              .otherwise(0)).alias("bad_discounts"),
+    )

@@ -260,3 +260,32 @@ def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
     combined.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     staged.write.mode("overwrite").partitionBy(*part_cols).parquet(table_path)
+
+
+def compact_partitions(spark: SparkSession, table_path: str,
+                       partitions_predicate=None,
+                       target_files_per_partition: int = 1) -> None:
+    """Small-file compaction for the clean layer (the 100 TB housekeeping
+    the reference never needed at 14 locations): monthly upserts leave each
+    rewritten partition with as many files as write tasks; read-heavy
+    tables want few large files per partition.
+
+    Rewrites (optionally predicate-selected) partitions with
+    `coalesce(target)` per partition via dynamic partition overwrite —
+    untouched partitions stay byte-identical, same guarantee as
+    `upsert_clean`. At production scale this runs per-partition-group on a
+    schedule, not table-wide.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.read.parquet(table_path)
+    if partitions_predicate is not None:
+        df = df.filter(partitions_predicate)
+    part_cols = [c for c in PARTITION_COLS if c in df.columns]
+    staged_path = f"{table_path}__compact_staging"
+    (df.repartition(target_files_per_partition, *part_cols)
+       .write.mode("overwrite").parquet(staged_path))
+    staged = spark.read.parquet(staged_path)
+    (staged.write.mode("overwrite").partitionBy(*part_cols)
+           .parquet(table_path))

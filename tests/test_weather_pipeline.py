@@ -194,3 +194,21 @@ def test_upsert_idempotent(spark, tmp_path):
     W.upsert_clean(spark, out, batch, staging_path=str(tmp_path / "s2"))
     snap2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert snap1 == snap2  # running the same 31-day batch twice is a no-op
+
+
+def test_compact_partitions(spark, raw_dir, tmp_path):
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/2*.json")
+    vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
+    out = str(tmp_path / "clean")
+    # fragment the table: many write tasks → many small files per partition
+    W.write_clean(W.build_clean(om, vc).repartition(8), out)
+    part = f"{out}/island=Tenerife/location_name=Vilaflor/year=2024/month=1"
+    n_before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_before > 1
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    W.compact_partitions(spark, out)
+    n_after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_after == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert before == after  # compaction is content-invisible
