@@ -247,3 +247,53 @@ def q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
               .otherwise(0)).alias("bad_discounts"),
     )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot: events long->wide, one count column per event_type with an "
+        "explicit value list (open-ended pivot needs a distinct pass — "
+        "never at 100 TB). Oracle is the CASE-aggregation rewrite Catalyst "
+        "itself performs.",
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        # pivot leaves null where a (user, type) pair never occurred
+        .select("user_id",
+                *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+                  for t in types])
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle=None,  # RNG is engine-specific; proportions asserted in pytest
+    doc="Stratified sampling (sampleBy on documents.source) — the "
+        "data-mixing primitive for LLM corpus curation: per-stratum "
+        "fractions, seeded/deterministic, no shuffle (per-row Bernoulli "
+        "against the stratum's threshold).",
+    tags=("llm", "sampling", "approx"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1,
+                 "src4": 0.0}
+    present = [r["source"] for r in d.select("source").distinct().collect()]
+    fr = {s: fractions.get(s, 0.5) for s in present}
+    return d.sampleBy("source", fr, seed=42).select("doc_id", "source")

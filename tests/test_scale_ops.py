@@ -85,3 +85,23 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         a50, a90 = approx[status]
         assert abs(a50 - p50) / p50 < 0.02
         assert abs(a90 - p90) / p90 < 0.02
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    from canary_weather_etl_spark.plans import REGISTRY
+    from canary_weather_etl_spark.plans.registry import load as _load
+    out = REGISTRY["q_stratified_sample"].fn(spark, sf_dir)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              _load(spark, sf_dir, "documents").groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got.get("src4", 0) == 0          # zero-fraction stratum excluded
+    assert got["src0"] == totals["src0"]    # full stratum kept verbatim
+    # Bernoulli sampling: observed fraction within generous bounds
+    frac1 = got["src1"] / totals["src1"]
+    assert 0.3 < frac1 < 0.7
+    # determinism: same seed → same sample
+    again = REGISTRY["q_stratified_sample"].fn(spark, sf_dir)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
