@@ -458,3 +458,98 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@register(
+    "q_text_chunking",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 30 AS INT) AS chunk_idx,
+           array_to_string(t[s:s+39], ' ') AS chunk,
+           CAST(len(t[s:s+39]) AS INT) AS chunk_tokens
+    FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(len(t) - 10, 1), 30)) AS s
+          FROM toks)
+    """,
+    doc="Document chunking for LLM training: 40-token windows with "
+        "10-token overlap (stride 30) — tokens → start sequence → slice → "
+        "explode. Pure array ops, no shuffle; the chunk explode multiplies "
+        "rows exactly like the production pre-tokenize step.",
+    tags=("llm", "text", "chunking"),
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), T.TOKEN_SPLIT_RE)
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.size(toks) - 10, F.lit(1)), F.lit(30))
+    return (
+        d.select("doc_id", toks.alias("t"),
+                 F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 30).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("t", F.col("s"), 40)).alias("chunk"),
+            F.least(F.size("t") - F.col("s") + 1, F.lit(40)).cast("int")
+             .alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "q_text_clean_redact",
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               'Contact  user' || doc_id || '@mail.example.com  or call ' ||
+               '+1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               '  re: ' || text AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9-]{7,}', '<PHONE>', 'g'),
+               '\s+', ' ', 'g') AS cleaned,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+?[0-9][0-9-]{7,}')) AS BIGINT)
+               AS n_phones
+    FROM dirty
+    """,
+    doc="Cleaning + PII redaction: email/phone masking and whitespace "
+        "normalization — the standard pre-training scrub. PII is injected "
+        "deterministically (same expression both engines) since the "
+        "fixture corpus is synthetic word soup, so the redaction regexes "
+        "are exercised against real matches.",
+    tags=("llm", "text", "cleaning"),
+)
+def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Contact  user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com  or call +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("  re: "), F.col("text"))
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9-]{7,}"
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"),
+            phone_re, "<PHONE>"),
+        r"\s+", " ")
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.size(F.regexp_extract_all(raw, F.lit(email_re), 0)).cast("bigint")
+         .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone_re), 0)).cast("bigint")
+         .alias("n_phones"),
+    )
