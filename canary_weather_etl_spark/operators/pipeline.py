@@ -1,0 +1,82 @@
+"""End-to-end corpus curation: the operators of this package composed into
+the canonical LLM training-data pipeline —
+
+    quality gate → language filter → exact dedup → near-dup removal
+    (MinHash/LSH) → chunking → stratified source mixing
+
+One declarative plan per stage; every stage is the scale-shape variant
+(hash-key dedup, candidate-only verification, per-row chunking). Stage
+row-counts are collected once at the end from a tiny side aggregate, not by
+counting each intermediate (which would re-execute the whole lineage per
+stage at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import lsh_candidate_pairs, minhash_signatures_from_sets, shingle_sets, verify_pairs_jaccard
+from .text import lang_id, quality_ok
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] = ("en", "und"),
+    min_tokens: int = 20,
+    near_dup_threshold: float = 0.5,
+    chunk_tokens: int = 40,
+    chunk_overlap: int = 10,
+    mix_fractions: dict[str, float] | None = None,
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Returns the curated chunk table:
+    (doc_id, source, chunk_idx, chunk, chunk_tokens).
+
+    Near-dup policy: within each verified near-dup pair, the higher id is
+    dropped (keep-first). Exact dups collapse on the 64-bit content hash.
+    """
+    # 1. quality + language gate — narrow filters, pushed onto the scan
+    gated = (
+        docs.filter(quality_ok(text_col, min_tokens=min_tokens))
+        .filter(lang_id(text_col).isin(*keep_langs))
+    )
+
+    # 2. exact dedup on the content hash (8-byte shuffle key)
+    exact = gated.withColumn("__h", F.xxhash64(text_col)) \
+                 .dropDuplicates(["__h"]).drop("__h")
+
+    # 3. near-dup removal: LSH candidates → verified pairs → drop b-side
+    sets = shingle_sets(exact, id_col, text_col, n=2).cache()
+    sigs = minhash_signatures_from_sets(sets, num_hashes=32)
+    cands = lsh_candidate_pairs(sigs, bands=8)
+    dup_pairs = verify_pairs_jaccard(sets, cands,
+                                     threshold=near_dup_threshold)
+    drop_ids = dup_pairs.select(F.col("b").alias(id_col)).distinct()
+    survivors = exact.join(drop_ids, on=id_col, how="left_anti")
+
+    # 4. stratified source mixing (data-mix weights)
+    if mix_fractions:
+        survivors = survivors.sampleBy(source_col, mix_fractions, seed=seed)
+
+    # 5. chunking: stride = chunk_tokens - chunk_overlap
+    stride = chunk_tokens - chunk_overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.size(toks) - chunk_overlap, F.lit(1)),
+                        F.lit(stride))
+    return (
+        survivors.select(id_col, source_col, toks.alias("__t"),
+                         F.explode(starts).alias("__s"))
+        .select(
+            id_col, source_col,
+            ((F.col("__s") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("__t", F.col("__s"), chunk_tokens))
+             .alias("chunk"),
+            F.least(F.size("__t") - F.col("__s") + 1, F.lit(chunk_tokens))
+             .cast("int").alias("chunk_tokens"),
+        )
+    )

@@ -553,3 +553,19 @@ def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(raw, F.lit(phone_re), 0)).cast("bigint")
          .alias("n_phones"),
     )
+
+
+@register(
+    "q_corpus_curation",
+    oracle=None,  # composes hash-specific near-dup removal + seeded sampling
+    doc="The full curation pipeline composed end-to-end "
+        "(operators/pipeline.curate_corpus): quality gate -> language "
+        "filter -> exact hash dedup -> MinHash/LSH near-dup removal -> "
+        "chunking. Invariants (monotone row bookkeeping, no near-dup "
+        "survivors, chunk arithmetic) asserted in tests/test_llm_operators.",
+    tags=("llm", "pipeline"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import curate_corpus
+    d = load_par(spark, sf_dir, "documents")
+    return curate_corpus(d)

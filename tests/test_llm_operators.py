@@ -132,3 +132,34 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     mean_recall = sum(recalls) / len(recalls)
     # probing half the lists on an unclustered corpus should recover ~half+
     assert mean_recall >= 0.4, f"IVF recall collapsed: {recalls}"
+
+
+def test_corpus_curation_invariants(spark, docs):
+    from canary_weather_etl_spark.operators import text as T
+    from canary_weather_etl_spark.operators.pipeline import curate_corpus
+
+    chunks = curate_corpus(docs).cache()
+    n_docs_in = docs.count()
+    surviving_docs = chunks.select("doc_id").distinct()
+    n_out = surviving_docs.count()
+    assert 0 < n_out <= n_docs_in
+
+    # no surviving near-dup pair at the pipeline's threshold
+    sh = D.shingle_table(docs.join(surviving_docs, "doc_id"),
+                         "doc_id", "text", n=2)
+    leftover = D.exact_jaccard(sh, threshold=0.5).collect()
+    assert leftover == [], f"near-dups survived curation: {leftover[:5]}"
+
+    # every survivor passed the gates
+    gates = (docs.join(surviving_docs, "doc_id")
+             .select(T.quality_ok("text").alias("q"),
+                     T.lang_id("text").alias("l")).collect())
+    assert all(r["q"] for r in gates)
+    assert all(r["l"] in ("en", "und") for r in gates)
+
+    # chunk arithmetic: contiguous idx, sizes == 40 except the tail
+    sample = chunks.filter(F.col("doc_id") == surviving_docs.first()["doc_id"]) \
+                   .orderBy("chunk_idx").collect()
+    assert [c["chunk_idx"] for c in sample] == list(range(len(sample)))
+    assert all(c["chunk_tokens"] == 40 for c in sample[:-1])
+    assert all(len(c["chunk"].split()) == c["chunk_tokens"] for c in sample)
