@@ -45,6 +45,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pin the session tz: timestamp_micros builds a TIMESTAMP_LTZ, and
+        # both window bucketing and collected wall-clock values follow the
+        # session timezone — must equal DuckDB's naive (UTC-as-stored) view
+        # even if the driver's session runs in a non-UTC zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer `div`, not `/`: float division loses precision on

@@ -1,0 +1,83 @@
+"""Schema-drift defenses (reference B6, README.md:1248-1282, 1453-1476):
+the reference reads back the clean table's schema, detects duplicate column
+names, renames collisions, and bootstraps a minimal empty table when the
+clean layer doesn't exist yet. Same guarantees here, DataFrame-native:
+
+- duplicate-name detection is case-insensitive (Spark's resolver default)
+- collision repair renames right-side duplicates with a suffix instead of
+  the reference's positional `_1/_2` scheme (README.md:1462-1476), which
+  depends on column order — exactly the fragility its own repair code
+  fights
+- batch-vs-table compatibility check runs BEFORE a write, so a drifted
+  upstream fails loudly instead of appending mixed-schema files
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def duplicate_columns(df: DataFrame) -> list[str]:
+    """Case-insensitive duplicate column names (README.md:1259-1262)."""
+    counts = Counter(c.lower() for c in df.columns)
+    return sorted({c for c in df.columns if counts[c.lower()] > 1})
+
+
+def repair_duplicate_columns(df: DataFrame, suffix: str = "_dup") -> DataFrame:
+    """Deterministically rename later occurrences of duplicated names
+    (README.md:1440, 1453-1476 — but keyed on name occurrence order, not
+    fragile positional `_1/_2` suffixing of every column)."""
+    seen: Counter = Counter()
+    new_names = []
+    for c in df.columns:
+        key = c.lower()
+        seen[key] += 1
+        new_names.append(c if seen[key] == 1 else f"{c}{suffix}{seen[key] - 1}")
+    return df.toDF(*new_names)
+
+
+def check_batch_compatible(batch: DataFrame, table_schema: StructType,
+                           allow_new_columns: bool = False) -> None:
+    """Pre-write drift gate: every table column must exist in the batch
+    with a compatible type; unexpected batch columns fail unless
+    explicitly allowed (they'd silently widen the table on append)."""
+    batch_fields = {f.name.lower(): f for f in batch.schema.fields}
+    problems = []
+    for f in table_schema.fields:
+        bf = batch_fields.get(f.name.lower())
+        if bf is None:
+            problems.append(f"missing column: {f.name}")
+        elif bf.dataType.simpleString() != f.dataType.simpleString():
+            problems.append(
+                f"type drift on {f.name}: table={f.dataType.simpleString()} "
+                f"batch={bf.dataType.simpleString()}")
+    if not allow_new_columns:
+        table_names = {f.name.lower() for f in table_schema.fields}
+        extra = [f.name for f in batch.schema.fields
+                 if f.name.lower() not in table_names]
+        if extra:
+            problems.append(f"unexpected new columns: {extra}")
+    if problems:
+        raise ValueError("batch incompatible with table schema: "
+                         + "; ".join(problems))
+
+
+def ensure_table_exists(spark: SparkSession, path: str,
+                        schema: StructType,
+                        partition_cols: tuple[str, ...] = ()) -> bool:
+    """Bootstrap: if no parquet table exists at `path`, write an empty one
+    with the given schema (README.md:1270-1282's minimal-schema create).
+    Returns True if the table already existed."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        empty = spark.createDataFrame([], schema)
+        writer = empty.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return False

@@ -223,7 +223,8 @@ def write_clean(df: DataFrame, out: str, mode: str = "append") -> None:
 
 def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
                  keys: tuple[str, ...] = ("location", "date"),
-                 staging_path: str | None = None) -> None:
+                 staging_path: str | None = None,
+                 validate_schema: bool = True) -> None:
     """Partition-level upsert: new batch wins on ``keys``; only partitions
     present in the batch are rewritten, all others stay byte-identical.
 
@@ -243,6 +244,11 @@ def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     existing = spark.read.parquet(table_path)
+    if validate_schema:
+        # drift gate (B6's schema introspection, README.md:1248-1262): fail
+        # loudly before writing rather than appending mixed-schema files
+        from .schema_guard import check_batch_compatible
+        check_batch_compatible(new_batch, existing.schema)
     cols = existing.columns
     part_cols = [c for c in PARTITION_COLS if c in cols]
 

@@ -1,0 +1,75 @@
+"""Schema-drift defense tests (reference B6 behaviors, README.md:1248-1282,
+1453-1476)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from canary_weather_etl_spark.sources import schema_guard as G
+
+
+def test_duplicate_detection_and_repair(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("x"),
+        F.lit(1).alias("Temp"),
+        F.lit(2).alias("temp"),   # case-insensitive collision
+        F.lit(3).alias("y"),
+        F.lit(4).alias("y"),      # exact collision
+    )
+    assert G.duplicate_columns(df) == ["Temp", "temp", "y"]
+    fixed = G.repair_duplicate_columns(df)
+    assert fixed.columns == ["x", "Temp", "temp_dup1", "y", "y_dup1"]
+    assert G.duplicate_columns(fixed) == []
+    row = fixed.collect()[0]
+    assert (row["Temp"], row["temp_dup1"], row["y"], row["y_dup1"]) == (1, 2, 3, 4)
+
+
+def test_batch_compatibility_gate(spark):
+    table_schema = StructType([
+        StructField("location", StringType()),
+        StructField("date", DateType()),
+        StructField("uv", DoubleType()),
+    ])
+    good = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0)], ["location", "date", "uv"]
+    ).withColumn("date", F.to_date("date"))
+    G.check_batch_compatible(good, table_schema)  # no raise
+
+    missing = good.drop("uv")
+    with pytest.raises(ValueError, match="missing column: uv"):
+        G.check_batch_compatible(missing, table_schema)
+
+    drifted = good.withColumn("uv", F.col("uv").cast("string"))
+    with pytest.raises(ValueError, match="type drift on uv"):
+        G.check_batch_compatible(drifted, table_schema)
+
+    widened = good.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="unexpected new columns"):
+        G.check_batch_compatible(widened, table_schema)
+    G.check_batch_compatible(widened, table_schema, allow_new_columns=True)
+
+
+def test_ensure_table_exists_bootstrap(spark, tmp_path):
+    schema = StructType([
+        StructField("location", StringType(), False),
+        StructField("date", DateType(), False),
+        StructField("year", IntegerType(), False),
+        StructField("month", IntegerType(), False),
+        StructField("island", StringType(), False),
+        StructField("location_name", StringType(), False),
+    ])  # the reference's minimal bootstrap schema (README.md:1270-1277)
+    path = str(tmp_path / "clean")
+    assert G.ensure_table_exists(spark, path, schema) is False  # created
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert {f.name for f in back.schema.fields} == {f.name for f in schema.fields}
+    assert G.ensure_table_exists(spark, path, schema) is True  # already there
