@@ -22,21 +22,32 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def exact_sum(col: Column | str, scale: int = 2, precision: int = 28) -> Column:
-    """Order-independent SUM of a fixed-point-valued double column.
+def exact_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM of a fixed-point-valued double column, via
+    integer arithmetic: scale to units (cents for scale=2), sum as BIGINT
+    (exact, order-free), divide back in double.
 
-    Returns DOUBLE (bitwise-deterministic). Oracle twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+    ~2x faster than the equivalent DECIMAL aggregation (long sums stay in
+    whole-stage codegen registers) with the same bitwise determinism: the
+    integer sum is identical in both engines and the final division is one
+    IEEE op on identical inputs. ROUND before the cast kills the ~1e-9
+    float error of `2-decimal-value * 100`; values never sit near .5 after
+    scaling, so the rounding rule is irrelevant.
+
+    Oracle twin: ``CAST(SUM(CAST(ROUND(x * 1eS) AS BIGINT)) AS DOUBLE) / 1eS``.
+    Range: |Σ x·10^s| must fit in int64 — fine up to ~9e16 units.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+    factor = 10 ** scale
+    cents = F.round(c * factor).cast("long")
+    return F.sum(cents).cast("double") / float(factor)
 
 
-def exact_avg(col: Column | str, scale: int = 2, precision: int = 28) -> Column:
-    """Order-independent AVG: exact decimal sum → double ÷ count.
+def exact_avg(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent AVG: exact integer sum → double ÷ factor ÷ count.
 
-    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / COUNT(x)``.
-    (Both engines perform the identical IEEE division on identical inputs.)
+    Oracle twin:
+    ``CAST(SUM(CAST(ROUND(x * 1eS) AS BIGINT)) AS DOUBLE) / 1eS / COUNT(x)``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return exact_sum(c, scale, precision) / F.count(c)
+    return exact_sum(c, scale) / F.count(c)

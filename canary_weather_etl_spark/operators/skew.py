@@ -48,15 +48,16 @@ def two_phase_agg(df: DataFrame, key: str, agg_col: str,
     (key, salt) — spreading one hot key over salt_factor reducers — phase 2
     merges the partials. Output: (key, sum_val: double, n).
 
-    Sums in DECIMAL so the two-phase reduction is exactly equal to a
-    single-phase sum regardless of salt assignment (double sums would drift
-    in the last bits with the grouping)."""
+    Sums in exact integer units (10^scale) so the two-phase reduction is
+    exactly equal to a single-phase sum regardless of salt assignment
+    (double sums would drift in the last bits with the grouping)."""
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
                          F.lit(salt_factor)).cast("int"))
-    dec = F.col(agg_col).cast(f"decimal(28,{scale})")
+    factor = 10 ** scale
+    units = F.round(F.col(agg_col) * factor).cast("long")
     partial = (salted.groupBy(key, "__salt")
-               .agg(F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("__n")))
+               .agg(F.sum(units).alias("__s"), F.count(F.lit(1)).alias("__n")))
     return (partial.groupBy(key)
-            .agg(F.sum("__s").cast("double").alias("sum_val"),
+            .agg((F.sum("__s").cast("double") / float(factor)).alias("sum_val"),
                  F.sum("__n").alias("n")))

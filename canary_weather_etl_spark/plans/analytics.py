@@ -101,24 +101,24 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast("decimal(28,2)")).alias("_sum_dec"))
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sum_cents"))
         .select(F.col("w.start").alias("bucket_start"), "event_type",
-                "n", "_sum_dec")
+                "n", "_sum_cents")
     )
     # daily tier: merge the hourly partials (no second scan of events)
     daily = (
         hourly.groupBy(F.window("bucket_start", "1 day").alias("w"),
                        "event_type")
-        .agg(F.sum("n").alias("n"), F.sum("_sum_dec").alias("_sum_dec"))
+        .agg(F.sum("n").alias("n"), F.sum("_sum_cents").alias("_sum_cents"))
         .select(F.col("w.start").alias("bucket_start"), "event_type",
-                "n", "_sum_dec")
+                "n", "_sum_cents")
     )
     out_h = hourly.select("bucket_start", F.lit("hour").alias("granularity"),
                           "event_type", "n",
-                          F.col("_sum_dec").cast("double").alias("sum_value"))
+                          (F.col("_sum_cents").cast("double") / 100.0).alias("sum_value"))
     out_d = daily.select("bucket_start", F.lit("day").alias("granularity"),
                          "event_type", "n",
-                         F.col("_sum_dec").cast("double").alias("sum_value"))
+                         (F.col("_sum_cents").cast("double") / 100.0).alias("sum_value"))
     return out_h.unionByName(out_d)
 
 

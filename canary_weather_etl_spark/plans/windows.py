@@ -72,7 +72,8 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .select(
             "event_id", "user_id",
-            (F.sum(F.col("value").cast("decimal(28,2)")).over(w).cast("double")
+            (F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+             .cast("double") / 100.0
              / F.count(F.lit(1)).over(w)).alias("roll_avg7"),
             F.count(F.lit(1)).over(w).alias("roll_n"),
         )
