@@ -569,3 +569,35 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import curate_corpus
     d = load_par(spark, sf_dir, "documents")
     return curate_corpus(d)
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=r"""
+    SELECT term, n, CAST(rank AS INT) AS rank FROM (
+        SELECT term, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY term
+    ) WHERE rank <= 20
+    """,
+    doc="Corpus heavy hitters: top-20 terms by frequency — explode + "
+        "count + TakeOrderedAndProject (partial counts combine map-side, "
+        "so the shuffle moves one row per distinct term, not per token). "
+        "Ties break alphabetically for a deterministic cut.",
+    tags=("llm", "text", "topk"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_par(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                   T.TOKEN_SPLIT_RE)).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("term", "n", "rank"))

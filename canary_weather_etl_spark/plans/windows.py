@@ -244,3 +244,33 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
              exact_sum("value").alias("sum_value"))
         .select("user_id", F.col("w.start").alias("session_start"), "n", "sum_value")
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form of cube/rollup, "
+        "SURVEY.md §2.4): chosen subtotal combinations in one pass via "
+        "Catalyst's Expand. Spark side runs the same SQL text through the "
+        "SQL facade.",
+    tags=("agg", "groupingsets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
