@@ -196,7 +196,7 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     on list id.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     spark = embeddings.sparkSession
     base = embeddings.select(F.col(id_col).alias("vec_id"),

@@ -22,7 +22,7 @@ from .registry import load, load_par, register
 # ---- generated SQL fragments (single source of truth with operators.text) -
 
 _SQL_TOKENS = r"string_split_regex(trim({c}), '\s+')"
-_SQL_STOPPAT = r"\b(" + "|".join(T.STOPWORDS) + r")\b"
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 _SQL_BPE_PAT = r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"
 
 
@@ -45,7 +45,8 @@ def _sql_lang_id(col: str = "text") -> str:
            CAST(len(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
                / len({_SQL_TOKENS.format(c='text')}) AS avg_word_len,
-           CAST(len(regexp_extract_all(lower(text), '{_SQL_STOPPAT}')) AS DOUBLE)
+           CAST(len(list_filter({_SQL_TOKENS.format(c='lower(text)')},
+                                x -> x IN ({_SQL_STOPLIST}))) AS DOUBLE)
                / len({_SQL_TOKENS.format(c='text')}) AS stop_ratio,
            (len({_SQL_TOKENS.format(c='text')}) >= 20
             AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
