@@ -111,32 +111,29 @@ def minhash_signatures_from_sets(sets: DataFrame,
     return sets.select("doc", sig.alias("signature"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
+                        num_hashes: int = 32) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
     on any full band become a candidate pair. Output (a, b) with a < b.
 
     The banding join is the scale move: instead of n² comparisons, only
     docs that collide in a bucket meet. Skewed buckets (boilerplate docs)
     are handled by AQE skew-join splitting.
+
+    Band hashes are flat xxhash64 calls over statically-indexed signature
+    elements (rows-per-band resolved at plan-build time) — one codegen'd
+    hash per band, no slice/cast/concat chain.
     """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
     banded = sigs.select(
         "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(
-                            F.col("signature"),
-                            b * (F.size(F.col("signature")) / bands).cast("int") + 1,
-                            (F.size(F.col("signature")) / bands).cast("int"),
-                        ),
-                        lambda v: v.cast("string"),
-                    )),
-                    b,
-                ),
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("signature")[b * rows + j] for j in range(rows)],
+                       F.lit(b))
+            for b in range(bands)
+        ])).alias("band", "band_hash"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -213,7 +210,7 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
     # one materialization.
     sets = shingle_sets(df, id_col, text_col, n).cache()
     sigs = minhash_signatures_from_sets(sets, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
     return verify_pairs_jaccard(sets, cands, threshold=threshold)
 
 

@@ -52,7 +52,7 @@ def curate_corpus(
     # 3. near-dup removal: LSH candidates → verified pairs → drop b-side
     sets = shingle_sets(exact, id_col, text_col, n=2).cache()
     sigs = minhash_signatures_from_sets(sets, num_hashes=32)
-    cands = lsh_candidate_pairs(sigs, bands=8)
+    cands = lsh_candidate_pairs(sigs, bands=8, num_hashes=32)
     dup_pairs = verify_pairs_jaccard(sets, cands,
                                      threshold=near_dup_threshold)
     drop_ids = dup_pairs.select(F.col("b").alias(id_col)).distinct()

@@ -52,13 +52,20 @@ def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     otherwise make rank order engine-dependent).
     Output: (query_id, rank, vec_id, cos_sim).
     """
+    # precompute each side's norm ONCE (n + q folds) instead of inside
+    # cosine per pair (3·n·q folds) — at a billion candidates this is the
+    # difference between one scan's work and three
     cand = embeddings.select(F.col(id_col).alias("vec_id"),
-                             as_double(vec_col).alias("v"))
+                             as_double(vec_col).alias("v")) \
+                     .withColumn("v_norm", l2_norm(F.col("v")))
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       as_double(vec_col).alias("qv"))
+                       as_double(vec_col).alias("qv")) \
+               .withColumn("q_norm", l2_norm(F.col("qv")))
     scored = (
         cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .select("query_id", "vec_id",
+                (dot(F.col("qv"), F.col("v"))
+                 / (F.col("q_norm") * F.col("v_norm"))).alias("cos"))
     )
     if round_to is not None:
         scored = scored.withColumn("cos", F.round("cos", round_to))
