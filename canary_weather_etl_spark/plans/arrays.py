@@ -166,3 +166,81 @@ def q_sql_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         ORDER BY avg_sunshine_hours DESC
     """)
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem
+    )
+    SELECT metric,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS DOUBLE) / 100
+               / COUNT(val) AS avg_val,
+           MIN(val) AS mn,
+           MAX(val) AS mx
+    FROM m GROUP BY metric
+    """,
+    doc="Unpivot/melt (wide→long): the climatology shape — N metric "
+        "columns stacked into (metric, value) rows, then profiled per "
+        "metric in one aggregate. Spark `unpivot` (a.k.a. melt); oracle is "
+        "the UNION ALL rewrite.",
+    tags=("reshape", "agg"),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("metric",
+                 F.regexp_replace("metric", "^l_", ""))
+    return (
+        long.groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("val") * 100).cast("long")).cast("double")
+              / 100 / F.count("val")).alias("avg_val"),
+             F.min("val").alias("mn"),
+             F.max("val").alias("mx"))
+    )
+
+
+@register(
+    "q_na_handling",
+    oracle="""
+    WITH holes AS (
+        SELECT event_id,
+               NULLIF(event_type, 'error') AS et,
+               CASE WHEN value < 20 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id,
+           COALESCE(et, 'redacted') AS et_filled,
+           COALESCE(v, -1.0) AS v_filled
+    FROM holes
+    WHERE NOT (et IS NULL AND v IS NULL)
+    """,
+    doc="Null-handling family: nulls injected (nullif / conditional), then "
+        "na.fill per-column defaults and na.drop(how='all' over the "
+        "nullable cols) — the standard raw-feed repair step. Oracle is the "
+        "COALESCE/WHERE rewrite.",
+    tags=("scalar", "nulls"),
+)
+def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    holes = ev.select(
+        "event_id",
+        F.nullif("event_type", F.lit("error")).alias("et"),
+        F.when(F.col("value") < 20, None).otherwise(F.col("value")).alias("v"),
+    )
+    return (
+        holes.na.drop(how="all", subset=["et", "v"])
+        .na.fill({"et": "redacted", "v": -1.0})
+        .withColumnsRenamed({"et": "et_filled", "v": "v_filled"})
+    )
