@@ -296,3 +296,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     present = [r["source"] for r in d.select("source").distinct().collect()]
     fr = {s: fractions.get(s, 0.5) for s in present}
     return d.sampleBy("source", fr, seed=42).select("doc_id", "source")
+
+
+@register(
+    "q_gap_fill_calendar",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS sum_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), scaffold AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day
+        FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n, 0) AS n,
+           COALESCE(d.sum_value, 0.0) AS sum_value,
+           (d.n IS NULL) AS gap
+    FROM scaffold s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    doc="Calendar gap-filling: per-key daily scaffold (sequence of dates "
+        "between each user's min and max activity) left-joined to the "
+        "observed daily aggregate, absent days zero-filled and flagged — "
+        "the missing-day repair every daily-weather series needs "
+        "(the reference's data has no such repair; Athena users see holes).",
+    tags=("temporal", "reshape"),
+)
+def q_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100).alias("sum_value"))
+    )
+    scaffold = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id",
+                F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        scaffold.join(daily, on=["user_id", "day"], how="left")
+        .select("user_id", "day",
+                F.coalesce("n", F.lit(0)).alias("n"),
+                F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+                F.col("n").isNull().alias("gap"))
+    )
