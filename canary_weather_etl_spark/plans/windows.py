@@ -274,3 +274,70 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
     """)
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window family: ntile quartiles, percent_rank, "
+        "cume_dist, first/last value per status ordered by price. "
+        "percent_rank/cume_dist are exact rationals of row counts — "
+        "rounded only to normalize the k/(n-1) division's last bit.",
+    tags=("window",),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).alias("cheapest_key"),
+            F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        )
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+        SELECT AVG(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="Correlated scalar subquery ('orders at >2x their customer's "
+        "average') — Catalyst's RewriteCorrelatedScalarSubquery turns the "
+        "per-row subquery into one aggregate + join; run through the SQL "
+        "facade to exercise that rewrite. AVG comparisons only (no output "
+        "floats), so engine-specific AVG noise can't flip the predicate "
+        "except at exact 2x boundaries, which the fixture doesn't contain.",
+    tags=("sql", "join"),
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_cs o
+        WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders_cs o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+    """)
