@@ -152,3 +152,41 @@ def frame_sample_stub(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("asset_id", "frame_idx",
                 (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))
     )
+
+
+def zscore_per_group(df: DataFrame, group_col: str, value_col: str,
+                     id_col: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score standardization — the
+    plain (stateless) grouped-pandas surface, complementing mapInPandas
+    (extract_metadata) and applyInPandasWithState (streaming/stateful).
+
+    Chosen because per-group normalization is the canonical 'needs the
+    whole group as one pandas frame' operation (feature scaling before
+    embedding training). Self-contained UDF, same worker-PYTHONPATH
+    rationale as extract_metadata.
+    """
+    from pyspark.sql.types import (
+        DoubleType as _D,
+    )
+    from pyspark.sql.types import (
+        StructField as _SF,
+    )
+    from pyspark.sql.types import (
+        StructType as _ST,
+    )
+
+    out_schema = _ST([
+        df.schema[id_col],
+        df.schema[group_col],
+        _SF("zscore", _D()),
+    ])
+    idc, grpc, valc = id_col, group_col, value_col
+
+    def standardize(pdf):
+        import pandas as _pd
+        m = pdf[valc].mean()
+        s = pdf[valc].std(ddof=1)
+        z = (pdf[valc] - m) / s if s and s > 0 else pdf[valc] * 0.0
+        return _pd.DataFrame({idc: pdf[idc], grpc: pdf[grpc], "zscore": z})
+
+    return df.groupBy(group_col).applyInPandas(standardize, schema=out_schema)

@@ -602,3 +602,26 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 20)
             .select("term", "n", "rank"))
+
+
+@register(
+    "q_zscore_grouped_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6)
+               AS zscore
+    FROM events
+    """,
+    doc="Grouped-map applyInPandas (operators/multimodal.zscore_per_group): "
+        "per-event_type z-score computed group-at-a-time in pandas; oracle "
+        "is the window-function rewrite. Rounded at 6: pandas/numpy and "
+        "DuckDB accumulate mean/std in different orders.",
+    tags=("llm", "pandas", "window"),
+)
+def q_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import zscore_per_group
+    ev = load(spark, sf_dir, "events")
+    out = zscore_per_group(ev, "event_type", "value", "event_id")
+    return out.select("event_id", "event_type",
+                      F.round("zscore", 6).alias("zscore"))
