@@ -252,14 +252,15 @@ def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
     cols = existing.columns
     part_cols = [c for c in PARTITION_COLS if c in cols]
 
-    affected = new_batch.select(*part_cols).distinct()
-    survivors = (
-        existing
+    if part_cols:
+        affected = new_batch.select(*part_cols).distinct()
         # restrict to affected partitions (broadcast semi join → the scan
         # prunes everything else; untouched partitions are never read)
-        .join(F.broadcast(affected), on=part_cols, how="left_semi")
-        .join(new_batch.select(*keys), on=list(keys), how="left_anti")
-    )
+        existing = existing.join(F.broadcast(affected), on=part_cols,
+                                 how="left_semi")
+    # else: unpartitioned table — whole-table rewrite is the only option
+    survivors = existing.join(new_batch.select(*keys), on=list(keys),
+                              how="left_anti")
     combined = survivors.select(*cols).unionByName(new_batch.select(*cols))
 
     staging = staging_path or f"{table_path}__staging"
