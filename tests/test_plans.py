@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the plan shapes PLANS.md documents,
+asserted so a refactor can't silently regress them (SURVEY.md §4.3 —
+the plan IS the product at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+
+from canary_weather_etl_spark.plans import REGISTRY
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "q1_groupby_avg", sf_dir)
+    assert "ReadSchema: struct<l_extendedprice:double,l_returnflag:string>" in plan, \
+        "scan must read exactly the two needed columns"
+
+
+def test_q2_uses_distributed_topk(spark, sf_dir):
+    plan = _plan(spark, "q2_groupby2_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, \
+        "ORDER BY + LIMIT must plan as distributed top-k, not a global sort"
+
+
+def test_q3_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q3_filtered_groupby_avg", sf_dir)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q_join_broadcast_dims", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_join_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, "q_join_inner_fact", sf_dir)
+    # partial+final hash aggregation: map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    anti = _plan(spark, "q_join_left_anti", sf_dir)
+    assert "LeftAnti" in anti
+    semi = _plan(spark, "q_join_left_semi", sf_dir)
+    assert "LeftSemi" in semi
+
+
+def test_minhash_pipeline_no_fullwidth_shingle_join(spark, sf_dir):
+    """The scale guarantee of the LSH path: the only self-join is on
+    (band, band_hash) — no join keyed on raw shingle strings."""
+    plan = _plan(spark, "q_dedup_minhash_lsh", sf_dir)
+    assert "band_hash" in plan
+    assert "shingle" not in plan.lower().replace("shingle_sets", ""), \
+        "verification must use array_intersect on candidates, not a shingle join"
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "q_window_rank", sf_dir)
+    # one exchange for the window partitionBy; AQE may add a read marker
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"window expected exactly one shuffle, got {n_exchange}"
