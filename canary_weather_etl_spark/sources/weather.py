@@ -214,10 +214,15 @@ def build_clean(om: DataFrame, vc: DataFrame) -> DataFrame:
 PARTITION_COLS = ("island", "location_name", "year", "month")
 
 
-def write_clean(df: DataFrame, out: str, mode: str = "append") -> None:
+def write_clean(df: DataFrame, out: str, mode: str = "append",
+                sort_col: str | None = "date") -> None:
     """Hive-partitioned parquet sink (README.md:750-752): 4-level layout so
     partition pruning replaces Athena's scan-cost cut (14x claim at
-    README.md:801)."""
+    README.md:801). Rows are sorted within partitions by ``sort_col`` so
+    parquet row-group min/max statistics prune date-range scans inside a
+    month partition too (free at write time, pays on every range query)."""
+    if sort_col and sort_col in df.columns:
+        df = df.sortWithinPartitions(sort_col)
     df.write.mode(mode).partitionBy(*PARTITION_COLS).parquet(out)
 
 

@@ -33,12 +33,16 @@ def read_events_stream(spark: SparkSession, path: str,
 
 def stream_tumbling_agg(events: DataFrame,
                         window: str = "1 hour",
-                        watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling-window aggregate per event_type — the streaming
-    twin of plans/windows.q_events_tumbling (same expressions)."""
+                        watermark: str = "2 hours",
+                        slide: str | None = None) -> DataFrame:
+    """Watermarked tumbling (or, with `slide`, sliding) window aggregate
+    per event_type — the streaming twin of q_events_tumbling/_sliding
+    (same expressions)."""
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              exact_sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "event_type",

@@ -141,3 +141,22 @@ def test_stream_weather_ingest_matches_batch(spark, tmp_path):
                    & (F.col("date") == F.lit("2024-05-03").cast("date"))).collect()[0]
     assert g["temperature_2m_max"] == 1 + 2 * 0.5
     assert g["island"] == "Tenerife" and g["month"] == 5
+
+
+def test_stream_sliding_equals_batch(spark, events_dir, sf_dir):
+    ev_batch = load(spark, sf_dir, "events")
+    schema = spark.read.parquet(events_dir).schema
+    stream = J.read_events_stream(spark, events_dir, schema)
+    _run_to_memory(J.stream_tumbling_agg(stream, slide="30 minutes"),
+                   "slide", "complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM slide").collect()}
+    exp = {tuple(r) for r in (
+        ev_batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                         "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                "sum_value")
+    ).collect()}
+    assert got == exp
