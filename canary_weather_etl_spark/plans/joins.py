@@ -244,3 +244,55 @@ def q_intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.intersect(b)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="intersectAll — multiset intersection (keeps duplicate "
+        "multiplicity), completing the set-op family alongside "
+        "union/exceptAll/intersect.",
+    tags=("setop",),
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "q_entity_blocking",
+    oracle="""
+    WITH blocked AS (
+        SELECT c_custkey, c_name, c_custkey % 64 AS blk FROM customer
+    )
+    SELECT l.c_custkey AS a, r.c_custkey AS b,
+           CAST(levenshtein(l.c_name, r.c_name) AS INT) AS dist
+    FROM blocked l JOIN blocked r
+      ON l.blk = r.blk AND l.c_custkey < r.c_custkey
+    WHERE levenshtein(l.c_name, r.c_name) <= 2
+    """,
+    doc="Entity-resolution blocking: candidate pairs restricted to a block "
+        "key (custkey % 64) before the expensive edit-distance compare — "
+        "the O(n²)→O(Σ block²) rewrite every fuzzy-match pipeline needs at "
+        "scale. Pairs within distance ≤2 (names differing in ≤2 digits).",
+    tags=("llm", "dedup", "join"),
+)
+def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name",
+                 (F.col("c_custkey") % 64).alias("blk")))
+    l, r = c.alias("l"), c.alias("r")
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk"))
+               & (F.col("l.c_custkey") < F.col("r.c_custkey")))
+        .select(F.col("l.c_custkey").alias("a"),
+                F.col("r.c_custkey").alias("b"),
+                F.levenshtein(F.col("l.c_name"), F.col("r.c_name")).alias("dist"))
+        .filter(F.col("dist") <= 2)
+    )
