@@ -272,6 +272,11 @@ def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
     combined.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     staged.write.mode("overwrite").partitionBy(*part_cols).parquet(table_path)
+    # staging cleanup — the reference leaves this to an S3 lifecycle TTL on
+    # its /updates prefix (README.md:818); local filesystems clean up inline
+    if staging.startswith("/") and "://" not in staging:
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def compact_partitions(spark: SparkSession, table_path: str,
@@ -301,3 +306,6 @@ def compact_partitions(spark: SparkSession, table_path: str,
     staged = spark.read.parquet(staged_path)
     (staged.write.mode("overwrite").partitionBy(*part_cols)
            .parquet(table_path))
+    if staged_path.startswith("/") and "://" not in staged_path:
+        import shutil
+        shutil.rmtree(staged_path, ignore_errors=True)
