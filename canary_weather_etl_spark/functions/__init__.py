@@ -51,3 +51,21 @@ def exact_avg(col: Column | str, scale: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return exact_sum(c, scale) / F.count(c)
+
+
+def round_det(col: Column | str, n: int) -> Column:
+    """Deterministic cross-engine rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Unlike ROUND — whose tie rule differs between engines (Spark HALF_UP on
+    the exact decimal expansion, DuckDB multiply+rint) — this is a fixed
+    IEEE expression: when the two engines' inputs differ by an ulp around a
+    .5 boundary the outputs can still differ (inherent), but for IDENTICAL
+    inputs the result is identical by construction, with no library
+    tie-rule in play. Use on values that carry real cross-engine noise
+    (percentile interpolation, libm logs, pandas stddev, float folds) where
+    ROUND's rule mismatch would add a second failure mode.
+    SQL twin: ``FLOOR(x * 1eN + 0.5) / 1eN``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    factor = float(10 ** n)
+    return F.floor(c * factor + 0.5) / factor

@@ -68,7 +68,8 @@ def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                  / (F.col("q_norm") * F.col("v_norm"))).alias("cos"))
     )
     if round_to is not None:
-        scored = scored.withColumn("cos", F.round("cos", round_to))
+        from ..functions import round_det
+        scored = scored.withColumn("cos", round_det("cos", round_to))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -146,7 +147,8 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 cosine(F.col("qv"), F.col("v")).alias("cos"))
     )
     if round_to is not None:
-        scored = scored.withColumn("cos", F.round("cos", round_to))
+        from ..functions import round_det
+        scored = scored.withColumn("cos", round_det("cos", round_to))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -242,7 +244,8 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         .distinct()
     )
     if round_to is not None:
-        scored = scored.withColumn("cos", F.round("cos", round_to))
+        from ..functions import round_det
+        scored = scored.withColumn("cos", round_det("cos", round_to))
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

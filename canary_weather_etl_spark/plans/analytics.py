@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import round_det
 from .registry import load, register
 
 
@@ -125,17 +126,17 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90,
            MIN(o_totalprice) AS mn,
            MAX(o_totalprice) AS mx
     FROM orders
     GROUP BY o_orderstatus
     """,
     doc="Exact interpolated percentiles (median, p90) per group — Spark "
-        "`percentile` ≡ DuckDB `quantile_cont`. Rounded at 4: the linear "
-        "interpolation a+(b−a)·frac can associate differently across "
-        "engines; min/max are exact.",
+        "`percentile` ≡ DuckDB `quantile_cont`. round_det at 4: the linear "
+        "interpolation carries real cross-engine noise, and floor-form "
+        "rounding removes the tie-rule mismatch; min/max are exact.",
     tags=("agg", "stats"),
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,8 +144,8 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            round_det(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            round_det(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
             F.min("o_totalprice").alias("mn"),
             F.max("o_totalprice").alias("mx"),
         )

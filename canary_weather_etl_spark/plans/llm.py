@@ -17,6 +17,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
+from ..functions import round_det
 from .registry import load, load_par, register
 
 # ---- generated SQL fragments (single source of truth with operators.text) -
@@ -268,10 +269,11 @@ _TOPK_SQL = """
         FROM expl GROUP BY 1, 2
     ), ranked AS (
         SELECT query_id, vec_id,
-               ROUND(dp / (SQRT(qq) * SQRT(vv)), 6) AS cos_sim,
+               FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5) / 1e6 AS cos_sim,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY query_id
-                   ORDER BY ROUND(dp / (SQRT(qq) * SQRT(vv)), 6) DESC, vec_id
+                   ORDER BY FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5) / 1e6
+                       DESC, vec_id
                ) AS INT) AS rank
         FROM dots
     )
@@ -315,7 +317,8 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_norms",
     oracle="""
     SELECT vec_id, label,
-           ROUND(SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 6) AS l2_norm
+           FLOOR(SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) * 1e6 + 0.5)
+               / 1e6 AS l2_norm
     FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
     GROUP BY vec_id, label
     """,
@@ -327,7 +330,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_par(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id", "label",
-        F.round(S.l2_norm(S.as_double("embedding")), 6).alias("l2_norm"),
+        round_det(S.l2_norm(S.as_double("embedding")), 6).alias("l2_norm"),
     )
 
 
@@ -415,7 +418,7 @@ _TFIDF_SQL = r"""
     ), n AS (SELECT COUNT(*) AS n FROM documents),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+               FLOOR(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6 AS tfidf
         FROM tf JOIN df USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tfidf, rank FROM (
@@ -451,7 +454,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df_), on="term")
         .withColumn("tfidf",
-                    F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6))
+                    round_det(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -608,9 +611,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_zscore_grouped_pandas",
     oracle="""
     SELECT event_id, event_type,
-           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6)
-               AS zscore
+           FLOOR((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type)
+                 * 1e6 + 0.5) / 1e6 AS zscore
     FROM events
     """,
     doc="Grouped-map applyInPandas (operators/multimodal.zscore_per_group): "
@@ -624,4 +627,4 @@ def q_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     out = zscore_per_group(ev, "event_type", "value", "event_id")
     return out.select("event_id", "event_type",
-                      F.round("zscore", 6).alias("zscore"))
+                      round_det("zscore", 6).alias("zscore"))
