@@ -160,3 +160,37 @@ def test_stream_sliding_equals_batch(spark, events_dir, sf_dir):
                 "sum_value")
     ).collect()}
     assert got == exp
+
+
+def test_stream_corpus_dedupe_by_fingerprint(spark, tmp_path):
+    """Streaming corpus curation: exact-dup documents arriving across
+    micro-batches are dropped on the content fingerprint within the
+    watermark horizon — stream_dedupe over a derived dedup key."""
+    from canary_weather_etl_spark.operators.text import fingerprint_hash
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    with_ts = docs.select(
+        "doc_id", "text",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("doc_id").cast("int"))).alias("ts"))
+    dups = with_ts.withColumn("doc_id", F.col("doc_id") + 10000)
+    d = str(tmp_path / "docs_stream")
+    with_ts.write.mode("overwrite").parquet(d)
+    dups.write.mode("append").parquet(d)  # same texts, new ids, resent
+
+    schema = spark.read.parquet(d).schema
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .withColumn("fp", fingerprint_hash("text")))
+    q = (stream.withWatermark("ts", "1 hour").dropDuplicates(["fp"])
+         .writeStream.format("memory").queryName("corpus_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM corpus_dedup")
+    # one survivor per distinct fingerprint — NOTE: fewer than 50, because
+    # the bag-of-words fingerprint also collapses same-words-different-order
+    # docs (that's its purpose); expected count computed batch-side
+    expected = (with_ts.withColumn("fp", fingerprint_hash("text"))
+                .select("fp").distinct().count())
+    assert expected < 50  # fixture does contain reordered-word docs
+    assert out.count() == expected
+    assert out.select("fp").distinct().count() == expected
