@@ -628,3 +628,57 @@ def q_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = zscore_per_group(ev, "event_type", "value", "event_id")
     return out.select("event_id", "event_type",
                       round_det("zscore", 6).alias("zscore"))
+
+
+@register(
+    "q_text_repetition",
+    oracle=r"""
+    WITH g AS (
+        SELECT doc_id, t,
+               len(t) - 2 AS n_tri
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents)
+    ), tri AS (
+        SELECT doc_id, n_tri,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+        FROM (SELECT doc_id, t, n_tri,
+                     unnest(generate_series(1, n_tri)) AS i
+              FROM g WHERE n_tri >= 1)
+    )
+    SELECT doc_id,
+           CAST(n_tri AS BIGINT) AS n_trigrams,
+           CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT tg) AS DOUBLE) / n_tri AS rep_ratio,
+           (1.0 - CAST(COUNT(DISTINCT tg) AS DOUBLE) / n_tri) > 0.2
+               AS too_repetitive
+    FROM tri GROUP BY doc_id, n_tri
+    """,
+    doc="Repetition filter (Gopher-style): fraction of duplicate word "
+        "trigrams within each document — high ratios flag boilerplate / "
+        "looping text before it poisons a training mix. Row-wise array "
+        "ops: trigram array, distinct count, exact integer division.",
+    tags=("llm", "text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), T.TOKEN_SPLIT_RE)
+    tg = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 2),
+        F.arrays_zip(F.slice(toks, 2, F.size(toks) - 2).alias("b"),
+                     F.slice(toks, 3, F.size(toks) - 2).alias("c")),
+        lambda a, bc: F.concat_ws(" ", a, bc["b"], bc["c"]),
+    )
+    out = (
+        d.select("doc_id", tg.alias("tg"))
+        .filter(F.size("tg") >= 1)
+        .select(
+            "doc_id",
+            F.size("tg").cast("bigint").alias("n_trigrams"),
+            F.size(F.array_distinct("tg")).cast("bigint").alias("n_distinct"),
+        )
+        .withColumn("rep_ratio",
+                    1.0 - F.col("n_distinct").cast("double") / F.col("n_trigrams"))
+        .withColumn("too_repetitive", F.col("rep_ratio") > 0.2)
+    )
+    return out
