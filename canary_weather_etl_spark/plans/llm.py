@@ -682,3 +682,51 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("too_repetitive", F.col("rep_ratio") > 0.2)
     )
     return out
+
+
+@register(
+    "q_cosine_pairs_exact",
+    oracle="""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    pairs AS (
+        SELECT l.vec_id AS a, r.vec_id AS b, l.embedding AS va, r.embedding AS vb
+        FROM sub l JOIN sub r ON l.vec_id < r.vec_id
+    ), expl AS (
+        SELECT a, b, va, vb, unnest(generate_series(1, len(va))) AS i FROM pairs
+    ), dots AS (
+        SELECT a, b,
+               SUM(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dp,
+               SUM(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)) AS aa,
+               SUM(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS bb
+        FROM expl GROUP BY a, b
+    )
+    SELECT a, b,
+           FLOOR(dp / (SQRT(aa) * SQRT(bb)) * 1e6 + 0.5) / 1e6 AS cos_sim
+    FROM dots
+    WHERE dp / (SQRT(aa) * SQRT(bb)) >= 0.3
+    """,
+    doc="Exact all-pairs cosine (vec_id<300 subset, pairs >= 0.3) — the "
+        "oracle-checked ground truth the LSH near-dup path "
+        "(q_cosine_near_dup) approximates, mirroring the exact/approx "
+        "pairing of the Jaccard family. Brute-force n^2/2 scoring with "
+        "precomputed norms; threshold keeps the output small.",
+    tags=("llm", "similarity"),
+)
+def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_par(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 300)
+         .select("vec_id", S.as_double("embedding").alias("v"))
+         .withColumn("nrm", S.l2_norm(F.col("v"))))
+    l = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    r = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    from ..functions import round_det
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select("a", "b",
+                (S.dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))).alias("raw"))
+        .filter(F.col("raw") >= 0.3)
+        .select("a", "b", round_det("raw", 6).alias("cos_sim"))
+    )
