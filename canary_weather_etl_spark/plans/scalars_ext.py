@@ -73,3 +73,58 @@ def q_scalar_date_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("iso_week"),
         F.dayofweek("o_orderdate").alias("dow"),
     )
+
+
+@register(
+    "q_hash_functions",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           length(md5(text)) AS md5_len
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+    doc="Cryptographic hash family over string content: md5 / sha256 — the "
+        "portable content-keying functions (xxhash64 is engine-internal; "
+        "these two agree across every engine and are the cross-system "
+        "dedup-key choice).",
+    tags=("scalar", "hash"),
+)
+def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )
+
+
+@register(
+    "q_bool_aggs",
+    oracle="""
+    SELECT event_type,
+           bool_or(value > 400) AS any_large,
+           bool_and(value > 5) AS all_above5,
+           CAST(count_if(value > 100) AS BIGINT) AS n_over100,
+           CAST(count_if(props LIKE '%"k": 9%') AS BIGINT) AS n_k_9x
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Boolean aggregate family: bool_or / bool_and (any/every) and "
+        "conditional counting — the assertion-style aggregates a data "
+        "quality gate composes.",
+    tags=("agg", "bool"),
+)
+def q_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bool_or(F.col("value") > 400).alias("any_large"),
+            F.bool_and(F.col("value") > 5).alias("all_above5"),
+            F.count_if(F.col("value") > 100).alias("n_over100"),
+            F.count_if(F.col("props").like('%"k": 9%')).alias("n_k_9x"),
+        )
+    )
