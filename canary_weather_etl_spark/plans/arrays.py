@@ -244,3 +244,72 @@ def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"et": "redacted", "v": -1.0})
         .withColumnsRenamed({"et": "et_filled", "v": "v_filled"})
     )
+
+
+@register(
+    "q_bitwise_ops",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           CAST(xor(event_id, 21845) AS BIGINT) AS xored,
+           event_id << 3 AS shifted_l,
+           event_id >> 2 AS shifted_r,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events
+    WHERE event_id % 13 = 0
+    """,
+    doc="Bitwise family: and/or/xor/shifts/popcount — the machinery "
+        "SimHash and bit-packed signatures are built from "
+        "(operators/dedup.simhash, hamming_distance).",
+    tags=("scalar", "bitwise"),
+)
+def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft("event_id", 3).alias("shifted_l"),
+        F.shiftright("event_id", 2).alias("shifted_r"),
+        F.bit_count("event_id").alias("popcount"),
+    )
+
+
+@register(
+    "q_array_setops",
+    oracle="""
+    SELECT vec_id,
+           list_sort(list_intersect(lo_pos, hi_pos)) AS common_pos,
+           CAST(len(list_intersect(lo_pos, hi_pos)) AS INT) AS n_common,
+           list_has_all(lo_pos, list_intersect(lo_pos, hi_pos)) AS sanity
+    FROM (
+        SELECT vec_id,
+               list_filter(generate_series(1, 32),
+                           i -> embedding[i] > 0) AS lo_pos,
+               list_filter(generate_series(1, 32),
+                           i -> embedding[i + 32] > 0) AS hi_pos
+        FROM embeddings WHERE vec_id < 50
+    )
+    """,
+    doc="Array set operations: per-vector positive-position sets from two "
+        "halves of the embedding, intersected and containment-checked "
+        "(array_intersect / forall — the verification machinery of the "
+        "near-dup ops as a first-class query). Both engines sort the "
+        "intersection (element order is implementation-defined).",
+    tags=("array", "setop"),
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    idx = F.sequence(F.lit(1), F.lit(32))
+    lo_pos = F.filter(idx, lambda i: F.element_at("embedding", i) > 0)
+    hi_pos = F.filter(idx, lambda i: F.element_at("embedding", i + 32) > 0)
+    common = F.array_sort(F.array_intersect(lo_pos, hi_pos))
+    return e.select(
+        "vec_id",
+        common.alias("common_pos"),
+        F.size(F.array_intersect(lo_pos, hi_pos)).alias("n_common"),
+        F.forall(F.array_intersect(lo_pos, hi_pos),
+                 lambda x: F.array_contains(lo_pos, x)).alias("sanity"),
+    )
