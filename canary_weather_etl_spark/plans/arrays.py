@@ -313,3 +313,35 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall(F.array_intersect(lo_pos, hi_pos),
                  lambda x: F.array_contains(lo_pos, x)).alias("sanity"),
     )
+
+
+@register(
+    "q_map_type_ops",
+    oracle="""
+    SELECT event_id,
+           'k' AS first_key,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)
+               AS first_val,
+           CAST(1 AS INT) AS n_entries,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) >= 50
+               AS has_large
+    FROM events
+    WHERE event_id % 17 = 0
+    """,
+    doc="MapType surface (SURVEY.md §1.2 — the props extension): "
+        "from_json into map<string,bigint>, then map_keys / element_at / "
+        "size / exists over the map. The oracle reaches the same values "
+        "via regexp (DuckDB's map type isn't needed to verify the "
+        "semantics, only the outputs).",
+    tags=("map", "json"),
+)
+def q_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.size(m).alias("n_entries"),
+        F.exists(F.map_values(m), lambda v: v >= 50).alias("has_large"),
+    )
