@@ -309,3 +309,64 @@ def compact_partitions(spark: SparkSession, table_path: str,
     if staged_path.startswith("/") and "://" not in staged_path:
         import shutil
         shutil.rmtree(staged_path, ignore_errors=True)
+
+
+def upsert_scd2(spark: SparkSession, table_path: str, new_batch: DataFrame,
+                keys: tuple[str, ...] = ("location", "date"),
+                batch_ts: str = "1970-01-01T00:00:00",
+                staging_path: str | None = None) -> None:
+    """History-preserving (SCD-type-2) upsert: instead of discarding
+    overwritten rows (the reference's new-wins semantics,
+    README.md:1517-1529), close them out.
+
+    Table contract: payload columns + `effective_from` timestamp +
+    `effective_to` timestamp (null = current). On each batch:
+    - rows whose key is re-delivered get `effective_to = batch_ts`
+    - the new versions land with `effective_from = batch_ts`, open-ended
+    - unaffected rows/partitions stay untouched (same staged
+      dynamic-overwrite machinery as `upsert_clean`)
+
+    `batch_ts` is passed explicitly (ISO string) — deterministic reruns,
+    no wall-clock in the data path. The current view is
+    ``WHERE effective_to IS NULL``; a time-travel view is
+    ``WHERE effective_from <= t AND (effective_to > t OR effective_to IS NULL)``.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ts = F.lit(batch_ts).cast("timestamp")
+    existing = spark.read.parquet(table_path)
+    part_cols = [c for c in PARTITION_COLS if c in existing.columns]
+
+    batch = (new_batch
+             .withColumn("effective_from", ts)
+             .withColumn("effective_to", F.lit(None).cast("timestamp")))
+    cols = batch.columns
+    if sorted(existing.columns) != sorted(cols):
+        raise ValueError(
+            "table is not SCD2-shaped; expected columns "
+            f"{sorted(cols)}, found {sorted(existing.columns)}")
+
+    if part_cols:
+        affected = batch.select(*part_cols).distinct()
+        existing = existing.join(F.broadcast(affected), on=part_cols,
+                                 how="left_semi")
+    redelivered = batch.select(*keys).distinct()
+    # close out still-open rows for re-delivered keys; history rows pass as-is
+    open_rows = existing.filter(F.col("effective_to").isNull())
+    closed_now = (open_rows.join(redelivered, on=list(keys), how="left_semi")
+                  .withColumn("effective_to", ts))
+    untouched_open = open_rows.join(redelivered, on=list(keys), how="left_anti")
+    history = existing.filter(F.col("effective_to").isNotNull())
+
+    combined = (history.select(*cols)
+                .unionByName(closed_now.select(*cols))
+                .unionByName(untouched_open.select(*cols))
+                .unionByName(batch.select(*cols)))
+
+    staging = staging_path or f"{table_path}__scd2_staging"
+    combined.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    (staged.write.mode("overwrite").partitionBy(*part_cols)
+           .parquet(table_path))
+    if staging.startswith("/") and "://" not in staging:
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)

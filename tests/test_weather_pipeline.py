@@ -212,3 +212,52 @@ def test_compact_partitions(spark, raw_dir, tmp_path):
     assert n_after == 1
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert before == after  # compaction is content-invisible
+
+
+def test_upsert_scd2_history_preserved(spark, tmp_path):
+    """SCD2 upsert: re-delivered keys close the old version (effective_to
+    set) and open a new one; history is queryable by time."""
+    def mk(rows, eff_from):
+        return (spark.createDataFrame(rows, ["location", "date", "metric"])
+                .withColumn("date", F.to_date("date"))
+                .withColumn("island", F.lit("isl"))
+                .withColumn("location_name", F.lit("L"))
+                .withColumn("year", F.year("date"))
+                .withColumn("month", F.month("date")))
+
+    base = mk([("a", f"2024-01-{i:02d}", 1.0) for i in range(1, 6)], None)
+    out = str(tmp_path / "scd2")
+    (base.withColumn("effective_from", F.lit("2024-02-01").cast("timestamp"))
+         .withColumn("effective_to", F.lit(None).cast("timestamp"))
+         .write.mode("overwrite")
+         .partitionBy("island", "location_name", "year", "month").parquet(out))
+
+    batch = mk([("a", f"2024-01-{i:02d}", 2.0) for i in range(4, 8)], None)
+    W.upsert_scd2(spark, out, batch, keys=("location", "date"),
+                  batch_ts="2024-03-01T00:00:00")
+
+    t = spark.read.parquet(out)
+    # 5 original + 4 new versions = 9 physical rows
+    assert t.count() == 9
+    current = t.filter(F.col("effective_to").isNull())
+    # current view: days 1-3 at 1.0, days 4-7 at 2.0
+    assert current.count() == 7
+    cur = {str(r["date"]): r["metric"] for r in current.collect()}
+    assert cur["2024-01-02"] == 1.0 and cur["2024-01-05"] == 2.0
+    # closed-out versions carry the batch timestamp
+    closed = t.filter(F.col("effective_to").isNotNull())
+    assert closed.count() == 2  # days 4 and 5 were re-delivered
+    assert all(str(r["effective_to"]).startswith("2024-03-01")
+               for r in closed.collect())
+    # time travel: as of 2024-02-15, days 4-5 still read 1.0
+    asof = t.filter((F.col("effective_from") <= F.lit("2024-02-15").cast("timestamp"))
+                    & (F.col("effective_to").isNull()
+                       | (F.col("effective_to") > F.lit("2024-02-15").cast("timestamp"))))
+    past = {str(r["date"]): r["metric"] for r in asof.collect()}
+    assert past["2024-01-05"] == 1.0 and len(past) == 5
+    # idempotence: same batch again -> no new versions (values unchanged keys
+    # are still re-delivered, so they version — run with SAME ts is a no-op
+    # only for already-closed rows; assert row count grows deterministically)
+    W.upsert_scd2(spark, out, batch, keys=("location", "date"),
+                  batch_ts="2024-03-01T00:00:00")
+    assert spark.read.parquet(out).filter(F.col("effective_to").isNull()).count() == 7
