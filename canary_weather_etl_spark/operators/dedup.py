@@ -243,3 +243,59 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
     """Popcount of XOR — built-in bit_count."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(sim: DataFrame, bits: int = 32,
+                            max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole-banded candidate generation for SimHash near-dup search.
+
+    Split the `bits`-bit signature into (max_hamming + 1) contiguous bands:
+    two signatures within Hamming distance `max_hamming` differ in at most
+    `max_hamming` bit positions, so at least one band is bit-identical
+    (pigeonhole) — banding therefore has 100% recall, unlike MinHash LSH.
+    Candidates come from an equi self-join on (band_idx, band_val): the
+    same shape as `lsh_candidate_pairs`, and the scale move that replaces
+    the O(n²) all-pairs comparison. Skewed bands (e.g. the all-zero band of
+    short docs) split under AQE skew-join handling.
+
+    Input: (doc, simhash). Output: distinct (a, b) with a < b.
+    """
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil — last band may be narrower
+    mask = (1 << width) - 1
+    banded = sim.select(
+        "doc",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)
+        ])).alias("band", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.band_val") == F.col("r.band_val"))
+               & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_simhash(df: DataFrame, id_col: str, text_col: str,
+                           bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pipeline at 100 TB shape: signatures (one explode +
+    one groupBy) → pigeonhole band buckets (equi self-join, exact recall)
+    → Hamming verification on candidates only. Output (a, b, hamming)."""
+    sig = simhash(df, id_col, text_col, bits).cache()
+    cands = simhash_candidate_pairs(sig, bits, max_hamming)
+    out = (
+        cands
+        .join(sig.select(F.col("doc").alias("a"),
+                         F.col("simhash").alias("sim_a")), "a")
+        .join(sig.select(F.col("doc").alias("b"),
+                         F.col("simhash").alias("sim_b")), "b")
+        .select("a", "b",
+                hamming_distance(F.col("sim_a"), F.col("sim_b"))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return out

@@ -230,22 +230,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_simhash",
     oracle=None,  # hash-specific
-    doc="SimHash(32-bit) signatures per doc + count of pairs within "
-        "Hamming distance 3 — the other classic near-dup family. pytest "
-        "asserts planted near-dups land at small distance.",
+    doc="SimHash(32-bit) near-dup pairs within Hamming distance 3 — the "
+        "other classic near-dup family, at the 100 TB shape: pigeonhole "
+        "banding (4×8-bit chunks; Hamming ≤3 ⇒ ≥1 identical chunk, so "
+        "recall is exact) → equi self-join on (band, band_val) → "
+        "bit_count(xor) verification on candidates only. No "
+        "BroadcastNestedLoopJoin anywhere in the plan; pytest asserts set "
+        "equality with the brute-force all-pairs result.",
     tags=("llm", "dedup", "approx"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
-    sim = D.simhash(d, "doc_id", "text", bits=32)
-    l, r = sim.alias("l"), sim.alias("r")
-    return (
-        l.join(r, F.col("l.doc") < F.col("r.doc"))
-        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"),
-                D.hamming_distance(F.col("l.simhash"), F.col("r.simhash"))
-                .alias("hamming"))
-        .filter(F.col("hamming") <= 3)
-    )
+    return D.near_dup_pairs_simhash(d, "doc_id", "text",
+                                    bits=32, max_hamming=3)
 
 
 # --------------------------- similarity search ------------------------------
@@ -601,9 +598,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    T.TOKEN_SPLIT_RE)).alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     )
+    # distributed top-k: orderBy+limit plans as TakeOrderedAndProject (each
+    # partition keeps its local 20, driver merges) — no global sort, no
+    # single-partition window over billions of distinct terms. rank attaches
+    # AFTER the cut, where the window frame is 20 rows.
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("term"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("term", "n", "rank"))
 
 
@@ -663,12 +664,16 @@ def q_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), T.TOKEN_SPLIT_RE)
+    ntri = F.size(toks) - 2
     tg = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 2),
-        F.arrays_zip(F.slice(toks, 2, F.size(toks) - 2).alias("b"),
-                     F.slice(toks, 3, F.size(toks) - 2).alias("c")),
+        F.slice(toks, 1, ntri),
+        F.arrays_zip(F.slice(toks, 2, ntri).alias("b"),
+                     F.slice(toks, 3, ntri).alias("c")),
         lambda a, bc: F.concat_ws(" ", a, bc["b"], bc["c"]),
     )
+    # slice with negative length aborts the job — docs with <3 tokens must
+    # short-circuit to an empty trigram array (the oracle's n_tri >= 1 twin)
+    tg = F.when(ntri >= 1, tg).otherwise(F.array().cast("array<string>"))
     out = (
         d.select("doc_id", tg.alias("tg"))
         .filter(F.size("tg") >= 1)

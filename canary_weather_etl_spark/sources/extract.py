@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.error
 import urllib.request
@@ -46,10 +47,19 @@ def get_secret(name: str, default: str | None = None) -> str:
     return raw
 
 
+def redact_url(url: str) -> str:
+    """Strip credential query params before a URL reaches any error message,
+    log line, or status artifact — the `key=` param carries the Visual
+    Crossing API secret and must never be persisted in exception text."""
+    return re.sub(r"(key|apikey|token|secret)=[^&]+", r"\1=<redacted>", url,
+                  flags=re.IGNORECASE)
+
+
 def fetch_json(url: str, retries: int = 5, base_delay: float = 0.2,
                _sleep=time.sleep) -> dict:
     """GET a JSON document with exponential backoff — the reference's retry
-    policy (5 attempts, 0.2 s × 2^attempt, README.md:196-210)."""
+    policy (5 attempts, 0.2 s × 2^attempt, README.md:196-210). Failure
+    messages carry the redacted URL only (secrets never leak into logs)."""
     last: Exception | None = None
     for attempt in range(retries):
         try:
@@ -59,7 +69,8 @@ def fetch_json(url: str, retries: int = 5, base_delay: float = 0.2,
             last = exc
             if attempt < retries - 1:
                 _sleep(base_delay * (2 ** attempt))
-    raise RuntimeError(f"fetch failed after {retries} attempts: {url}") from last
+    raise RuntimeError(
+        f"fetch failed after {retries} attempts: {redact_url(url)}") from last
 
 
 def to_open_meteo_doc(location_key: str, meta: dict, api_response: dict,
@@ -147,7 +158,9 @@ def extract_visual_crossing(locations: dict[str, dict], out_root: str,
                      f"vc_{start_date}_{end_date}")
             status[key] = "ok"
         except Exception as exc:
-            status[key] = f"error: {exc}"
+            # belt-and-braces: whatever the fetcher raised, no secret
+            # reaches the persisted status artifact
+            status[key] = f"error: {redact_url(str(exc))}"
     return status
 
 

@@ -82,6 +82,30 @@ def test_fetch_json_gives_up(monkeypatch):
     assert sleeps == [0.2, 0.4]
 
 
+def test_fetch_error_redacts_api_key(monkeypatch):
+    """ADVICE r1: a failed keyed fetch must not leak the secret into the
+    RuntimeError message or the persisted per-location status dict."""
+    import urllib.error
+    import urllib.request
+    monkeypatch.setattr(
+        urllib.request, "urlopen",
+        lambda u: (_ for _ in ()).throw(urllib.error.URLError("down")))
+    with pytest.raises(RuntimeError) as ei:
+        E.fetch_json("https://api/x?elements=temp&key=SECRET123&fmt=json",
+                     retries=1, _sleep=lambda s: None)
+    assert "SECRET123" not in str(ei.value)
+    assert "key=<redacted>" in str(ei.value)
+
+    monkeypatch.setenv("VISUAL_CROSSING_KEY", "SECRET123")
+    def boom(url):
+        raise RuntimeError(f"fetch failed: {url}")
+    st = E.extract_visual_crossing(
+        {"tenerife/santa_cruz": {"latitude": 1.0, "longitude": 2.0}},
+        "/tmp/unused", ["temp"], "2024-01-01", "2024-01-02", fetcher=boom)
+    (msg,) = st.values()
+    assert "SECRET123" not in msg and msg.startswith("error:")
+
+
 def test_get_secret_formats(monkeypatch):
     monkeypatch.setenv("K1", "plainkey")
     assert E.get_secret("K1") == "plainkey"

@@ -57,6 +57,55 @@ def test_simhash_separates_near_dups(spark, docs):
         f"random mean {sum(far)/len(far)}")
 
 
+def test_simhash_banded_pairs_match_bruteforce(spark, docs):
+    """Pigeonhole banding is exact (hamming<=3 with 4 bands => >=1 band
+    identical): the banded pipeline must return the SAME pair set as an
+    all-pairs scan of the signatures, with no BroadcastNestedLoopJoin."""
+    sim = D.simhash(docs, "doc_id", "text", bits=32)
+    sigs = {r["doc"]: r["simhash"] for r in sim.collect()}
+    ids = sorted(sigs)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    banded_df = D.near_dup_pairs_simhash(docs, "doc_id", "text",
+                                         bits=32, max_hamming=3)
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    banded = {(r["a"], r["b"]) for r in banded_df.collect()}
+    assert banded == brute, (
+        f"banding lost/added pairs: missing={sorted(brute - banded)[:5]} "
+        f"extra={sorted(banded - brute)[:5]}")
+
+
+def test_heavy_hitters_plan_is_distributed_topk(spark, sf_dir):
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+    df = REGISTRY["q_heavy_hitters"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_text_repetition_short_docs_no_abort(spark, tmp_path):
+    """Docs with <3 tokens must not abort the job with a negative slice
+    length (ADVICE r1): they are excluded, matching the oracle's
+    n_tri >= 1 filter."""
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+    small = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three tokens"),
+         (5, "a a a a a a")],
+        "doc_id int, text string")
+    small.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           REGISTRY["q_text_repetition"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {4, 5}  # <3-token docs dropped, not crashed
+    assert out[4]["n_trigrams"] == 1 and out[4]["rep_ratio"] == 0.0
+    assert out[5]["n_trigrams"] == 4 and out[5]["n_distinct"] == 1
+    assert out[5]["too_repetitive"]
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, emb):
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
