@@ -18,5 +18,6 @@ from . import arrays      # noqa: E402,F401  §2.8 array/JSON families, SQL faç
 from . import temporal_skew  # noqa: E402,F401  as-of join, skew mitigation
 from . import analytics   # noqa: E402,F401  range join, rollups, percentiles, moments
 from . import scalars_ext  # noqa: E402,F401  extended string/date scalar coverage
+from . import weather_ingest  # noqa: E402,F401  §2.1/2.9 ingestion differential
 
 __all__ = ["REGISTRY", "QuerySpec", "load", "oracle_sql", "queries", "register"]

@@ -47,14 +47,16 @@ def q2_sunniest_month_location(spark: SparkSession) -> DataFrame:
 def q3_best_uv_month(spark: SparkSession,
                      location_name: str = "Las_Palmas_de_Gran_Canaria") -> DataFrame:
     """README.md:803-809 — monthly avg UV at one station (partition-pruned
-    scan: location_name is a partition column, the reference's 14x cut)."""
+    scan: location_name is a partition column, the reference's 14x cut).
+    The station name binds as a named parameter, never interpolated into
+    SQL text (quote-safe / injection-safe)."""
     return spark.sql(f"""
         SELECT month, ROUND(AVG(uvindex), 1) AS avg_uvindex
         FROM {VIEW}
-        WHERE location_name = '{location_name}'
+        WHERE location_name = :loc
         GROUP BY month
         ORDER BY avg_uvindex DESC
-    """)
+    """, args={"loc": location_name})
 
 
 def q2_corrected_best_location_per_month(spark: SparkSession) -> DataFrame:
@@ -85,6 +87,12 @@ def register_clean_external(spark: SparkSession, table_path: str,
     path-listing each query), the catalog table records partitions in the
     metastore — the layout queried exactly as Athena queries the crawled
     Glue table."""
+    import re
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    # LOCATION takes a string literal — escape quotes so a pathological
+    # path can't break out of the DDL statement
+    table_path_lit = table_path.replace("'", "''")
     df = spark.read.parquet(table_path)
     data_cols = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -96,6 +104,6 @@ def register_clean_external(spark: SparkSession, table_path: str,
         USING PARQUET
         PARTITIONED BY (island STRING, location_name STRING,
                         year INT, month INT)
-        LOCATION '{table_path}'
+        LOCATION '{table_path_lit}'
     """)
     spark.sql(f"MSCK REPAIR TABLE {table}")

@@ -1,7 +1,9 @@
 """Golden-fixture tests for the weather ingestion pipeline (SURVEY.md §5):
 the two raw JSON shapes (README.md:545-589) → flatten → join → partitioned
 write → incremental upsert. Fixtures are synthesized deterministically in
-the layout the reference uses: raw/<island>/<location>/{2*.json, vc*.json}.
+the layout the reference uses: raw/<island>/<location>/{om_*.json, vc_*.json} (shared
+generators: canary_weather_etl_spark/sources/weather_fixtures.py, which
+also materializes the committed driver-visible fixtures).
 """
 
 from __future__ import annotations
@@ -14,54 +16,13 @@ from pyspark.sql import functions as F
 
 from canary_weather_etl_spark.sources import weather as W
 
-LOCATIONS = [
-    ("Tenerife", "Vilaflor", 28.15, -16.63, 1400.0),
-    ("Gran_Canaria", "Las_Palmas", 28.12, -15.43, 8.0),
-    ("La_Palma", "Santa_Cruz", 28.68, -17.76, 35.0),
-]
+from canary_weather_etl_spark.sources import weather_fixtures as WF
 
-
-def _dates(start_day: int, n: int) -> list[str]:
-    return [f"2024-01-{d:02d}" for d in range(start_day, start_day + n)]
-
-
-def _om_doc(island, loc, lat, lon, elev, dates, bias=0.0):
-    n = len(dates)
-    daily = {"date": dates}
-    for i, (name, typ) in enumerate(W.OPEN_METEO_DAILY_VARS.items()):
-        if typ.__name__ == "StringType":
-            daily[name] = [f"{d}T07:0{i % 10}" for d in dates]
-        elif typ.__name__ == "LongType":
-            daily[name] = [(j * 7 + i) % 100 for j in range(n)]
-        else:
-            daily[name] = [round(bias + i + j * 0.25, 2) for j in range(n)]
-    return {"location": f"{island}/{loc}", "latitude": lat, "longitude": lon,
-            "elevation": elev, "timezone": "Atlantic/Canary", "daily": daily}
-
-
-def _vc_doc(island, loc, lat, lon, dates, bias=0.0):
-    days = []
-    for j, d in enumerate(dates):
-        day = {"datetime": d}
-        for i, (name, typ) in enumerate(W.VISUAL_CROSSING_DAY_FIELDS.items()):
-            if typ.__name__ == "StringType":
-                day[name] = f"{name}_{j}"
-            else:
-                day[name] = round(bias + 10 * i + j * 0.5, 2)
-        days.append(day)
-    return {"queryCost": 1.0, "latitude": lat, "longitude": lon,
-            "resolvedAddress": f"{lat},{lon}", "address": f"{island}/{loc}",
-            "timezone": "Atlantic/Canary", "tzoffset": 0.0, "days": days}
-
-
-def _write_raw(root, dates, bias=0.0, suffix="a"):
-    for island, loc, lat, lon, elev in LOCATIONS:
-        d = os.path.join(root, island, loc)
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"2024_{suffix}.json"), "w") as f:
-            json.dump(_om_doc(island, loc, lat, lon, elev, dates, bias), f)
-        with open(os.path.join(d, f"vc_{suffix}.json"), "w") as f:
-            json.dump(_vc_doc(island, loc, lat, lon, dates, bias), f)
+LOCATIONS = WF.LOCATIONS
+_dates = WF.dates
+_om_doc = WF.om_doc
+_vc_doc = WF.vc_doc
+_write_raw = WF.write_raw
 
 
 @pytest.fixture()
@@ -72,7 +33,7 @@ def raw_dir(tmp_path):
 
 
 def test_open_meteo_flatten(spark, raw_dir):
-    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/2*.json")
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/om*.json")
     rows = om.collect()
     assert len(rows) == 3 * 10  # one row per (location, date)
     r = {(x["location"], x["date"]): x for x in rows}[("Tenerife/Vilaflor", "2024-01-03")]
@@ -89,10 +50,10 @@ def test_open_meteo_unequal_arrays_fatal(spark, tmp_path):
     os.makedirs(d)
     doc = _om_doc("Tenerife", "Vilaflor", 28.15, -16.63, 1400.0, _dates(1, 5))
     doc["daily"]["rain_sum"] = doc["daily"]["rain_sum"][:-2]  # truncate one array
-    with open(os.path.join(d, "2024_bad.json"), "w") as f:
+    with open(os.path.join(d, "om_bad.json"), "w") as f:
         json.dump(doc, f)
     with pytest.raises(ValueError, match="unequal lengths"):
-        W.read_open_meteo(spark, f"{root}/*/*/2*.json")
+        W.read_open_meteo(spark, f"{root}/*/*/om*.json")
 
 
 def test_visual_crossing_flatten(spark, raw_dir):
@@ -105,7 +66,7 @@ def test_visual_crossing_flatten(spark, raw_dir):
 
 
 def test_build_and_write_clean(spark, raw_dir, tmp_path):
-    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/2*.json")
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/om*.json")
     vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
     clean = W.build_clean(om, vc)
     rows = clean.collect()
@@ -130,7 +91,7 @@ def test_upsert_new_wins_and_untouched_partitions_preserved(spark, tmp_path):
     raw1 = str(tmp_path / "raw1")
     _write_raw(raw1, _dates(1, 10), bias=0.0)
     out = str(tmp_path / "clean")
-    clean1 = W.build_clean(W.read_open_meteo(spark, f"{raw1}/*/*/2*.json"),
+    clean1 = W.build_clean(W.read_open_meteo(spark, f"{raw1}/*/*/om*.json"),
                            W.read_visual_crossing(spark, f"{raw1}/*/*/vc*.json"))
     W.write_clean(clean1, out)
 
@@ -140,11 +101,11 @@ def test_upsert_new_wins_and_untouched_partitions_preserved(spark, tmp_path):
         d = os.path.join(feb_raw, island, loc)
         os.makedirs(d, exist_ok=True)
         dates = [f"2024-02-{i:02d}" for i in range(1, 4)]
-        with open(os.path.join(d, "2024_feb.json"), "w") as f:
+        with open(os.path.join(d, "om_feb.json"), "w") as f:
             json.dump(_om_doc(island, loc, lat, lon, elev, dates), f)
         with open(os.path.join(d, "vc_feb.json"), "w") as f:
             json.dump(_vc_doc(island, loc, lat, lon, dates), f)
-    cleanfeb = W.build_clean(W.read_open_meteo(spark, f"{feb_raw}/*/*/2*.json"),
+    cleanfeb = W.build_clean(W.read_open_meteo(spark, f"{feb_raw}/*/*/om*.json"),
                              W.read_visual_crossing(spark, f"{feb_raw}/*/*/vc*.json"))
     W.write_clean(cleanfeb, out)
     feb_dir = f"{out}/island=Tenerife/location_name=Vilaflor/year=2024/month=2"
@@ -153,7 +114,7 @@ def test_upsert_new_wins_and_untouched_partitions_preserved(spark, tmp_path):
     # second batch: overlaps days 6-10, adds days 11-15, different values
     raw2 = str(tmp_path / "raw2")
     _write_raw(raw2, _dates(6, 10), bias=100.0, suffix="b")
-    batch2 = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/2*.json"),
+    batch2 = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/om*.json"),
                            W.read_visual_crossing(spark, f"{raw2}/*/*/vc*.json"))
     W.upsert_clean(spark, out, batch2)
 
@@ -180,13 +141,13 @@ def test_upsert_idempotent(spark, tmp_path):
     raw1 = str(tmp_path / "raw1")
     _write_raw(raw1, _dates(1, 8))
     out = str(tmp_path / "clean")
-    clean1 = W.build_clean(W.read_open_meteo(spark, f"{raw1}/*/*/2*.json"),
+    clean1 = W.build_clean(W.read_open_meteo(spark, f"{raw1}/*/*/om*.json"),
                            W.read_visual_crossing(spark, f"{raw1}/*/*/vc*.json"))
     W.write_clean(clean1, out)
 
     raw2 = str(tmp_path / "raw2")
     _write_raw(raw2, _dates(5, 6), bias=50.0, suffix="b")
-    batch = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/2*.json"),
+    batch = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/om*.json"),
                           W.read_visual_crossing(spark, f"{raw2}/*/*/vc*.json"))
 
     W.upsert_clean(spark, out, batch, staging_path=str(tmp_path / "s1"))
@@ -197,7 +158,7 @@ def test_upsert_idempotent(spark, tmp_path):
 
 
 def test_compact_partitions(spark, raw_dir, tmp_path):
-    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/2*.json")
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/om*.json")
     vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
     out = str(tmp_path / "clean")
     # fragment the table: many write tasks → many small files per partition
