@@ -187,11 +187,50 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     return pairs
 
 
+def train_ivf_quantizer(embeddings: DataFrame, n_lists: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 42) -> DataFrame:
+    """Train the IVF coarse quantizer: KMeans over the corpus, returning the
+    (list_id, centroid array<double>) table. This is a TRAINING JOB — run it
+    once (or on a refresh schedule), persist the result as a table, and feed
+    it to `topk_ivf` via `centroids`; don't re-train per query."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double(vec_col).alias("v"))
+    train = base.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centers = [(i, list(map(float, c)))
+               for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(centers, "list_id int, centroid array<double>")
+
+
+def persist_ivf_quantizer(embeddings: DataFrame, path: str, n_lists: int = 8,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42) -> DataFrame:
+    """Train-once/reuse-forever wrapper: read the quantizer table at `path`
+    if it exists, else train and write it. KMeans with a fixed seed over the
+    same corpus is deterministic, so the persisted table is reproducible.
+    Returns the centroid DataFrame (always read back from the table, so
+    query plans reference the parquet scan, not a fit job)."""
+    spark = embeddings.sparkSession
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        pass
+    cdf = train_ivf_quantizer(embeddings, n_lists, id_col, vec_col, seed)
+    cdf.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_lists: int = 8,
              n_probe: int = 3, seed: int = 42,
-             round_to: int | None = 6) -> DataFrame:
+             round_to: int | None = 6,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style approximate top-k: a KMeans coarse quantizer partitions the
     corpus into `n_lists` inverted lists; each query is scored only against
     the `n_probe` lists whose centroids are nearest to it.
@@ -203,20 +242,17 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     Everything after training is DataFrame-only: assignment via
     crossJoin-free broadcast of centroids, candidate probing via equi-join
     on list id.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    Pass `centroids` (from `train_ivf_quantizer` / `persist_ivf_quantizer`)
+    to probe a pre-trained quantizer — the production shape: the query plan
+    then contains no KMeans fit job, just a broadcast of the tiny centroid
+    table. Without it, training runs inline (convenience for ad-hoc use).
+    """
     spark = embeddings.sparkSession
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              as_double(vec_col).alias("v"))
-    train = base.select("vec_id", array_to_vector("v").alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-
-    # centroid table as literal arrays — tiny, broadcast everywhere
-    centers_rows = [(i, c) for i, c in enumerate(centers)]
-    cdf = spark.createDataFrame(centers_rows, ["list_id", "centroid"])
+    cdf = centroids if centroids is not None else train_ivf_quantizer(
+        embeddings, n_lists, id_col, vec_col, seed)
 
     def nearest_lists(df: DataFrame, idc: str, vcol: str, n: int) -> DataFrame:
         """Attach the n nearest list ids (by L2 to centroid) to each row."""

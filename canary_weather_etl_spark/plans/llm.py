@@ -388,19 +388,68 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_ann_ivf",
     oracle=None,  # KMeans-trained quantizer; recall checked in pytest
-    doc="IVF-style approximate top-10: KMeans coarse quantizer (8 lists), "
-        "queries probe their 4 nearest lists, exact cosine rescoring on "
-        "candidates only (operators/similarity.topk_ivf). The "
-        "data-adaptive complement to the hyperplane-LSH path — centroids "
-        "track corpus clusters, so clustered real-world embeddings get "
-        "high recall with small n_probe.",
+    doc="IVF-style approximate top-10: KMeans coarse quantizer (8 lists) "
+        "TRAINED ONCE and persisted as a centroid table "
+        "(operators/similarity.persist_ivf_quantizer) — the query plan "
+        "probes the 4 nearest lists per query via a broadcast of the "
+        "centroid parquet, with NO KMeans fit job inside the query. Exact "
+        "cosine rescoring on candidates only. The data-adaptive complement "
+        "to the hyperplane-LSH path.",
     tags=("llm", "similarity", "approx"),
 )
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_par(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4)
+    cdf = S.persist_ivf_quantizer(e, _ivf_quantizer_path(sf_dir),
+                                  n_lists=8, seed=42)
+    return S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4, centroids=cdf)
+
+
+def _ivf_quantizer_path(sf_dir: str) -> str:
+    """Deterministic per-corpus location for the persisted quantizer —
+    the stand-in for a catalog table at production scale."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"canary_ivf_quantizer_{tag}.parquet")
+
+
+@register(
+    "q_sim_ann_recall",
+    oracle=None,  # quality metric of engine-specific ANN paths vs exact
+    doc="ANN quality pinned as DATA (VERDICT r1 item 8): recall@10 of each "
+        "approximate path (hyperplane LSH probes=16, persisted-quantizer "
+        "IVF n_probe=4) against the exact brute-force top-10, one row per "
+        "method over the 5 fixture queries. The driver's rows-only check "
+        "records the metric; pytest asserts the floors.",
+    tags=("llm", "similarity", "approx", "quality"),
+)
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_par(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = S.topk_brute_force(e, q, k=10).select("query_id", "vec_id").cache()
+    n_total = exact.count()  # 50-row ground truth — a metric-sized scalar
+    cdf = S.persist_ivf_quantizer(e, _ivf_quantizer_path(sf_dir),
+                                  n_lists=8, seed=42)
+    approx = {
+        "lsh": S.topk_lsh(e, q, k=10, dim=64, bits=4, probes=16),
+        "ivf": S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4, centroids=cdf),
+    }
+    outs = []
+    for method, adf in approx.items():
+        hits = exact.join(adf.select("query_id", "vec_id"),
+                          on=["query_id", "vec_id"], how="left_semi")
+        outs.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits"))
+                .select(F.lit(method).alias("method"),
+                        (F.col("n_hits") / F.lit(n_total))
+                        .alias("recall_at_10")))
+    return outs[0].unionByName(outs[1]).orderBy("method")
 
 
 _TFIDF_SQL = r"""

@@ -183,6 +183,43 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     assert mean_recall >= 0.4, f"IVF recall collapsed: {recalls}"
 
 
+def test_ann_recall_query_floors(spark, sf_dir):
+    """The driver-visible recall metric (q_sim_ann_recall) must stay above
+    the published floors — the rows-only CORRECTNESS row pins the value."""
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+    rows = {r["method"]: r["recall_at_10"]
+            for r in REGISTRY["q_sim_ann_recall"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    assert rows["lsh"] >= 0.7, rows
+    assert rows["ivf"] >= 0.7, rows
+
+
+def test_ivf_query_uses_persisted_quantizer(spark, sf_dir):
+    """After the quantizer table exists, building the IVF query plan must
+    not run a KMeans fit (VERDICT r1 item 5): the plan reads the centroid
+    parquet instead."""
+    from canary_weather_etl_spark.plans.llm import _ivf_quantizer_path
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+
+    REGISTRY["q_sim_ann_ivf"].fn(spark, sf_dir)  # ensures table exists
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = REGISTRY["q_sim_ann_ivf"].fn(spark, sf_dir)  # plan build only
+    after = tracker.getJobIdsForGroup(None)
+    # building the plan against the persisted quantizer launches at most a
+    # couple of parquet-footer reads; a KMeans fit would run ~10 iteration
+    # jobs. The plan assertion below is the structural check.
+    assert len(after) - len(before) <= 3, (before, after)
+    import re
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # centroids come from a parquet Relation (paths are truncated in the
+    # plan string, so match the relation's schema), not a LocalRelation
+    # materialized by an in-query fit
+    assert re.search(r"Relation \[list_id#\d+,\s*centroid#\d+\] parquet",
+                     plan), plan
+    assert "LocalRelation" not in plan, plan
+
+
 def test_corpus_curation_invariants(spark, docs):
     from canary_weather_etl_spark.operators import text as T
     from canary_weather_etl_spark.operators.pipeline import curate_corpus

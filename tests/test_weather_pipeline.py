@@ -157,6 +157,35 @@ def test_upsert_idempotent(spark, tmp_path):
     assert snap1 == snap2  # running the same 31-day batch twice is a no-op
 
 
+def test_promote_staged_resumes_after_crash(spark, raw_dir, tmp_path):
+    """A crash mid-promote leaves staging with the unpromoted partitions +
+    the _PROMOTE_PENDING marker; re-running promote_staged completes the
+    swap and the table equals the fully-upserted result."""
+    out = str(tmp_path / "clean")
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/om*.json")
+    vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
+    clean = W.build_clean(om, vc)
+    W.write_clean(clean, out)
+
+    # stage a compaction but "crash" before promoting: build staging only
+    staging = str(tmp_path / "staging")
+    (clean.repartition(1, *W.PARTITION_COLS)
+          .write.mode("overwrite").partitionBy(*W.PARTITION_COLS)
+          .parquet(staging))
+    open(os.path.join(staging, "_PROMOTE_PENDING"), "w").close()
+    # simulate partial promote: move one partition by hand
+    part = "island=Tenerife/location_name=Vilaflor/year=2024/month=1"
+    import shutil
+    shutil.rmtree(f"{out}/{part}")
+    shutil.move(f"{staging}/{part}", f"{out}/{part}")
+
+    W.promote_staged(staging, out)  # recovery rerun
+    assert not os.path.exists(staging)
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    assert back.select("location", "date").distinct().count() == 30
+
+
 def test_compact_partitions(spark, raw_dir, tmp_path):
     om = W.read_open_meteo(spark, f"{raw_dir}/*/*/om*.json")
     vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
