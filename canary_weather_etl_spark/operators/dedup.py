@@ -219,25 +219,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """SimHash per doc: hash each token, sum ±1 per bit position weighted by
     term frequency, bit b of the result = sign of the sum. Near-dup docs
     land at small Hamming distance. One explode + one groupBy (the per-bit
-    sums all ride in the same aggregate)."""
+    sums all ride in the same aggregate).
+
+    `bits` up to 64: the signature assembles via shiftleft+bitwiseOR, so
+    the sign bit is safe. Choose width by corpus size — see
+    `simhash_candidate_pairs`: band buckets need enough distinct values
+    that corpus/2^(bits/(max_hamming+1)) rows per bucket stays small; 32
+    bits (8-bit bands) saturates around 10⁴ docs, web scale wants 64."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     toks = (
         df.select(F.col(id_col).alias("doc"),
                   F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                     TOKEN_SPLIT_RE)).alias("tok"))
         .withColumn("h", F.xxhash64("tok"))
     )
+    one = F.lit(1).cast("long")
     bit_aggs = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(one) != 0, 1)
               .otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     sums = toks.groupBy("doc").agg(*bit_aggs)
-    sim = sums.select(
-        "doc",
-        sum((F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-            for b in range(bits)).alias("simhash"),
-    )
-    return sim
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b))
+             .otherwise(F.lit(0).cast("long")))
+    return sums.select("doc", sig.alias("simhash"))
 
 
 def hamming_distance(a: F.Column, b: F.Column) -> F.Column:

@@ -484,7 +484,7 @@ _TFIDF_SQL = r"""
         "The classic keyword-extraction primitive for corpus curation; "
         "rank ties (idf=0 for corpus-wide terms) break alphabetically so "
         "the cut is deterministic in both engines.",
-    tags=("llm", "text"),
+    tags=("llm", "text"), bench=True,
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -547,6 +547,68 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("chunk_tokens"),
         )
     )
+
+
+_PACK_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS INT) AS chunk_idx,
+               CAST(len(t[s:s+39]) AS INT) AS chunk_tokens
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 10, 1), 30)) AS s
+              FROM toks)
+    )
+    SELECT doc_id, chunk_idx, chunk_tokens,
+           (doc_id % 32) * 4294967296 + CAST(FLOOR(
+               COALESCE(SUM(chunk_tokens) OVER (
+                   PARTITION BY doc_id % 32
+                   ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512.0) AS BIGINT) AS pack_id
+    FROM chunks
+"""
+
+
+@register(
+    "q_pack_sequences",
+    oracle=_PACK_SQL,
+    doc="Sequence packing (operators/packing.pack_boundary): chunked docs "
+        "assembled into 512-token training sequences via bucketed "
+        "cumulative-sum boundary packing — one window shuffle on the "
+        "bucket key, fully declarative (soft cap: a pack may overflow by "
+        "at most one chunk). The step between chunking and batching in an "
+        "LLM data pipeline; the hard-cap greedy twin is "
+        "q_pack_sequences_greedy. Oracle bucket is doc_id%32 (engine-"
+        "portable); production default is pmod(xxhash64(doc)).",
+    tags=("llm", "text", "chunking", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as P
+    chunks = q_text_chunking(spark, sf_dir).drop("chunk")
+    packed = P.pack_boundary(chunks, budget=512, n_buckets=32,
+                             bucket_expr=F.col("doc_id") % 32)
+    return packed.select("doc_id", "chunk_idx", "chunk_tokens", "pack_id")
+
+
+@register(
+    "q_pack_sequences_greedy",
+    oracle=None,  # sequential first-fit state; hard cap asserted in pytest
+    doc="Exact first-fit sequence packing with a HARD 512-token cap "
+        "(operators/packing.pack_greedy): per-bucket sequential scan via "
+        "Arrow-batched applyInPandas — parallelism = n_buckets, constant "
+        "state. pytest asserts every pack ≤ budget, chunk multiset "
+        "preserved, contiguous pack ids per bucket.",
+    tags=("llm", "text", "chunking", "packing", "pandas"),
+)
+def q_pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import packing as P
+    chunks = q_text_chunking(spark, sf_dir).drop("chunk")
+    packed = P.pack_greedy(chunks, budget=512, n_buckets=32,
+                           bucket_expr=F.col("doc_id") % 32)
+    return packed.select("doc_id", "chunk_idx", "chunk_tokens", "pack_id")
 
 
 @register(
@@ -613,7 +675,7 @@ def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter -> exact hash dedup -> MinHash/LSH near-dup removal -> "
         "chunking. Invariants (monotone row bookkeeping, no near-dup "
         "survivors, chunk arithmetic) asserted in tests/test_llm_operators.",
-    tags=("llm", "pipeline"),
+    tags=("llm", "pipeline"), bench=True,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import curate_corpus

@@ -39,6 +39,26 @@ def repair_duplicate_columns(df: DataFrame, suffix: str = "_dup") -> DataFrame:
     return df.toDF(*new_names)
 
 
+def repair_duplicate_columns_positional(df: DataFrame) -> DataFrame:
+    """The reference's literal repair scheme (README.md:1462-1476): EVERY
+    occurrence of a duplicated name gets a positional `_<k>` suffix, k
+    counting occurrences left-to-right from 1 — so a duplicated `temp`
+    becomes `temp_1`, `temp_2` (the first keeps no bare name). Shipped for
+    drop-in parity; prefer `repair_duplicate_columns`, which keeps the
+    first occurrence stable and doesn't depend on column order."""
+    counts = Counter(c.lower() for c in df.columns)
+    seen: Counter = Counter()
+    new_names = []
+    for c in df.columns:
+        key = c.lower()
+        if counts[key] > 1:
+            seen[key] += 1
+            new_names.append(f"{c}_{seen[key]}")
+        else:
+            new_names.append(c)
+    return df.toDF(*new_names)
+
+
 def check_batch_compatible(batch: DataFrame, table_schema: StructType,
                            allow_new_columns: bool = False) -> None:
     """Pre-write drift gate: every table column must exist in the batch

@@ -106,12 +106,23 @@ _PATH_PATTERN = r".*/([^/]+)/([^/]+)/[^/]+\.json$"
 def lineage_from_path(df: DataFrame) -> DataFrame:
     """Attach island / location_name columns parsed from the source file
     path (README.md:622-623's input_file_name + regexp_extract), with the
-    reference's null/empty guard (README.md:1306-1311)."""
+    reference's null/empty guard (README.md:1306-1311).
+
+    Prefers the `_metadata.file_path` hidden column (Spark ≥3.4): it's
+    resolved per-file at scan planning rather than evaluated per-row at
+    runtime, and it survives into sources where `input_file_name()` is
+    undefined. Falls back to `input_file_name()` when the source doesn't
+    expose file metadata."""
+    try:
+        src = df.withColumn("__src_path", F.col("_metadata.file_path"))
+    except Exception:
+        src = df.withColumn("__src_path", F.input_file_name())
     return (
-        df.withColumn("island",
-                      F.regexp_extract(F.input_file_name(), _PATH_PATTERN, 1))
+        src.withColumn("island",
+                       F.regexp_extract("__src_path", _PATH_PATTERN, 1))
         .withColumn("location_name",
-                    F.regexp_extract(F.input_file_name(), _PATH_PATTERN, 2))
+                    F.regexp_extract("__src_path", _PATH_PATTERN, 2))
+        .drop("__src_path")
         .filter(
             F.col("island").isNotNull() & (F.length("island") > 0)
             & F.col("location_name").isNotNull() & (F.length("location_name") > 0)

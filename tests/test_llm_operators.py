@@ -220,6 +220,37 @@ def test_ivf_query_uses_persisted_quantizer(spark, sf_dir):
     assert "LocalRelation" not in plan, plan
 
 
+def test_greedy_packing_invariants(spark, sf_dir):
+    """Hard-cap packing: every pack ≤ budget, chunk multiset preserved vs
+    the chunker output, pack ids contiguous within a bucket."""
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+
+    chunks = REGISTRY["q_text_chunking"].fn(spark, sf_dir)
+    packed = REGISTRY["q_pack_sequences_greedy"].fn(spark, sf_dir).cache()
+
+    assert packed.count() == chunks.count()
+    assert (packed.select("doc_id", "chunk_idx").distinct().count()
+            == chunks.select("doc_id", "chunk_idx").distinct().count())
+
+    sums = packed.groupBy("pack_id").agg(
+        F.sum("chunk_tokens").alias("tot")).collect()
+    assert all(r["tot"] <= 512 for r in sums), \
+        [r for r in sums if r["tot"] > 512][:3]
+    # packs are well-filled, not degenerate one-chunk bins (chunk=40,
+    # budget=512 → a full pack is 12 chunks = 480 tokens; per-bucket tail
+    # packs pull the median just under that)
+    import statistics
+    assert statistics.median([r["tot"] for r in sums]) >= 440
+
+    # contiguous pack ids within each bucket
+    by_bucket = {}
+    for r in sums:
+        b, p = r["pack_id"] >> 32, r["pack_id"] & 0xFFFFFFFF
+        by_bucket.setdefault(b, set()).add(p)
+    for b, ps in by_bucket.items():
+        assert ps == set(range(len(ps))), (b, sorted(ps)[:5])
+
+
 def test_corpus_curation_invariants(spark, docs):
     from canary_weather_etl_spark.operators import text as T
     from canary_weather_etl_spark.operators.pipeline import curate_corpus

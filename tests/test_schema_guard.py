@@ -33,6 +33,24 @@ def test_duplicate_detection_and_repair(spark):
     assert (row["Temp"], row["temp_dup1"], row["y"], row["y_dup1"]) == (1, 2, 3, 4)
 
 
+def test_positional_repair_reference_parity(spark):
+    """The reference's literal `_1/_2` scheme (README.md:1462-1476): every
+    occurrence of a duplicated name is suffixed positionally; unique
+    columns keep their names."""
+    df = spark.range(3).select(
+        F.col("id").alias("x"),
+        F.lit(1).alias("Temp"),
+        F.lit(2).alias("temp"),
+        F.lit(3).alias("y"),
+        F.lit(4).alias("y"),
+    )
+    fixed = G.repair_duplicate_columns_positional(df)
+    assert fixed.columns == ["x", "Temp_1", "temp_2", "y_1", "y_2"]
+    assert G.duplicate_columns(fixed) == []
+    row = fixed.collect()[0]
+    assert (row["Temp_1"], row["temp_2"], row["y_1"], row["y_2"]) == (1, 2, 3, 4)
+
+
 def test_batch_compatibility_gate(spark):
     table_schema = StructType([
         StructField("location", StringType()),
