@@ -167,6 +167,37 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM (SELECT c_custkey, c_nationkey FROM customer) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+    doc="Full-outer join: nations having only customers, only suppliers, "
+        "or both each keep a row (the coverage-reconciliation shape — "
+        "which side of a feed is missing entities). At scale: one "
+        "sort-merge shuffle on the key; neither side broadcastable for a "
+        "full-outer, so AQE handles skew.",
+    tags=("join",),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                "c_custkey", "s_suppkey")
+        .groupBy("nationkey")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"),
+             F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
     "q_cross_join",
     oracle="""
     SELECT r_name, n_name

@@ -549,6 +549,41 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_corpus_shuffle_shards",
+    oracle="""
+    SELECT doc_id,
+           CAST(((doc_id * 2654435761) % 4294967296) % 256 AS BIGINT)
+               AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY ((doc_id * 2654435761) % 4294967296) % 256
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ) AS BIGINT) - 1 AS pos_in_shard
+    FROM documents
+    """,
+    doc="Deterministic corpus shuffle into training shards: a Knuth "
+        "multiplicative-hash permutation key assigns each doc a shard "
+        "(key % 256) and a position within it (window over the shard — "
+        "per-shard state, never a global single-partition window). The "
+        "training-order randomization step of a data pipeline, seedable "
+        "and reproducible across engines (no rand()); at 100 TB shard "
+        "count scales with corpus so per-shard windows stay bounded.",
+    tags=("llm", "pipeline", "shuffle"),
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_par(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    keyed = d.select("doc_id", key.alias("k"),
+                     (key % 256).cast("bigint").alias("shard"))
+    w = Window.partitionBy("shard").orderBy(F.asc("k"), F.asc("doc_id"))
+    return (keyed
+            .withColumn("pos_in_shard",
+                        (F.row_number().over(w) - 1).cast("bigint"))
+            .select("doc_id", "shard", "pos_in_shard"))
+
+
 _PACK_SQL = r"""
     WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

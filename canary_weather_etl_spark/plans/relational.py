@@ -353,3 +353,98 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
     )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           list_sort(list(c_custkey)) AS custkeys
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Array-building aggregates: collect_set / collect_list. Both are "
+        "order-nondeterministic after a shuffle, so the engine contract is "
+        "array_sort on top — the deterministic form a downstream consumer "
+        "can rely on (and the form the oracle can check). State grows with "
+        "group size: at 100 TB keep collected groups bounded (these are "
+        "per-nation lists, not per-corpus).",
+    tags=("agg", "array"),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        )
+    )
+
+
+@register(
+    "q_agg_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, CAST(o_totalprice*100 AS BIGINT)*10000000000
+                               + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey, CAST(o_totalprice*100 AS BIGINT)*10000000000
+                               + o_orderkey) AS cheapest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="min_by / max_by (argmin/argmax aggregates). Raw max_by is "
+        "nondeterministic on value ties, so the ordering key is the "
+        "composite (price-in-cents, orderkey) packed into one bigint — "
+        "tie-broken, engine-portable, still a single partial+final hash "
+        "aggregate (8 bytes of state per group per agg).",
+    tags=("agg",),
+)
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    composite = (F.col("o_totalprice") * 100).cast("bigint") \
+        * F.lit(10_000_000_000) + F.col("o_orderkey")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", composite).alias("priciest_order"),
+            F.min_by("o_orderkey", composite).alias("cheapest_order"),
+        )
+    )
+
+
+@register(
+    "q_median_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 1e4 + 0.5) / 1e4
+               AS median_price,
+           FLOOR(quantile_cont(o_totalprice, 0.9) * 1e4 + 0.5) / 1e4
+               AS p90_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (median, p90) via percentile() — "
+        "both engines use linear interpolation between closest ranks. "
+        "Exact percentile needs the group's values materialized (unlike "
+        "sum/avg): at 100 TB use q_percentiles' approx_percentile sketch "
+        "for corpus-wide cuts and keep exact percentiles for bounded "
+        "groups. Rounded at 1e-4: interpolation arithmetic differs in "
+        "operation order between engines.",
+    tags=("agg", "percentile"),
+)
+def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import round_det
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            round_det(F.expr("percentile(o_totalprice, 0.5)"), 4)
+            .alias("median_price"),
+            round_det(F.expr("percentile(o_totalprice, 0.9)"), 4)
+            .alias("p90_price"),
+        )
+    )
