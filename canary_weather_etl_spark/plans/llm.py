@@ -836,6 +836,50 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_dup_lines",
+    oracle=r"""
+    WITH lines AS (
+        SELECT doc_id, trim(l) AS line
+        FROM (SELECT doc_id, unnest(string_split(text, '.')) AS l
+              FROM documents)
+        WHERE trim(l) != ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines,
+           1.0 - CAST(COUNT(DISTINCT line) AS DOUBLE) / COUNT(*)
+               AS dup_line_ratio,
+           (1.0 - CAST(COUNT(DISTINCT line) AS DOUBLE) / COUNT(*)) > 0.3
+               AS too_duplicated
+    FROM lines GROUP BY doc_id
+    """,
+    doc="Duplicate-line fraction (Gopher quality suite, alongside the "
+        "trigram repetition filter): sentence-split on '.', drop empties, "
+        "fraction of repeated lines per doc — catches boilerplate / "
+        "templated pages whose repetition is line-structured rather than "
+        "n-gram-structured. Row-wise array ops + one per-doc aggregate.",
+    tags=("llm", "text", "quality"),
+)
+def q_text_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    lines = (
+        d.select("doc_id",
+                 F.explode(F.split(F.col("text"), r"\.")).alias("l"))
+        .select("doc_id", F.trim("l").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.countDistinct("line").alias("n_distinct_lines"))
+        .withColumn("dup_line_ratio",
+                    1.0 - F.col("n_distinct_lines").cast("double")
+                    / F.col("n_lines"))
+        .withColumn("too_duplicated", F.col("dup_line_ratio") > 0.3)
+    )
+
+
+@register(
     "q_cosine_pairs_exact",
     oracle="""
     WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),

@@ -162,6 +162,28 @@ def test_stream_sliding_equals_batch(spark, events_dir, sf_dir):
     assert got == exp
 
 
+def test_stream_stream_join_equals_batch(spark, events_dir, sf_dir):
+    """Watermarked stream-stream interval join (purchase ← preceding
+    clicks within 30 min per user) must equal the batch join with the
+    identical condition once the backlog drains."""
+    schema = spark.read.parquet(events_dir).schema
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "purchase"),
+                df.filter(F.col("event_type") == "click"))
+
+    sl, sr = split(J.read_events_stream(spark, events_dir, schema,
+                                        max_files_per_trigger=1))
+    _run_to_memory(J.stream_stream_join(sl, sr), "ssjoin", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssjoin").collect()}
+
+    bl, br = split(load(spark, sf_dir, "events"))
+    exp = {tuple(r) for r in
+           J.stream_stream_join(bl, br).collect()}  # batch frames: same fn
+    assert len(exp) > 0, "fixture produced no attribution pairs"
+    assert got == exp
+
+
 def test_stream_corpus_dedupe_by_fingerprint(spark, tmp_path):
     """Streaming corpus curation: exact-dup documents arriving across
     micro-batches are dropped on the content fingerprint within the
