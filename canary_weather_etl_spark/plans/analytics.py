@@ -350,3 +350,88 @@ def q_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
                 F.col("n").isNull().alias("gap"))
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_view_then_click,
+           CAST(COUNT(CASE WHEN t_buy > t_click AND t_click > t_view
+                           THEN 1 END) AS BIGINT)
+               AS n_full_funnel
+    FROM u
+    """,
+    doc="Funnel conversion (view → click → purchase, strictly ordered "
+        "first-occurrence times per user): one hash aggregate computes all "
+        "three stage timestamps simultaneously (conditional MIN — no "
+        "per-stage scan, no self-join), then a single-row rollup. At "
+        "100 TB: the per-user agg is the only shuffle; stage predicates "
+        "ride in the same aggregate.",
+    tags=("analytics", "events"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+             .alias("t_view"),
+             F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+             .alias("t_click"),
+             F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+             .alias("t_buy"))
+    )
+    return u.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .alias("n_view_then_click"),
+        F.count(F.when((F.col("t_buy") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention: users grouped by first-seen day; distinct "
+        "active users per (cohort, day-offset). Two hash aggregates and "
+        "one equi-join on user_id — the firsts side is one row per user "
+        "(broadcastable at dimension scale, shuffled at corpus scale); "
+        "no window, no per-day scan.",
+    tags=("analytics", "events"),
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    activity = (
+        ev.join(firsts, on="user_id")
+        .select("user_id", "cohort_day",
+                F.datediff(F.to_date("ts"), F.col("cohort_day"))
+                .alias("day_offset"))
+        .distinct()
+    )
+    return (activity.groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_active_users")))
