@@ -435,3 +435,43 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (activity.groupBy("cohort_day", "day_offset")
             .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+def _duck_spread(v: str) -> str:
+    """DuckDB twin of operators/layout.spread_bits16 (same magic masks)."""
+    e = f"({v} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_partkey % 65536 AS BIGINT) AS xq,
+           CAST(l_suppkey % 65536 AS BIGINT) AS yq,
+           CAST({_duck_spread('(l_partkey % 65536)')}
+                | ({_duck_spread('(l_suppkey % 65536)')} << 1)
+                AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+    doc="Z-order (Morton) layout key over (partkey, suppkey) — "
+        "operators/layout.zorder_key2: 4 shift+mask spreading steps per "
+        "dimension, pure codegen'd bit math. Sorting a 100 TB table by "
+        "this key before write makes parquet min/max stats tight in BOTH "
+        "columns, so predicates on either dimension skip row groups "
+        "(the Delta OPTIMIZE ZORDER / Iceberg sort-order trick as a "
+        "plain expression; writer in operators/layout.write_zordered).",
+    tags=("layout", "scale"),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key2
+    li = load(spark, sf_dir, "lineitem")
+    xq = (F.col("l_partkey") % 65536).alias("xq")
+    yq = (F.col("l_suppkey") % 65536).alias("yq")
+    return li.select(
+        "l_orderkey", "l_linenumber", xq, yq,
+        zorder_key2(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )

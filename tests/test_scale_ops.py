@@ -105,3 +105,34 @@ def test_stratified_sample_proportions(spark, sf_dir):
     again = REGISTRY["q_stratified_sample"].fn(spark, sf_dir)
     assert sorted(r["doc_id"] for r in out.collect()) == \
            sorted(r["doc_id"] for r in again.collect())
+
+
+def test_zorder_write_tiles_the_curve(spark, tmp_path):
+    """write_zordered: content-invisible, and the range partitioning tiles
+    the Z-curve — per-file zkey ranges are disjoint, which is what makes
+    min/max stats prunable in both dimensions."""
+    from pyspark.sql import functions as F
+
+    from canary_weather_etl_spark.operators.layout import (
+        write_zordered, zorder_key2)
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"))
+    out = str(tmp_path / "z")
+    write_zordered(df.repartition(8), out, "x", "y", n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 4096
+    assert ({tuple(r) for r in back.collect()}
+            == {tuple(r) for r in df.collect()})
+
+    # per-file key ranges must not overlap (repartitionByRange contract)
+    ranges = (back.withColumn("f", F.col("_metadata.file_path"))
+              .withColumn("z", zorder_key2(F.col("x"), F.col("y")))
+              .groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+              .collect())
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert len(spans) > 1
+    for (l0, h0), (l1, h1) in zip(spans, spans[1:]):
+        assert h0 <= l1, spans
