@@ -20,6 +20,33 @@ from .dedup import lsh_candidate_pairs, minhash_signatures_from_sets, shingle_se
 from .text import lang_id, quality_ok
 
 
+def observed_quality_gate(docs: DataFrame, text_col: str = "text",
+                          min_tokens: int = 20,
+                          keep_langs: tuple[str, ...] = ("en", "und")):
+    """Quality + language gate with its bookkeeping attached as OBSERVED
+    metrics on the same pass (`df.observe`): rows-in, quality failures,
+    language failures, rows-out accumulate while the filter streams — no
+    second scan per metric (at 100 TB a per-stage `count()` re-executes
+    the lineage; observation is free).
+
+    Returns (gated_df, observation). Metrics are available on the
+    Observation after the first action on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    q_ok = quality_ok(text_col, min_tokens=min_tokens)
+    l_ok = lang_id(text_col).isin(*keep_langs)
+    obs = Observation("quality_gate")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count(F.when(~q_ok, 1)).alias("quality_fail"),
+        F.count(F.when(q_ok & ~l_ok, 1)).alias("lang_fail"),
+        F.count(F.when(q_ok & l_ok, 1)).alias("rows_out"),
+    )
+    return observed.filter(q_ok & l_ok), obs
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

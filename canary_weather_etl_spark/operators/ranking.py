@@ -1,0 +1,65 @@
+"""Distributed global ranking: contiguous 0-based global rank over a total
+order WITHOUT a single-partition window.
+
+`Window.orderBy(...)` (no partitionBy) funnels every row through one task —
+the classic scale-killer this repo's heavy-hitters fix removed. For ranks
+over the full table the scalable construction is:
+
+1. `repartitionByRange` on the order key — partitions tile the total order
+   (partition i's keys all precede partition i+1's).
+2. per-partition counts → cumulative offsets (one tiny driver-side list,
+   O(#partitions), same class as a broadcast dim).
+3. rank = per-partition `row_number` (window partitioned by partition id —
+   fully parallel) + the partition's offset.
+
+Two jobs over the data instead of one single-threaded sort: at 100 TB the
+count pass is a metadata-cheap scan and the rank pass is embarrassingly
+parallel. Determinism requires the order to be total — pass a tie-breaking
+key column list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_rank(df: DataFrame, order: list[Column],
+                n_partitions: int | None = None,
+                out_col: str = "global_rank") -> DataFrame:
+    """Attach a contiguous 0-based global rank under `order` (must be a
+    total order — include a unique tie-break column). Explicit
+    `n_partitions` pins the range partitioning (exempt from AQE
+    coalescing); defaults to the session's shuffle parallelism."""
+    from pyspark.sql import Window
+
+    n = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    # cache pins the range partitioning: RangePartitioner SAMPLES its
+    # boundaries, so the count job and the rank job would otherwise see
+    # different partitionings of a recomputed frame (ranks then gap or
+    # collide — observed, not hypothetical). At production scale replace
+    # the cache with a staged write or precomputed quantile boundaries.
+    ranged = (df.repartitionByRange(int(n), *order)
+              .withColumn("__pid", F.spark_partition_id())
+              .cache())
+
+    # offsets: one row per partition — driver-side scalars, O(#partitions)
+    counts = {r["__pid"]: r["n"] for r in
+              ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                       for x in kv]),
+        F.col("__pid"))
+
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (ranged
+            .withColumn(out_col,
+                        (F.row_number().over(w) - 1 + offset_expr)
+                        .cast("bigint"))
+            .drop("__pid"))

@@ -475,3 +475,28 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", xq, yq,
         zorder_key2(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
     )
+
+
+@register(
+    "q_global_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) - 1 AS global_rank
+    FROM orders
+    """,
+    doc="Contiguous global rank over a total order WITHOUT a "
+        "single-partition window (operators/ranking.global_rank): "
+        "repartitionByRange tiles the order across partitions, per-"
+        "partition row_number runs fully parallel, and O(#partitions) "
+        "offsets lift local ranks to global. The scalable form of "
+        "ROW_NUMBER() OVER (ORDER BY ...) — same result, no one-task "
+        "sort bottleneck.",
+    tags=("analytics", "rank", "scale"),
+)
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, [F.desc("o_totalprice"), F.asc("o_orderkey")],
+                         n_partitions=16)
+    return ranked.select("o_orderkey", "o_totalprice", "global_rank")

@@ -280,3 +280,20 @@ def test_corpus_curation_invariants(spark, docs):
     assert [c["chunk_idx"] for c in sample] == list(range(len(sample)))
     assert all(c["chunk_tokens"] == 40 for c in sample[:-1])
     assert all(len(c["chunk"].split()) == c["chunk_tokens"] for c in sample)
+
+
+def test_observed_quality_gate_one_pass_metrics(spark, docs):
+    """df.observe: gate bookkeeping rides the filtering pass itself; the
+    observed counts must equal independently computed ones."""
+    from canary_weather_etl_spark.operators import text as T
+    from canary_weather_etl_spark.operators.pipeline import (
+        observed_quality_gate)
+
+    gated, obs = observed_quality_gate(docs)
+    n_out = gated.count()  # first action materializes the observation
+    m = obs.get
+    assert m["rows_out"] == n_out
+    assert m["rows_in"] == docs.count()
+    exp_qfail = docs.filter(~T.quality_ok("text")).count()
+    assert m["quality_fail"] == exp_qfail
+    assert m["rows_in"] == m["quality_fail"] + m["lang_fail"] + m["rows_out"]
