@@ -10,6 +10,8 @@ one source of truth, two engines.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+                     # under `from __future__ import annotations`
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -775,6 +777,37 @@ def q_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = zscore_per_group(ev, "event_type", "value", "event_id")
     return out.select("event_id", "event_type",
                       round_det("zscore", 6).alias("zscore"))
+
+
+@register(
+    "q_pandas_scalar_score",
+    oracle="""
+    SELECT event_id,
+           FLOOR((1.0 / (1.0 + exp(-(value - 50.0) / 10.0))) * 1e6 + 0.5)
+               / 1e6 AS score
+    FROM events
+    """,
+    doc="Scalar Arrow pandas_udf surface (the third UDF mode next to the "
+        "grouped-map zscore and the mapInPandas multimodal path): a "
+        "vectorized numpy sigmoid over events.value, batched via Arrow — "
+        "the shape for per-row Python math that has no built-in "
+        "equivalent. Oracle is the same closed-form in SQL; rounded at 6 "
+        "(libm exp differs in the last ulps between engines).",
+    tags=("llm", "pandas", "udf"),
+)
+def q_pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sigmoid_score(v: pd.Series) -> pd.Series:
+        # self-contained: numpy imported inside (driver loads the entry
+        # module by path; workers can't import the repo package)
+        import numpy as np
+        return 1.0 / (1.0 + np.exp(-(v - 50.0) / 10.0))
+
+    ev = load_par(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     round_det(sigmoid_score("value"), 6).alias("score"))
 
 
 @register(
