@@ -448,3 +448,32 @@ def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p90_price"),
         )
     )
+
+
+@register(
+    "q_hll_sketch_merge",
+    oracle=None,  # sketch binary is engine-specific; error bound in pytest
+    doc="Mergeable distinct-count sketches (Datasketches HLL, Spark 4 "
+        "hll_sketch_agg/hll_union_agg): per-priority user sketches built "
+        "once, then MERGED to the corpus-wide estimate without re-scanning "
+        "rows — the pre-aggregated-sketch-table pattern that turns "
+        "100 TB distinct-count dashboards into KB-sized unions. Output: "
+        "per-priority estimates + one merged ALL row; pytest bounds the "
+        "relative error vs exact.",
+    tags=("agg", "approx", "sketch"),
+)
+def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    sketches = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .cache()  # the tiny sketch table IS the reusable artifact
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"))
+    merged = (sketches
+              .agg(F.hll_union_agg("sk").alias("sk"))
+              .select(F.lit("ALL").alias("o_orderpriority"),
+                      F.hll_sketch_estimate("sk").alias("approx_customers")))
+    return per_group.unionByName(merged)

@@ -136,3 +136,19 @@ def test_zorder_write_tiles_the_curve(spark, tmp_path):
     assert len(spans) > 1
     for (l0, h0), (l1, h1) in zip(spans, spans[1:]):
         assert h0 <= l1, spans
+
+
+def test_hll_sketch_merge_error_bound(spark, sf_dir):
+    """Merged HLL estimate must sit within 5% of the exact distinct count,
+    and the ALL row must come from the union of per-group sketches (>= any
+    single group's estimate)."""
+    from pyspark.sql import functions as F
+
+    from canary_weather_etl_spark.plans.registry import REGISTRY, load
+
+    rows = {r["o_orderpriority"]: r["approx_customers"] for r in
+            REGISTRY["q_hll_sketch_merge"].fn(spark, sf_dir).collect()}
+    exact = (load(spark, sf_dir, "orders")
+             .agg(F.countDistinct("o_custkey")).collect()[0][0])
+    assert abs(rows["ALL"] - exact) / exact < 0.05, (rows["ALL"], exact)
+    assert rows["ALL"] >= max(v for k, v in rows.items() if k != "ALL")
