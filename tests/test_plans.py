@@ -65,3 +65,42 @@ def test_window_single_shuffle(spark, sf_dir):
     # one exchange for the window partitionBy; AQE may add a read marker
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"window expected exactly one shuffle, got {n_exchange}"
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """Spark-first physical control: hints select the join implementation
+    without touching semantics — MERGE forces SortMergeJoin where AQE
+    would broadcast, SHUFFLE_HASH forces ShuffledHashJoin. The lever for
+    overriding Catalyst when table stats mislead it at 100 TB."""
+    from canary_weather_etl_spark.plans.registry import load
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    merged = c.join(n.hint("merge"), c.c_nationkey == n.n_nationkey)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+
+    hashed = c.join(n.hint("shuffle_hash"), c.c_nationkey == n.n_nationkey)
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+
+    # same rows under every strategy (semantics-invisible)
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in hashed.collect()}
+    base = {tuple(r) for r in
+            c.join(n, c.c_nationkey == n.n_nationkey).collect()}
+    assert a == b == base
+
+
+def test_global_rank_no_single_partition_window(spark, sf_dir):
+    """q_global_rank's windows must all be partitioned (by __pid) — no
+    empty partitionBy window funneling the table through one task."""
+    import re
+
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+    df = REGISTRY["q_global_rank"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "__pid" in spec, f"unpartitioned window: {spec}"
