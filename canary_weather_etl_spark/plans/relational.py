@@ -355,24 +355,12 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_agg_collect",
-    oracle="""
-    SELECT n_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
-           list_sort(list(c_custkey)) AS custkeys
-    FROM nation JOIN customer ON c_nationkey = n_nationkey
-    GROUP BY n_nationkey
-    """,
-    doc="Array-building aggregates: collect_set / collect_list. Both are "
-        "order-nondeterministic after a shuffle, so the engine contract is "
-        "array_sort on top — the deterministic form a downstream consumer "
-        "can rely on (and the form the oracle can check). State grows with "
-        "group size: at 100 TB keep collected groups bounded (these are "
-        "per-nation lists, not per-corpus).",
-    tags=("agg", "array"),
-)
-def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw array-typed form of q_agg_collect — collect_set / collect_list
+    with array_sort determinism. Kept as the engine surface (and the pytest
+    target in test_properties.py); the registered query serializes the
+    arrays because the driver's canonicalizer cannot hash list-typed cells.
+    """
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     return (
@@ -382,6 +370,38 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
             F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
         )
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ' ')
+               AS segments,
+           array_to_string(list_sort(list(c_custkey)), ' ') AS custkeys
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    doc="Array-building aggregates: collect_set / collect_list. Both are "
+        "order-nondeterministic after a shuffle, so the engine contract is "
+        "array_sort on top — the deterministic form a downstream consumer "
+        "can rely on. The registered query ships the sorted arrays joined "
+        "to strings (driver's value-hash canonicalizer cannot hash "
+        "list-typed cells); `agg_collect_arrays` above is the raw array "
+        "surface. State grows with group size: at 100 TB keep collected "
+        "groups bounded (these are per-nation lists, not per-corpus).",
+    tags=("agg", "array"),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort in native element order FIRST, then stringify — '10' < '9' as
+    # text, so casting before the sort would diverge from list_sort(int)
+    arrays = agg_collect_arrays(spark, sf_dir)
+    return arrays.select(
+        "n_nationkey",
+        F.array_join("segments", " ").alias("segments"),
+        F.array_join(F.transform("custkeys", lambda x: x.cast("string")),
+                     " ").alias("custkeys"),
     )
 
 

@@ -105,3 +105,19 @@ def test_bucketed_range_join_matches_naive(spark, errors, buys):
             for j, (bk, bt) in enumerate(buys)
             if ek == bk and et - delta <= bt <= et}
     assert got == want
+
+
+def test_agg_collect_arrays_matches_serialized(spark):
+    """The raw array surface (agg_collect_arrays) and the driver-facing
+    string form (q_agg_collect) must agree: joining the sorted arrays with
+    ' ' reproduces the registered query's cells exactly."""
+    from canary_weather_etl_spark.plans.relational import (
+        agg_collect_arrays, q_agg_collect)
+
+    sf = "/root/testdata/sf0.001"
+    raw = {r["n_nationkey"]: r for r in agg_collect_arrays(spark, sf).collect()}
+    ser = {r["n_nationkey"]: r for r in q_agg_collect(spark, sf).collect()}
+    assert raw.keys() == ser.keys() and len(raw) > 0
+    for k in raw:
+        assert " ".join(raw[k]["segments"]) == ser[k]["segments"]
+        assert " ".join(str(x) for x in raw[k]["custkeys"]) == ser[k]["custkeys"]
