@@ -269,9 +269,15 @@ def simhash_candidate_pairs(sim: DataFrame, bits: int = 32,
 
     Input: (doc, simhash). Output: distinct (a, b) with a < b.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_bands = max_hamming + 1
     width = -(-bits // n_bands)  # ceil — last band may be narrower
-    mask = (1 << width) - 1
+    # width == 64 (bits=64, max_hamming=0): (1 << 64) - 1 overflows the
+    # signed long F.lit builds — all-bits-set is -1 in two's complement
+    mask = -1 if width >= 64 else (1 << width) - 1
     banded = sim.select(
         "doc",
         F.posexplode(F.array(*[

@@ -35,14 +35,19 @@ def global_rank(df: DataFrame, order: list[Column],
 
     n = n_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")
-    # cache pins the range partitioning: RangePartitioner SAMPLES its
-    # boundaries, so the count job and the rank job would otherwise see
-    # different partitionings of a recomputed frame (ranks then gap or
-    # collide — observed, not hypothetical). At production scale replace
-    # the cache with a staged write or precomputed quantile boundaries.
+    # localCheckpoint (eager) pins the range partitioning: RangePartitioner
+    # SAMPLES its boundaries, so the count job and the rank job would
+    # otherwise see different partitionings of a recomputed frame (ranks
+    # then gap or collide — observed, not hypothetical). Unlike cache(),
+    # a checkpoint severs lineage: if the materialized blocks are lost the
+    # job FAILS instead of silently recomputing with fresh boundaries
+    # (ADVICE r2 — cache eviction yielded gapped/duplicated ranks), and the
+    # blocks are released when the frame is garbage-collected rather than
+    # accumulating across calls. At production scale a staged table write
+    # gives the same pinning with executor-loss resilience.
     ranged = (df.repartitionByRange(int(n), *order)
               .withColumn("__pid", F.spark_partition_id())
-              .cache())
+              .localCheckpoint(eager=True))
 
     # offsets: one row per partition — driver-side scalars, O(#partitions)
     counts = {r["__pid"]: r["n"] for r in

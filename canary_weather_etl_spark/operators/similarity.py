@@ -215,11 +215,21 @@ def persist_ivf_quantizer(embeddings: DataFrame, path: str, n_lists: int = 8,
     same corpus is deterministic, so the persisted table is reproducible.
     Returns the centroid DataFrame (always read back from the table, so
     query plans reference the parquet scan, not a fit job)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
     spark = embeddings.sparkSession
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        pass
+    # trust the table only if the write committed (_SUCCESS): a crashed
+    # prior write leaves a partial directory that parquet would happily
+    # read as a short centroid table (ADVICE r2)
+    committed = (not path.startswith("/")  # non-local FS: trust the catalog
+                 or os.path.isfile(os.path.join(path, "_SUCCESS")))
+    if committed:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            pass  # path missing → train below; other errors surface
     cdf = train_ivf_quantizer(embeddings, n_lists, id_col, vec_col, seed)
     cdf.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -52,8 +52,10 @@ _DRIVER_PRIORITY = (
     "q_map_type_ops", "q_from_json", "q_text_chunking",
     "q_corpus_shuffle_shards", "q_text_clean_redact",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
-    "q_text_dup_lines", "q_cosine_pairs_exact", "q_heavy_hitters",
+    "q_text_dup_lines", "q_cosine_pairs_exact",
     "q_sim_ann_recall",
+    # round-3-new: the stream-stream interval join's batch twin
+    "q_interval_join_batch",
 )
 
 

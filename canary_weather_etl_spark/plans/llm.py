@@ -410,14 +410,18 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_quantizer_path(sf_dir: str) -> str:
     """Deterministic per-corpus location for the persisted quantizer —
-    the stand-in for a catalog table at production scale."""
+    the stand-in for a catalog table at production scale. Scoped by uid so
+    shared-tempdir hosts don't collide across users (ADVICE r2); same-user
+    concurrent runs are safe because training is seed-deterministic and
+    `persist_ivf_quantizer` only trusts a committed (_SUCCESS) table."""
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(),
-                        f"canary_ivf_quantizer_{tag}.parquet")
+                        f"canary_ivf_u{os.getuid()}",
+                        f"quantizer_{tag}.parquet")
 
 
 @register(
@@ -498,11 +502,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                           T.TOKEN_SPLIT_RE)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = d.count()  # tiny driver-side scalar; at scale: a broadcast agg
+    # corpus size rides along as a broadcast one-row aggregate — plan
+    # construction triggers no job (VERDICT r2 item 4: d.count() here was
+    # a driver round-trip mid-build)
+    n_df = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     scored = (
         tf.join(F.broadcast(df_), on="term")
+        .crossJoin(F.broadcast(n_df))
         .withColumn("tfidf",
-                    round_det(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6))
+                    round_det(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6))
+        .drop("__n")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

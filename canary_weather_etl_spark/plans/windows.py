@@ -247,6 +247,38 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_interval_join_batch",
+    oracle="""
+    SELECT l.user_id AS user_id,
+           l.event_id AS left_event_id, l.ts AS left_ts,
+           r.event_id AS right_event_id, r.ts AS right_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+     AND r.ts <= l.ts
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """,
+    doc="The stream-stream interval join (streaming/jobs.py "
+        "stream_stream_join) exercised THROUGH THE STREAMING OPERATOR in "
+        "batch mode — withWatermark is a no-op on batch frames, so the "
+        "registered plan is literally the streaming code path: purchases "
+        "joined to same-user clicks within the preceding 30 minutes (the "
+        "attribution shape). In streaming the time bound lets Spark evict "
+        "buffered state past the watermark; here it lets the oracle check "
+        "the join semantics exactly.",
+    tags=("temporal", "streaming", "join"),
+)
+def q_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stream_stream_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return stream_stream_join(purchases, clicks, key="user_id",
+                              max_delay="30 minutes")
+
+
+@register(
     "q_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

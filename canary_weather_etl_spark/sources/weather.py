@@ -259,6 +259,7 @@ def upsert_clean(spark: SparkSession, table_path: str, new_batch: DataFrame,
     the combined frame lands in staging first; at production scale this is
     where an ACID table format (Iceberg/Delta MERGE) slots in.
     """
+    recover_pending_promotes(table_path)
     existing = spark.read.parquet(table_path)
     if validate_schema:
         # drift gate (B6's schema introspection, README.md:1248-1262): fail
@@ -321,14 +322,7 @@ def promote_staged(staging: str, table_path: str,
     marker = os.path.join(staging, "_PROMOTE_PENDING")
     open(marker, "w").close()
     if not partitioned:
-        # unpartitioned: whole-directory swap via sibling rename
-        old = f"{table_path}__old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(table_path):
-            os.rename(table_path, old)
-        os.remove(marker)
-        shutil.move(staging, table_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _promote_unpartitioned(staging, table_path)
         return
     # collect leaf partition dirs (they contain data files) before moving
     leaves = []
@@ -346,6 +340,94 @@ def promote_staged(staging: str, table_path: str,
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _promote_unpartitioned(staging: str, table_path: str) -> None:
+    """Whole-table swap with no reader-visible gap: the staged copy becomes
+    a versioned sibling directory (`<table>__v<N>`) and `table_path` is an
+    atomically-replaced symlink pointing at the current version (ADVICE r2:
+    the previous rename-away-then-move-in sequence had a window where the
+    live table did not exist). The `_PROMOTE_PENDING` marker travels with
+    the data until the pointer flip lands, so recovery can finish from any
+    crash point. One-time migration: if `table_path` is still a real
+    directory (pre-symlink layout), it is renamed aside before the first
+    flip — that single migration retains a microscopic no-table window;
+    every later promote is one atomic `os.replace` on the symlink.
+    """
+    import os
+    import shutil
+
+    versions = _list_versions(table_path)
+    vdir = f"{table_path}__v{(max(versions) if versions else 0) + 1}"
+    shutil.move(staging, vdir)  # marker rides along; staging name freed
+    _flip_pointer(table_path, vdir)
+    os.remove(os.path.join(vdir, "_PROMOTE_PENDING"))
+    # GC superseded versions (never the one the pointer targets)
+    for n in versions:
+        old = f"{table_path}__v{n}"
+        if os.path.realpath(old) != os.path.realpath(table_path):
+            shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(f"{table_path}__old", ignore_errors=True)
+
+
+def _list_versions(table_path: str) -> list[int]:
+    import glob
+    import os
+
+    out = []
+    for p in glob.glob(f"{table_path}__v*"):
+        suffix = p[len(table_path) + 3:]
+        if suffix.isdigit() and os.path.isdir(p):
+            out.append(int(suffix))
+    return sorted(out)
+
+
+def _flip_pointer(table_path: str, vdir: str) -> None:
+    import os
+
+    tmp_link = f"{table_path}__ptr_tmp"
+    if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.abspath(vdir), tmp_link)
+    if os.path.isdir(table_path) and not os.path.islink(table_path):
+        # legacy real-directory layout: rename aside once, then flip
+        old = f"{table_path}__old"
+        import shutil
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(table_path, old)
+    os.replace(tmp_link, table_path)  # atomic for symlink/file targets
+
+
+def recover_pending_promotes(table_path: str) -> list[str]:
+    """Finish any promote interrupted by a crash, BEFORE reading or staging
+    against the table (ADVICE r2: upsert_clean used to read a half-promoted
+    table and a fresh write to the default staging path silently discarded
+    the unfinished promote). Scans the module's staging suffixes plus
+    versioned dirs for a `_PROMOTE_PENDING` marker and re-runs the promote
+    to completion. Returns the paths it recovered. Custom `staging_path`
+    arguments outside these conventions are the caller's responsibility.
+    """
+    import os
+
+    recovered = []
+    for suffix in ("__staging", "__compact_staging", "__scd2_staging"):
+        s = f"{table_path}{suffix}"
+        if os.path.isfile(os.path.join(s, "_PROMOTE_PENDING")):
+            entries = [e for e in os.listdir(s)
+                       if os.path.isdir(os.path.join(s, e))]
+            partitioned = any("=" in e for e in entries)
+            promote_staged(s, table_path, partitioned=partitioned)
+            recovered.append(s)
+    # crash after the staged dir became a version but before the pointer flip
+    for n in _list_versions(table_path):
+        vdir = f"{table_path}__v{n}"
+        marker = os.path.join(vdir, "_PROMOTE_PENDING")
+        if os.path.isfile(marker):
+            if os.path.realpath(table_path) != os.path.realpath(vdir):
+                _flip_pointer(table_path, vdir)
+            os.remove(marker)
+            recovered.append(vdir)
+    return recovered
+
+
 def compact_partitions(spark: SparkSession, table_path: str,
                        partitions_predicate=None,
                        target_files_per_partition: int = 1) -> None:
@@ -359,6 +441,7 @@ def compact_partitions(spark: SparkSession, table_path: str,
     stay byte-identical, same guarantee as `upsert_clean`. At production
     scale this runs per-partition-group on a schedule, not table-wide.
     """
+    recover_pending_promotes(table_path)
     df = spark.read.parquet(table_path)
     if partitions_predicate is not None:
         df = df.filter(partitions_predicate)
@@ -388,6 +471,7 @@ def upsert_scd2(spark: SparkSession, table_path: str, new_batch: DataFrame,
     ``WHERE effective_to IS NULL``; a time-travel view is
     ``WHERE effective_from <= t AND (effective_to > t OR effective_to IS NULL)``.
     """
+    recover_pending_promotes(table_path)
     ts = F.lit(batch_ts).cast("timestamp")
     existing = spark.read.parquet(table_path)
     part_cols = [c for c in PARTITION_COLS if c in existing.columns]

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Second-decade bench point for the headline queries (SCALE.md evidence).
+
+Amplifies every table a headline (bench=True) query touches to 10x sf0.1
+under /tmp/bench_10x/, preserving join relationships:
+
+- lineitem/orders/customer: copy i shifts the orderkey/custkey PK-FK pairs
+  by i*KEYSHIFT (joins stay 1:N within a copy, never across copies);
+  c_nationkey is NOT shifted, so dimension joins (nation/region, copied
+  verbatim) still resolve.
+- events: copy i shifts event_id and user_id — 10x more users at the same
+  per-user event density, the natural growth model for as-of/range joins
+  and sessionization (per-key work constant, key count grows).
+- documents: copy i shifts doc_id and prefixes EVERY token (same rule as
+  scripts/scale_probe.py) so copies share no shingles — near-dup pair
+  counts grow linearly, not quadratically.
+- embeddings: copy i shifts vec_id; the fixture query set (vec_id < 5)
+  stays 5 queries against a 10x corpus.
+
+Then runs each headline query at sf0.1 and at the amplified dir in ONE
+warm session (best-of-N, default 2) and prints one JSON line per scale
+with per-query seconds — the input for SCALE.md's measured-decades table.
+
+Usage: python scripts/bench_scale.py [--reps N] [--mult M]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from canary_weather_etl_spark.plans import REGISTRY  # noqa: E402
+from canary_weather_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = "/tmp/bench_10x"
+KEYSHIFT = 100_000_000  # far above any sf0.1 key
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+# (table, columns to shift per copy)
+SHIFTS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def amplify(spark, mult: int) -> str:
+    if os.path.exists(os.path.join(OUT_DIR, "_DONE")):
+        return OUT_DIR
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for t in TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{OUT_DIR}/{t}.parquet"
+        if t not in SHIFTS:
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+            continue
+        base = spark.read.parquet(src)
+        copies = []
+        for i in range(mult):
+            c = base
+            for col in SHIFTS[t]:
+                c = c.withColumn(col, F.col(col) + F.lit(i * KEYSHIFT))
+            if t == "documents":
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}x$1"))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(dst)
+    open(os.path.join(OUT_DIR, "_DONE"), "w").close()
+    return OUT_DIR
+
+
+def run_set(spark, sf_dir: str, reps: int) -> dict[str, float]:
+    timings = {}
+    for name, spec in REGISTRY.items():
+        if not spec.bench:
+            continue
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    reps = int(args[args.index("--reps") + 1]) if "--reps" in args else 2
+    mult = int(args[args.index("--mult") + 1]) if "--mult" in args else 10
+
+    spark = get_spark("canary-bench-scale")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    big = amplify(spark, mult)
+    for label, d in (("sf0.1", SF_DIR), (f"{mult}x sf0.1", big)):
+        t = run_set(spark, d, reps)
+        print(json.dumps({"scale": label, "total": round(sum(t.values()), 3),
+                          "queries": t}))
+
+
+if __name__ == "__main__":
+    main()

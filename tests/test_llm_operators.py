@@ -297,3 +297,22 @@ def test_observed_quality_gate_one_pass_metrics(spark, docs):
     exp_qfail = docs.filter(~T.quality_ok("text")).count()
     assert m["quality_fail"] == exp_qfail
     assert m["rows_in"] == m["quality_fail"] + m["lang_fail"] + m["rows_out"]
+
+
+def test_simhash_banding_width64_and_validation(spark, docs):
+    """bits=64 with max_hamming=0 makes one 64-bit band — the all-bits mask
+    must not overflow the signed long (ADVICE r2); only identical
+    signatures may pair. Bad arguments fail loudly."""
+    import pytest
+
+    sim = D.simhash(docs, "doc_id", "text", bits=64)
+    pairs = {(r["a"], r["b"]) for r in
+             D.simhash_candidate_pairs(sim, bits=64, max_hamming=0).collect()}
+    sigs = {r["doc"]: r["simhash"] for r in sim.collect()}
+    want = {(a, b) for a in sigs for b in sigs if a < b and sigs[a] == sigs[b]}
+    assert pairs == want
+
+    with pytest.raises(ValueError, match=r"bits"):
+        D.simhash_candidate_pairs(sim, bits=65)
+    with pytest.raises(ValueError, match=r"max_hamming"):
+        D.simhash_candidate_pairs(sim, bits=32, max_hamming=-1)

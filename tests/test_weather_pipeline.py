@@ -251,3 +251,76 @@ def test_upsert_scd2_history_preserved(spark, tmp_path):
     W.upsert_scd2(spark, out, batch, keys=("location", "date"),
                   batch_ts="2024-03-01T00:00:00")
     assert spark.read.parquet(out).filter(F.col("effective_to").isNull()).count() == 7
+
+
+def test_upsert_recovers_abandoned_promote(spark, raw_dir, tmp_path):
+    """A staging dir left behind with _PROMOTE_PENDING (crash after staging,
+    before/mid promote) must be promoted to completion at the next
+    upsert_clean entry — not silently discarded by the fresh write."""
+    out = str(tmp_path / "clean")
+    om = W.read_open_meteo(spark, f"{raw_dir}/*/*/om*.json")
+    vc = W.read_visual_crossing(spark, f"{raw_dir}/*/*/vc*.json")
+    clean = W.build_clean(om, vc)
+    W.write_clean(clean, out)
+
+    # abandoned promote at the DEFAULT staging path: days 1-10 rewritten
+    # with bias=200 values, marker present, promote never ran
+    raw2 = str(tmp_path / "raw2")
+    _write_raw(raw2, _dates(1, 10), bias=200.0, suffix="b")
+    staged = W.build_clean(W.read_open_meteo(spark, f"{raw2}/*/*/om*.json"),
+                           W.read_visual_crossing(spark, f"{raw2}/*/*/vc*.json"))
+    staging = f"{out}__staging"
+    (staged.select(*spark.read.parquet(out).columns)
+           .write.mode("overwrite").partitionBy(*W.PARTITION_COLS)
+           .parquet(staging))
+    open(os.path.join(staging, "_PROMOTE_PENDING"), "w").close()
+
+    # next upsert (days 5-6, bias=50) must first finish the pending promote
+    raw3 = str(tmp_path / "raw3")
+    _write_raw(raw3, _dates(5, 6), bias=50.0, suffix="c")
+    batch = W.build_clean(W.read_open_meteo(spark, f"{raw3}/*/*/om*.json"),
+                          W.read_visual_crossing(spark, f"{raw3}/*/*/vc*.json"))
+    W.upsert_clean(spark, out, batch)
+
+    assert not os.path.exists(staging)
+    final = {(r["location"], str(r["date"])): r
+             for r in spark.read.parquet(out).collect()}
+    # day 2: recovered promote's values (bias=200) won over the original
+    assert final[("Tenerife/Vilaflor", "2024-01-02")]["temperature_2m_max"] >= 200
+    # day 5: the new batch (bias=50, in [50, 200)) won over everything
+    t5 = final[("Tenerife/Vilaflor", "2024-01-05")]["temperature_2m_max"]
+    assert 50 <= t5 < 200
+
+
+def test_unpartitioned_promote_versioned_swap(spark, tmp_path):
+    """Unpartitioned whole-table swap: the live path becomes a pointer to a
+    versioned directory, every promote flips it atomically, superseded
+    versions are garbage-collected, and the table is readable throughout."""
+    out = str(tmp_path / "t")
+    spark.range(10).write.parquet(out)
+
+    for i, n in enumerate((20, 30)):
+        staging = str(tmp_path / f"s{i}")
+        spark.range(n).write.parquet(staging)
+        W.promote_staged(staging, out, partitioned=False)
+        assert spark.read.parquet(out).count() == n
+        assert not os.path.exists(staging)
+
+    assert os.path.islink(out)  # pointer layout after first promote
+    versions = W._list_versions(out)
+    assert len(versions) == 1  # superseded versions GC'd
+
+
+def test_recover_pending_promotes_finishes_pointer_flip(spark, tmp_path):
+    """Crash window: staged data became a versioned dir (marker inside) but
+    the pointer never flipped — recovery must flip and clear the marker."""
+    out = str(tmp_path / "t")
+    spark.range(10).write.parquet(out)
+    vdir = f"{out}__v7"
+    spark.range(99).write.parquet(vdir)
+    open(os.path.join(vdir, "_PROMOTE_PENDING"), "w").close()
+
+    recovered = W.recover_pending_promotes(out)
+    assert vdir in recovered
+    assert spark.read.parquet(out).count() == 99
+    assert not os.path.exists(os.path.join(vdir, "_PROMOTE_PENDING"))
