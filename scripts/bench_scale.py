@@ -37,6 +37,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from canary_weather_etl_spark.plans import REGISTRY  # noqa: E402
+from canary_weather_etl_spark.plans.registry import load  # noqa: E402
 from canary_weather_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,12 +62,13 @@ def amplify(spark, mult: int) -> str:
         return OUT_DIR
     os.makedirs(OUT_DIR, exist_ok=True)
     for t in TABLES:
-        src = f"{SF_DIR}/{t}.parquet"
         dst = f"{OUT_DIR}/{t}.parquet"
+        # registry.load handles events' TIMESTAMP(NANOS) rebuild; the
+        # amplified copy is written back as standard micros
+        base = load(spark, SF_DIR, t)
         if t not in SHIFTS:
-            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+            base.write.mode("overwrite").parquet(dst)
             continue
-        base = spark.read.parquet(src)
         copies = []
         for i in range(mult):
             c = base
