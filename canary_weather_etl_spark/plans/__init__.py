@@ -19,6 +19,7 @@ from . import temporal_skew  # noqa: E402,F401  as-of join, skew mitigation
 from . import analytics   # noqa: E402,F401  range join, rollups, percentiles, moments
 from . import scalars_ext  # noqa: E402,F401  extended string/date scalar coverage
 from . import weather_ingest  # noqa: E402,F401  §2.1/2.9 ingestion differential
+from . import curation     # noqa: E402,F401  §2.11 split/mix/vocab/contamination
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round

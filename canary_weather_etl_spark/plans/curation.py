@@ -1,0 +1,223 @@
+"""Corpus-curation operators beyond dedup: the decisions a training-data
+pipeline makes BETWEEN cleaning and tokenization (BASELINE.json north_star;
+SURVEY.md §2.11). All four are oracled — the split/mix/vocab/contamination
+math is engine-portable by construction (md5 strings, integer-count
+divisions, total-order cuts), so DuckDB can check every row.
+
+Scale shapes:
+- hash split: row-wise projection, zero shuffle, stable under corpus
+  growth (a document's split never changes when new data arrives — the
+  property that keeps eval sets clean across refreshes).
+- mix weights: one partial+final agg to #domains rows + broadcast scalar.
+- vocab coverage: token explode → one agg → top-k vocab broadcast back.
+- contamination: gram equi-join, the standard decontamination shape; at
+  100 TB put a bloom filter of eval grams on the train side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import round_det
+from ..operators import dedup as D
+from .registry import load_par, register
+
+# 256 md5-prefix buckets, cut at 205/230 → ~80/10/10. String comparison on
+# two hex chars is identical in every engine — no numeric hash parity needed.
+_TRAIN_LT, _VAL_LT = "cd", "e6"
+
+
+@register(
+    "q_split_train_val",
+    oracle=f"""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_LT}'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_LT}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split (~80/10/10) by md5 of the "
+        "stable id: row-wise, shuffle-free, and GROWTH-STABLE — a doc's "
+        "split never changes as the corpus grows, unlike percentile- or "
+        "random()-based splits, so eval membership survives refreshes. "
+        "Thresholds are lexicographic cuts on the first two hex chars "
+        "(256 buckets); md5 agrees across engines, so the oracle checks "
+        "every assignment.",
+    tags=("llm", "curation", "split"),
+)
+def q_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _TRAIN_LT, "train")
+         .when(bucket < _VAL_LT, "val")
+         .otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q_domain_mix_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(sqrt(CAST(n_docs AS DOUBLE))) AS DOUBLE) AS z,
+               SUM(n_docs) AS n FROM counts
+    )
+    SELECT source, n_docs,
+           FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / z * 1e6 + 0.5) / 1e6
+               AS weight,
+           CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) / z * n) AS BIGINT)
+               AS docs_per_epoch
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Temperature-scaled domain mixing (alpha=0.5): sampling weight per "
+        "source ∝ sqrt(n_docs), normalized — the standard up-weighting of "
+        "small high-quality domains when composing a training mix. One "
+        "partial+final agg to #domains rows; the normalizer rides as a "
+        "broadcast one-row aggregate (no single-partition window, no "
+        "driver round-trip). sqrt is correctly-rounded IEEE, so the "
+        "weights are engine-exact before the deterministic rounding.",
+    tags=("llm", "curation", "sampling"),
+)
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+        F.sum("n_docs").alias("n"))
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs",
+            round_det(w, 6).alias("weight"),
+            F.floor(w * F.col("n")).cast("bigint").alias("docs_per_epoch"),
+        )
+    )
+
+
+_VOCAB_K = 256
+
+_VOCAB_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+        ) ORDER BY c DESC, term LIMIT {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           FLOOR((1 - SUM(CASE WHEN v.term IS NULL THEN 0 ELSE 1 END)
+                      / CAST(COUNT(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+"""
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=_VOCAB_SQL,
+    doc=f"Frequency-vocabulary build + per-document OOV rate: top-"
+        f"{_VOCAB_K} terms by corpus frequency (count desc, term asc — a "
+        "total order, so the cut is deterministic in both engines) become "
+        "the vocab; each document reports its out-of-vocabulary token "
+        "fraction — the coverage gate run before committing to a "
+        "tokenizer. Vocab selection is TakeOrderedAndProject (top-k, "
+        "never a global sort) and the vocab joins back as a broadcast "
+        "hash join; per-doc rates are one hash aggregate.",
+    tags=("llm", "curation", "text"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import TOKEN_SPLIT_RE
+
+    d = load_par(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), TOKEN_SPLIT_RE))
+         .alias("term"))
+    vocab = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("term")).limit(_VOCAB_K)
+             .select("term", F.lit(1).alias("iv")))
+    return (
+        toks.join(F.broadcast(vocab), on="term", how="left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.coalesce("iv", F.lit(0))).alias("n_in"))
+        .select(
+            "doc_id", "n_tokens",
+            round_det(F.lit(1.0) - F.col("n_in") / F.col("n_tokens")
+                      .cast("double"), 6).alias("oov_rate"))
+    )
+
+
+_CONTAM_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   AS shingle
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+              FROM toks)
+    ), eval_grams AS (
+        SELECT * FROM grams WHERE doc_id % 10 = 0
+    ), train_grams AS (
+        SELECT DISTINCT shingle FROM grams WHERE doc_id % 10 <> 0
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM eval_grams GROUP BY doc_id
+    ), shared AS (
+        SELECT e.doc_id, COUNT(*) AS n_shared
+        FROM eval_grams e JOIN train_grams t ON e.shingle = t.shingle
+        GROUP BY e.doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           COALESCE(sh.n_shared, 0) AS n_shared,
+           FLOOR(COALESCE(sh.n_shared, 0) / CAST(s.n_grams AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS contamination
+    FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
+"""
+
+
+@register(
+    "q_contamination_ngrams",
+    oracle=_CONTAM_SQL,
+    doc="Benchmark-contamination check: word-4-gram overlap between a held "
+        "split (doc_id % 10 = 0, standing in for an eval benchmark) and "
+        "the training remainder — the decontamination primitive run before "
+        "any training job. Per eval doc: distinct 4-grams, how many also "
+        "appear anywhere in train, and the contamination ratio. The only "
+        "shuffle is the gram equi-join (train grams deduped first, so the "
+        "join can't multiply rows); at 100 TB a bloom filter of the eval "
+        "grams pre-prunes the train side before the exchange.",
+    tags=("llm", "curation", "dedup"),
+)
+def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    ge = D.shingle_table(ev, "doc_id", "text", n=4)
+    gt = D.shingle_table(tr, "doc_id", "text", n=4).select("shingle").distinct()
+    sizes = ge.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (ge.join(gt, on="shingle")
+              .groupBy("doc").agg(F.count(F.lit(1)).alias("n_shared")))
+    return (
+        sizes.join(shared, on="doc", how="left")
+        .select(
+            F.col("doc").alias("doc_id"), "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            round_det(F.coalesce("n_shared", F.lit(0))
+                      / F.col("n_grams").cast("double"), 6)
+            .alias("contamination"))
+    )
