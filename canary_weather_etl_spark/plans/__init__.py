@@ -29,7 +29,10 @@ from . import curation     # noqa: E402,F401  §2.11 split/mix/vocab/contaminati
 # the weather-ingestion differential, the benched-but-unproven queries
 # (as-of/range join, corpus curation), the round-2-new operators, and the
 # round-3 fix (q_agg_collect, red in r2). Previously-green queries keep their
-# r1/r2 rows and rotate to the back.
+# r1/r2 rows and rotate to the back. The single-purpose scalar families
+# (bitwise/bool-agg/hash/string-ext) rotate behind the round-3-new curation
+# queries — they are the lowest-risk members of the never-sampled set
+# (pure built-in scalar expressions with literal-for-literal SQL twins).
 _DRIVER_PRIORITY = (
     # red row in r2, fixed this round — must re-sample
     "q_agg_collect",
@@ -47,16 +50,18 @@ _DRIVER_PRIORITY = (
     "q_time_rollup", "q_percentiles", "q_approx_percentile",
     "q_stats_moments", "q_data_quality_profile", "q_pivot",
     "q_stratified_sample", "q_gap_fill_calendar", "q_unpivot_metrics",
-    "q_na_handling", "q_bitwise_ops", "q_bool_aggs", "q_hash_functions",
-    "q_scalar_string_ext", "q_scalar_date_ext", "q_array_posexplode",
+    "q_na_handling", "q_scalar_date_ext", "q_array_posexplode",
     "q_arrays_zip_explode", "q_array_stats", "q_array_setops",
     "q_map_type_ops", "q_from_json", "q_text_chunking",
     "q_corpus_shuffle_shards", "q_text_clean_redact",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
     "q_text_dup_lines", "q_cosine_pairs_exact",
     "q_sim_ann_recall",
-    # round-3-new: the stream-stream interval join's batch twin
+    # round-3-new: the stream-stream interval join's batch twin and the
+    # corpus-curation family (hash split / domain mix / vocab / contamination)
     "q_interval_join_batch",
+    "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
+    "q_contamination_ngrams",
 )
 
 
