@@ -1,0 +1,112 @@
+"""Connected components over a pair list — the step that turns near-dup
+*pairs* (MinHash/LSH, SimHash, embedding-cosine — operators/dedup.py,
+operators/similarity.py) into dedup *clusters* with one canonical keeper
+per cluster. The reference repo stops at pairwise dedupe (the NOT-EXISTS
+upsert at README.md:1517-1526 keys on exact (date, location) identity);
+a training-data pipeline needs transitive closure: if A~B and B~C, then
+{A,B,C} is one duplicate group even when A and C share nothing directly.
+
+Algorithm: iterative min-label propagation, entirely in DataFrame ops —
+each round every node adopts the smallest label among itself and its
+neighbors. Convergence takes O(diameter) rounds; near-dup clusters are
+shallow (diameter rarely exceeds a handful of hops even for large
+clusters, because near-dup similarity is close to transitive), so 3-5
+rounds settle real corpora. Per round: one shuffle for the
+edges-to-labels join + one for the min aggregation, both keyed on node
+id, and the label frame is `localCheckpoint`ed to truncate lineage (an
+unbounded iterative plan otherwise re-executes every prior round and
+eventually overwhelms the optimizer). For adversarially long chains
+(diameter ~ n) the alternating large-star/small-star contraction of
+Kiveris et al. converges in O(log² n) rounds instead; label propagation
+is the right default for the dedup workload where chains do not occur.
+
+Scale notes (100 TB): node/label state is one row per document — orders
+of magnitude smaller than the corpus text it summarizes; edges are the
+LSH candidate pairs, already pruned to near-dup density. Both partition
+on id, so every round is an equi-shuffle with map-side combine on the
+min. The convergence check is a single count aggregate per round (the
+same bounded driver-scalar class as the reference's 14-row location
+list, README.md:626).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         nodes: DataFrame | None = None,
+                         id_col: str = "id",
+                         max_iter: int = 25) -> DataFrame:
+    """Transitive closure of an undirected pair list.
+
+    pairs: DataFrame with two id columns (`a`, `b`), one row per edge.
+    nodes: optional DataFrame of all ids (`id_col`) — include it so
+        singleton documents (no near-dup edge) still get a component row;
+        defaults to the ids appearing in `pairs`.
+    Returns (id, component) where component = min id in the node's
+    connected component. Raises if `max_iter` rounds don't converge
+    (a correctness guard, not a truncation: partial propagation would
+    silently under-merge clusters).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if nodes is None:
+        labels = (edges.select(F.col("src").alias("id")).distinct()
+                  .withColumn("label", F.col("id")))
+    else:
+        labels = (nodes.select(F.col(id_col).alias("id")).distinct()
+                  .withColumn("label", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("_chg"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.agg(
+            F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"]
+        labels = updated.drop("_chg")
+        if not changed:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the bound — raise max_iter or switch to "
+        "star-contraction for chain-shaped graphs")
+
+
+def dedup_clusters(pairs: DataFrame, nodes: DataFrame,
+                   a: str = "a", b: str = "b",
+                   id_col: str = "id") -> DataFrame:
+    """Near-dup pairs + full id list → per-document cluster assignment:
+    (id, component, cluster_size, is_keeper). Keeper = the min id of the
+    component — deterministic, so re-running curation on a grown corpus
+    keeps the same canonical doc as long as it survives. Downstream,
+    `filter(is_keeper)` is the dedup; the non-keeper rows are the audit
+    trail of what was dropped and why (which cluster claimed it)."""
+    comp = connected_components(pairs, a=a, b=b, nodes=nodes, id_col=id_col)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            "id", "component", "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_keeper"),
+        )
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
@@ -213,6 +214,52 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
     sh = D.shingle_table(d, "doc_id", "text", n=2)
     return D.exact_jaccard(sh, threshold=0.5)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT c.id AS doc_id, c.component, s.cluster_size,
+           c.id = c.component AS is_keeper
+    FROM comp c
+    JOIN (SELECT component, COUNT(*) AS cluster_size
+          FROM comp GROUP BY component) s USING (component)
+    """,
+    doc="Transitive closure of the near-dup pair list → dedup clusters "
+        "with a deterministic canonical keeper (min doc_id per component): "
+        "the step a training-data pipeline needs between pairwise "
+        "similarity and actual row dropping, since near-dup is not "
+        "transitive pairwise (A~B, B~C ⇏ A~C detected). Spark side is "
+        "iterative min-label propagation (operators/graph.py) — "
+        "O(diameter) rounds of equi-shuffle join + min agg with "
+        "localCheckpoint lineage truncation; oracle is a DuckDB recursive "
+        "CTE computing min reachable label. Every document gets a row "
+        "(singletons are their own keeper), so the output doubles as the "
+        "dedup audit trail.",
+    tags=("llm", "dedup", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", n=2)
+    pairs = D.exact_jaccard(sh, threshold=0.5)
+    return (
+        G.dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "component",
+                "cluster_size", "is_keeper")
+    )
 
 
 @register(

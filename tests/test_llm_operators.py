@@ -316,3 +316,60 @@ def test_simhash_banding_width64_and_validation(spark, docs):
         D.simhash_candidate_pairs(sim, bits=65)
     with pytest.raises(ValueError, match=r"max_hamming"):
         D.simhash_candidate_pairs(sim, bits=32, max_hamming=-1)
+
+
+# ---------------------------- connected components --------------------------
+
+def test_connected_components_chain_and_singletons(spark):
+    """Multi-hop transitivity: a 6-node chain must collapse to one
+    component even though the ends share no edge; isolated nodes keep
+    themselves as component."""
+    from canary_weather_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1..6
+         (10, 11), (11, 10),                        # dup edge both ways
+         (20, 21)],
+        "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in
+                                   [1, 2, 3, 4, 5, 6, 10, 11, 20, 21, 99]],
+                                  "id long")
+    got = {(r.id, r.component)
+           for r in connected_components(pairs, nodes=nodes).collect()}
+    want = {(i, 1) for i in range(1, 7)} | {(10, 10), (11, 10),
+                                            (20, 20), (21, 20), (99, 99)}
+    assert got == want
+
+
+def test_connected_components_convergence_guard(spark):
+    """A chain longer than max_iter rounds must raise, not silently
+    under-merge."""
+    import pytest
+    from canary_weather_etl_spark.operators.graph import connected_components
+
+    # label propagation moves the min one hop per round: chain of 9 edges
+    # needs ~8 rounds; cap at 3 → must raise
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=3)
+
+
+def test_dedup_clusters_keeper_audit(spark):
+    """dedup_clusters: keeper is min id per component; cluster_size counts
+    every member; filter(is_keeper) yields exactly one row per component."""
+    from canary_weather_etl_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame([(3, 7), (7, 12), (30, 31)],
+                                  "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in [3, 7, 12, 30, 31, 50]],
+                                  "id long")
+    rows = dedup_clusters(pairs, nodes).collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id[3].component == 3 and by_id[3].is_keeper
+    assert by_id[7].component == 3 and not by_id[7].is_keeper
+    assert by_id[12].cluster_size == 3
+    assert by_id[30].is_keeper and by_id[31].component == 30
+    assert by_id[50].cluster_size == 1 and by_id[50].is_keeper
+    keepers = [r for r in rows if r.is_keeper]
+    assert len(keepers) == len({r.component for r in rows})
