@@ -314,3 +314,32 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("hamming") <= max_hamming)
     )
     return out
+
+
+def exact_jaccard_cross(sh_a: DataFrame, sh_b: DataFrame,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact Jaccard between two shingle tables (`shingle_table` output) —
+    the incremental-admission variant of `exact_jaccard`: score each new
+    (a-side) document against the existing corpus (b-side) without the
+    self-join's a<b de-duplication. Same cost profile: quadratic in
+    per-shingle document frequency, correctness-scale ground truth; the
+    100 TB path precomputes MinHash band signatures for the corpus once
+    (a persisted table, like the IVF quantizer) and equi-joins only the
+    new batch's bands against it."""
+    sza = sh_a.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a"))
+    szb = sh_b.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b"))
+    common = (
+        sh_a.alias("l").join(sh_b.alias("r"),
+                             F.col("l.shingle") == F.col("r.shingle"))
+        .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common
+        .join(sza.withColumnRenamed("doc", "a"), "a")
+        .join(szb.withColumnRenamed("doc", "b"), "b")
+        .withColumn("jaccard",
+                    F.col("common").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")

@@ -50,8 +50,7 @@ _DRIVER_PRIORITY = (
     "q_time_rollup", "q_percentiles", "q_approx_percentile",
     "q_stats_moments", "q_data_quality_profile", "q_pivot",
     "q_stratified_sample", "q_gap_fill_calendar", "q_unpivot_metrics",
-    "q_na_handling", "q_array_posexplode",
-    "q_arrays_zip_explode", "q_array_stats", "q_array_setops",
+    "q_arrays_zip_explode", "q_array_stats",
     "q_map_type_ops", "q_from_json", "q_text_chunking",
     "q_corpus_shuffle_shards", "q_text_clean_redact",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
@@ -61,7 +60,8 @@ _DRIVER_PRIORITY = (
     # corpus-curation family (hash split / domain mix / vocab / contamination)
     "q_interval_join_batch",
     "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
-    "q_contamination_ngrams", "q_dedup_clusters",
+    "q_contamination_ngrams", "q_dedup_clusters", "q_embedding_quantize",
+    "q_star_join_revenue", "q_dedup_incremental",
 )
 
 

@@ -327,3 +327,60 @@ def q_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.levenshtein(F.col("l.c_name"), F.col("r.c_name")).alias("dist"))
         .filter(F.col("dist") <= 2)
     )
+
+
+@register(
+    "q_star_join_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e4)
+                         AS BIGINT)) AS DOUBLE) / 1e4 AS revenue,
+           COUNT(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey
+                 AND s_nationkey = c_nationkey
+    WHERE r_name IN ('EUROPE', 'ASIA')
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q5-shaped six-table star join: local-supplier revenue by "
+        "nation and order year for two regions. The deep-join planning "
+        "showcase: three dimension tables (region, nation, supplier) are "
+        "explicitly broadcast — zero shuffles for their joins — while the "
+        "two fact joins (orders⋈customer, lineitem⋈orders) shuffle on "
+        "their keys once each; the residual s_nationkey = c_nationkey "
+        "predicate rides on the broadcast supplier join rather than "
+        "forcing a join reorder. Revenue = Σ price·(1−discount) is "
+        "4-decimal fixed-point → exact_sum(scale=4) keeps the aggregate "
+        "order-independent and bitwise equal to the oracle. At 100 TB "
+        "the same plan holds: dims stay broadcast-size, fact shuffles are "
+        "key-partitioned, and AQE handles the region-filter selectivity "
+        "it can only see at runtime.",
+    tags=("join", "agg"), bench=True,
+)
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("EUROPE", "ASIA"))
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       scale=4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )

@@ -263,6 +263,95 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_incremental",
+    oracle=r"""
+    WITH batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM batch),
+    bg AS (SELECT DISTINCT doc_id, shingle FROM (
+               SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+               FROM (SELECT doc_id, t,
+                            unnest(generate_series(1, len(t)-1)) AS i
+                     FROM bt))),
+    ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM corpus),
+    cg AS (SELECT DISTINCT doc_id, shingle FROM (
+               SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+               FROM (SELECT doc_id, t,
+                            unnest(generate_series(1, len(t)-1)) AS i
+                     FROM ct))),
+    bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bg GROUP BY doc_id),
+    csz AS (SELECT doc_id, COUNT(*) AS sz FROM cg GROUP BY doc_id),
+    common AS (
+        SELECT bg.doc_id AS a, cg.doc_id AS b, COUNT(*) AS common
+        FROM bg JOIN cg ON bg.shingle = cg.shingle GROUP BY 1, 2),
+    near AS (
+        SELECT a AS doc_id, COUNT(*) AS n_near
+        FROM common
+        JOIN bsz ON bsz.doc_id = a
+        JOIN csz ON csz.doc_id = b
+        WHERE CAST(common AS DOUBLE) / (bsz.sz + csz.sz - common) >= 0.5
+        GROUP BY 1),
+    exact AS (SELECT DISTINCT b.doc_id FROM batch b
+              JOIN corpus c ON md5(b.text) = md5(c.text))
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'admit' END AS verdict,
+           COALESCE(n.n_near, CAST(0 AS BIGINT)) AS n_near
+    FROM batch b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    """,
+    doc="Incremental corpus admission — the dedup decision as it actually "
+        "runs in production: a NEW batch of documents is screened against "
+        "the EXISTING corpus (not all-pairs within one table). Two gates: "
+        "content-hash anti-join (exact duplicates; md5 so the oracle "
+        "computes the identical key) and cross-table bigram Jaccard ≥0.5 "
+        "(operators/dedup.exact_jaccard_cross) with per-doc near-dup "
+        "partner counts. Verdict per batch doc: exact_dup | near_dup | "
+        "admit. Batch = doc_id%5=0 (~20%), corpus = the rest — "
+        "deterministic so both engines screen the same split. The 100 TB "
+        "shape keeps corpus MinHash band signatures as a persisted table "
+        "and equi-joins only the new batch's bands against it, exactly "
+        "like the persisted IVF quantizer.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus.select(F.md5("text").alias("h")).distinct(),
+              "h", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    near = (
+        D.exact_jaccard_cross(
+            D.shingle_table(batch, "doc_id", "text", n=2),
+            D.shingle_table(corpus, "doc_id", "text", n=2),
+            threshold=0.5)
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+             .when(F.coalesce("n_near", F.lit(0)) > 0, "near_dup")
+             .otherwise("admit").alias("verdict"),
+            F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near"),
+        )
+    )
+
+
+@register(
     "q_dedup_minhash_lsh",
     oracle=None,  # xxhash64-seeded signatures are engine-specific
     doc="MinHash(32 perms) + LSH(8 bands) near-dup pipeline with exact "
@@ -377,6 +466,73 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label",
         round_det(S.l2_norm(S.as_double("embedding")), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, label, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                    ELSE 1.0 END AS scale
+        FROM base
+    ), q AS (
+        SELECT vec_id, label, v, scale,
+               list_transform(v, x -> CAST(FLOOR(x * scale + 0.5)
+                                           AS INTEGER)) AS qv,
+               list_transform(v, x -> FLOOR(x * scale + 0.5) / scale) AS dq
+        FROM s
+    )
+    SELECT vec_id, label, scale,
+           list_min(qv) AS qmin, list_max(qv) AS qmax,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+           FLOOR(list_max(list_transform(v,
+                 x -> abs(x - FLOOR(x * scale + 0.5) / scale))) * 1e9 + 0.5)
+               / 1e9 AS max_abs_err,
+           FLOOR(list_aggregate(list_transform(list_zip(v, dq),
+                     p -> struct_extract(p, 1)
+                          * struct_extract(p, 2)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                    * sqrt(list_aggregate(list_transform(dq, x -> x * x),
+                                          'sum'))) * 1e8 + 0.5) / 1e8
+               AS cos_keep
+    FROM q
+    """,
+    doc="Symmetric per-vector int8 quantization of the embedding column "
+        "(operators/similarity.quantize_int8): scale = 127/max|x|, "
+        "q = floor-half-up(x·scale), clamp-free by construction. Emits the "
+        "quantization audit a pipeline needs before switching its ANN "
+        "corpus to int8 — saturation count, realized max abs error "
+        "(bounded by 1/(2·scale)), and cosine between original and "
+        "dequantized vector (retained similarity). 4× memory vs float32 "
+        "is the difference between in-memory ANN and spilling at corpus "
+        "scale; all math row-wise IEEE expressions, literal-for-literal "
+        "in the SQL twin.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_par(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    base = e.select("vec_id", "label", S.as_double("embedding").alias("v"))
+    s = base.withColumn("scale", S.quantize_scale(v))
+    q = (s.withColumn("qv", S.quantize_int8(v, F.col("scale")))
+          .withColumn("dq", S.dequantize(F.col("qv"), F.col("scale"))))
+    return q.select(
+        "vec_id", "label", "scale",
+        F.array_min("qv").alias("qmin"),
+        F.array_max("qv").alias("qmax"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127))
+            .cast("bigint").alias("n_sat"),
+        round_det(F.array_max(F.zip_with(
+            v, F.col("dq"), lambda x, d: F.abs(x - d))), 9)
+            .alias("max_abs_err"),
+        round_det(S.cosine(v, F.col("dq")), 8).alias("cos_keep"),
     )
 
 

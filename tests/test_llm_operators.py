@@ -373,3 +373,31 @@ def test_dedup_clusters_keeper_audit(spark):
     assert by_id[50].cluster_size == 1 and by_id[50].is_keeper
     keepers = [r for r in rows if r.is_keeper]
     assert len(keepers) == len({r.component for r in rows})
+
+
+def test_incremental_admission_exact_dup_branch(spark):
+    """q_dedup_incremental's exact_dup verdict: fixture batch has no exact
+    text collision, so synthesize one and run the same operators."""
+    from pyspark.sql import functions as F
+    from canary_weather_etl_spark.operators import dedup as D
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),   # batch
+            (5, "an entirely different document about spark"),     # batch
+            (1, "the quick brown fox jumps over the lazy dog"),   # corpus=dup of 0
+            (2, "an entirely different document about spark engines"),  # near of 5
+            (3, "unrelated corpus text with no overlap at all")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    exact_ids = {
+        r.doc_id for r in
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(corpus.select(F.md5("text").alias("h")).distinct(),
+              "h", "left_semi").collect()}
+    assert exact_ids == {0}
+    near = D.exact_jaccard_cross(
+        D.shingle_table(batch, "doc_id", "text", n=2),
+        D.shingle_table(corpus, "doc_id", "text", n=2), threshold=0.5)
+    near_ids = {r.a for r in near.collect()}
+    assert 0 in near_ids          # exact dup is jaccard 1.0 too
+    assert 5 in near_ids          # one-word-suffix diff stays >= 0.5
