@@ -20,6 +20,7 @@ from . import analytics   # noqa: E402,F401  range join, rollups, percentiles, m
 from . import scalars_ext  # noqa: E402,F401  extended string/date scalar coverage
 from . import weather_ingest  # noqa: E402,F401  §2.1/2.9 ingestion differential
 from . import curation     # noqa: E402,F401  §2.11 split/mix/vocab/contamination
+from . import formats      # noqa: E402,F401  §2.1 CSV/JSONL sink+scan round trips
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
@@ -50,8 +51,7 @@ _DRIVER_PRIORITY = (
     "q_time_rollup", "q_percentiles", "q_approx_percentile",
     "q_stats_moments", "q_data_quality_profile", "q_pivot",
     "q_stratified_sample", "q_gap_fill_calendar", "q_unpivot_metrics",
-    "q_arrays_zip_explode", "q_array_stats",
-    "q_map_type_ops", "q_from_json", "q_text_chunking",
+    "q_arrays_zip_explode", "q_text_chunking",
     "q_corpus_shuffle_shards", "q_text_clean_redact",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
     "q_text_dup_lines", "q_cosine_pairs_exact",
@@ -61,7 +61,8 @@ _DRIVER_PRIORITY = (
     "q_interval_join_batch",
     "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
     "q_contamination_ngrams", "q_dedup_clusters", "q_embedding_quantize",
-    "q_star_join_revenue", "q_dedup_incremental",
+    "q_star_join_revenue", "q_dedup_incremental", "q_bitmap_semi_join",
+    "q_csv_roundtrip", "q_jsonl_roundtrip",
 )
 
 

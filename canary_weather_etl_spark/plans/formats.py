@@ -1,0 +1,116 @@
+"""File-format sink/scan round trips, driver-visible (SURVEY.md §2.1).
+
+The reference's storage surface is JSON-in / Parquet-out (README.md:621,
+750-752). A general engine also needs delimited-text and JSON-lines
+sinks+scans — the formats training corpora actually arrive in. The pytest
+layer (tests/test_formats.py) covers CSV/JSONL/ORC byte-fidelity; these
+queries add the hard external check: write a fixture table out through the
+Spark sink, read it back through the Spark scan WITH AN EXPLICIT SCHEMA
+(no inference pass — SURVEY.md §4.2), aggregate, and hash-compare against
+DuckDB computing the same aggregate from the original parquet. Any
+row/value corruption in either direction breaks the hash.
+
+At 100 TB: both sinks shard one file per task (the directory IS the
+dataset); the scans glob those shards back. Schema inference would be a
+second full pass over the data — the explicit StructType is the point.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import exact_sum
+from .registry import load, register
+
+_SUPPLIER_SCHEMA = T.StructType([
+    T.StructField("s_suppkey", T.LongType()),
+    T.StructField("s_name", T.StringType()),
+    T.StructField("s_nationkey", T.IntegerType()),
+    T.StructField("s_acctbal", T.DoubleType()),
+])
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 1e2) AS BIGINT)) AS DOUBLE)
+               / 1e2 AS total_bal,
+           CAST(SUM(length(s_name)) AS BIGINT) AS name_chars
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    doc="CSV sink + scan fidelity, externally checked: supplier is written "
+        "through df.write.csv (header, explicit quoting) into a "
+        "per-invocation scratch dir, read back with an explicit StructType "
+        "(no inference pass — schema inference is a second full scan at "
+        "100 TB, SURVEY.md §4.2), and aggregated. The oracle computes the "
+        "same aggregate from the ORIGINAL parquet, so any value lost or "
+        "mangled in text serialization (double round-trip, quoting, "
+        "nulls) breaks the hash. Doubles survive because Spark writes "
+        "shortest-roundtrip representations.",
+    tags=("source", "sink"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="canary_csv_roundtrip_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "supplier_csv")
+    (load(spark, sf_dir, "supplier")
+     .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+     .write.mode("overwrite").option("header", "true").csv(path))
+    back = (spark.read.schema(_SUPPLIER_SCHEMA)
+            .option("header", "true").csv(path))
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             exact_sum("s_acctbal", scale=2).alias("total_bal"),
+             F.sum(F.length("s_name")).alias("name_chars"))
+    )
+
+
+@register(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="JSON-lines sink + scan fidelity: documents written through "
+        "df.write.json (one JSON object per line — the corpus interchange "
+        "format, unlike the reference's whole-file multiLine documents, "
+        "README.md:621) and read back with an explicit schema. Line-mode "
+        "JSON is the 100 TB shape: splittable, so one 1 GB shard fans out "
+        "across tasks, where multiLine forces one task per file. Oracle "
+        "aggregates the original parquet — any text mangled by JSON "
+        "escaping round-trip breaks the hash.",
+    tags=("source", "sink"),
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="canary_jsonl_roundtrip_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "documents_jsonl")
+    (load(spark, sf_dir, "documents")
+     .select("doc_id", "text", "lang", "source")
+     .write.mode("overwrite").json(path))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    back = spark.read.schema(schema).json(path)  # line-mode: splittable
+    return (
+        back.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"))
+    )

@@ -384,3 +384,39 @@ def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                        scale=4).alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "q_bitmap_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_quantity * 1e2) AS BIGINT)) AS DOUBLE)
+               / 1e2 AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+    doc="Exact bitmap semi-join (operators/bitmapjoin.py): the urgent "
+        "orderkey set ships as per-bucket 4 KB bitmaps "
+        "(bitmap_construct_agg, ~1 bit/key — 64-128x smaller than a "
+        "broadcast hash relation for dense keys) and lineitem probes via "
+        "bucket equi-join + one LSB bit test, all JVM built-ins. Exact "
+        "— no Bloom false positives, no verify pass — so the whole "
+        "result hash-checks against a plain IN semi-join. The physical "
+        "shape for 'touched keys vs 100 TB fact' filters where even the "
+        "key set itself is broadcast-heavy as a hash table.",
+    tags=("join",),
+)
+def q_bitmap_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bitmapjoin import bitmap_semi_join
+    lineitem = load(spark, sf_dir, "lineitem")
+    urgent = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+    return (
+        bitmap_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             exact_sum("l_quantity", scale=2).alias("sum_qty"))
+    )

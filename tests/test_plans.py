@@ -104,3 +104,22 @@ def test_global_rank_no_single_partition_window(spark, sf_dir):
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "__pid" in spec, f"unpartitioned window: {spec}"
+
+
+def test_bitmap_semi_join_equals_left_semi(spark):
+    """bitmap_semi_join must be EXACT (no Bloom false positives): same
+    rows as left_semi on bucket-boundary keys (1, 4096, 32768, 32769,
+    65536) and misses adjacent to hits."""
+    from pyspark.sql import functions as F
+    from canary_weather_etl_spark.operators.bitmapjoin import bitmap_semi_join
+
+    fact = spark.createDataFrame(
+        [(k,) for k in [1, 2, 7, 4095, 4096, 4097, 32767, 32768, 32769,
+                        65535, 65536, 65537, 100000]], "k long")
+    keys = spark.createDataFrame(
+        [(k,) for k in [1, 4096, 32768, 32769, 65536]], "j long")
+    got = sorted(r.k for r in
+                 bitmap_semi_join(fact, keys, "k", "j").collect())
+    want = sorted(r.k for r in
+                  fact.join(keys, fact.k == keys.j, "left_semi").collect())
+    assert got == want == [1, 4096, 32768, 32769, 65536]
