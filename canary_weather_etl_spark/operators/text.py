@@ -152,3 +152,47 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+# ------------------- character n-gram LM quality score ----------------------
+
+def char_trigrams(col_name: str) -> Column:
+    """array<string> of all character trigrams of lower(text). The
+    short-text branch matters: Spark's sequence(1, 0) counts DOWN
+    ([1, 0]), it is not empty — so length < 3 must be guarded
+    explicitly."""
+    e = f"lower({col_name})"
+    return F.expr(
+        f"CASE WHEN length({e}) < 3 THEN array() "
+        f"ELSE transform(sequence(1, length({e}) - 2), "
+        f"i -> substring({e}, i, 3)) END")
+
+
+def trigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus character-trigram relative frequencies: (tri, logp) with
+    logp = log2(cnt / total). One explode + hash-agg pass; the model table
+    is bounded by the observed trigram alphabet (≪ corpus size), so it
+    broadcasts. The unsmoothed MLE is fine for scoring docs drawn from the
+    same corpus (every doc trigram exists in the model by construction)."""
+    tris = df.select(F.explode(char_trigrams(text_col)).alias("tri"))
+    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("tri",
+                    F.log2(F.col("cnt") / F.col("__total")).alias("logp")))
+
+
+def lm_cross_entropy(df: DataFrame, model: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy (bits/trigram) against the corpus
+    trigram model — the classic perplexity-proxy quality gate: typical
+    text scores low, boilerplate/gibberish scores high. Join is doc-trigram
+    × broadcast model; one hash-agg by document."""
+    doc_tris = df.select(id_col,
+                         F.explode(char_trigrams(text_col)).alias("tri"))
+    return (
+        doc_tris.join(F.broadcast(model), "tri")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tri"),
+             (-F.avg("logp")).alias("xent"))
+    )

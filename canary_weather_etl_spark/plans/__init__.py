@@ -50,7 +50,7 @@ _DRIVER_PRIORITY = (
     "q_heavy_hitters", "q_sql_facade", "q_salted_join", "q_two_phase_agg",
     "q_time_rollup", "q_percentiles", "q_approx_percentile",
     "q_stats_moments", "q_data_quality_profile", "q_pivot",
-    "q_stratified_sample", "q_gap_fill_calendar", "q_unpivot_metrics",
+    "q_stratified_sample", "q_gap_fill_calendar",
     "q_arrays_zip_explode", "q_text_chunking",
     "q_corpus_shuffle_shards", "q_text_clean_redact",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
@@ -62,7 +62,7 @@ _DRIVER_PRIORITY = (
     "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
     "q_contamination_ngrams", "q_dedup_clusters", "q_embedding_quantize",
     "q_star_join_revenue", "q_dedup_incremental", "q_bitmap_semi_join",
-    "q_csv_roundtrip", "q_jsonl_roundtrip",
+    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_lm_quality_score",
 )
 
 

@@ -1170,3 +1170,44 @@ def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw") >= 0.3)
         .select("a", "b", round_det("raw", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "q_lm_quality_score",
+    oracle=r"""
+    WITH tris AS (
+        SELECT doc_id, substr(lower(text), i, 3) AS tri
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1,
+                         greatest(length(lower(text)) - 2, 0))) AS i
+              FROM documents)
+    ),
+    model AS (
+        SELECT tri,
+               log2(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()) AS logp
+        FROM tris GROUP BY tri
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tri,
+           FLOOR(-AVG(m.logp) * 1e6 + 0.5) / 1e6 AS xent
+    FROM tris t JOIN model m USING (tri)
+    GROUP BY t.doc_id
+    """,
+    doc="Character-trigram language-model cross-entropy per document "
+        "(operators/text.trigram_model / lm_cross_entropy) — the "
+        "perplexity-proxy quality gate: score each doc in bits/trigram "
+        "against the corpus's own trigram distribution; typical prose "
+        "scores low, boilerplate/gibberish/wrong-language text scores "
+        "high. Model build is one explode + hash-agg (the trigram "
+        "alphabet is bounded ≪ corpus, so the model broadcasts); scoring "
+        "is a broadcast join + per-doc avg. The unsmoothed MLE is exact "
+        "for self-scoring; a held-out LM adds Laplace smoothing on the "
+        "same plan shape.",
+    tags=("llm", "text", "quality"),
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import round_det
+    d = load_par(spark, sf_dir, "documents")
+    model = T.trigram_model(d, "text")
+    scored = T.lm_cross_entropy(d, model, "doc_id", "text")
+    return scored.select("doc_id", "n_tri",
+                         round_det("xent", 6).alias("xent"))

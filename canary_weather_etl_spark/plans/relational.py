@@ -471,6 +471,35 @@ def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cms_heavy_hitters",
+    oracle=None,  # xxhash64-seeded buckets are engine-specific
+    doc="Count-min-sketch heavy hitters (operators/sketch.py): "
+        "per-returnflag shard sketches built in one exploded-coordinate "
+        "hash-agg pass, merged with a plain groupBy-sum (CMS cells are "
+        "counters — the mergeable-sketch-table pattern, same as "
+        "q_hll_sketch_merge), then every candidate partkey point-queried "
+        "via a broadcast equi-join + min over depth rows. Top-20 by "
+        "estimate. est ≥ true always (one-sided); pytest bounds realized "
+        "error vs exact counts and asserts shard-merge equals "
+        "whole-corpus build.",
+    tags=("agg", "approx", "sketch"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as SK
+    li = load(spark, sf_dir, "lineitem")
+    # shard sketches (one per returnflag) merged to the corpus sketch —
+    # the incremental path: each shard's KB-sized table is built once
+    shards = [SK.cms_build(li.filter(F.col("l_returnflag") == f),
+                           "l_partkey", width=2048, depth=4)
+              for f in ("A", "N", "R")]
+    merged = SK.cms_merge(*shards)
+    est = SK.cms_estimate(merged, li.select("l_partkey"), "l_partkey",
+                          width=2048, depth=4)
+    return (est.orderBy(F.desc("est"), F.asc("l_partkey")).limit(20)
+            .select("l_partkey", "est"))
+
+
+@register(
     "q_hll_sketch_merge",
     oracle=None,  # sketch binary is engine-specific; error bound in pytest
     doc="Mergeable distinct-count sketches (Datasketches HLL, Spark 4 "

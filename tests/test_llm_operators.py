@@ -401,3 +401,40 @@ def test_incremental_admission_exact_dup_branch(spark):
     near_ids = {r.a for r in near.collect()}
     assert 0 in near_ids          # exact dup is jaccard 1.0 too
     assert 5 in near_ids          # one-word-suffix diff stays >= 0.5
+
+
+# ---------------------------- count-min sketch ------------------------------
+
+def test_cms_overestimate_merge_and_bound(spark, sf_dir):
+    """CMS invariants: (1) est >= true for EVERY item (one-sided by
+    construction); (2) merging shard sketches is cell-identical to
+    building over the whole corpus (counters add); (3) realized error
+    within the eps*N analytic bound for >=95% of items (per-item guarantee
+    holds with prob 1 - e^-depth ~ 0.98)."""
+    import math
+    from pyspark.sql import functions as F
+    from canary_weather_etl_spark.operators import sketch as SK
+    from canary_weather_etl_spark.plans.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    width, depth = 2048, 4
+    whole = SK.cms_build(li, "l_partkey", width=width, depth=depth)
+    shards = [SK.cms_build(li.filter(F.col("l_returnflag") == f),
+                           "l_partkey", width=width, depth=depth)
+              for f in ("A", "N", "R")]
+    merged = SK.cms_merge(*shards)
+    cells_whole = {(r.d, r.w): r.cnt for r in whole.collect()}
+    cells_merged = {(r.d, r.w): r.cnt for r in merged.collect()}
+    assert cells_whole == cells_merged
+
+    est = {r.l_partkey: r.est for r in
+           SK.cms_estimate(merged, li.select("l_partkey"), "l_partkey",
+                           width=width, depth=depth).collect()}
+    true = {r.l_partkey: r.cnt for r in
+            li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()}
+    n_total = sum(true.values())
+    bound = math.e / width * n_total
+    assert all(est[k] >= v for k, v in true.items())
+    within = sum(1 for k, v in true.items() if est[k] - v <= bound)
+    assert within / len(true) >= 0.95

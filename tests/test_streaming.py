@@ -216,3 +216,37 @@ def test_stream_corpus_dedupe_by_fingerprint(spark, tmp_path):
     assert expected < 50  # fixture does contain reordered-word docs
     assert out.count() == expected
     assert out.select("fp").distinct().count() == expected
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpointed file-source stream survives a stop/restart without
+    reprocessing: batch A lands, stream (with checkpointLocation) drains
+    it to a parquet sink via foreachBatch upsert; after stop, batch B
+    lands AND batch A is still present; the restarted query must process
+    only B — counts equal batch-mode distinct over A∪B, not A+A∪B."""
+    base = load(spark, "/root/testdata/sf0.001", "events").cache()
+    a = base.filter(F.col("event_id") % 2 == 0)
+    b = base.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    a.write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = J.read_events_stream(spark, src, base.schema)
+        q = (stream.writeStream.format("parquet")
+             .option("path", table)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    n_after_a = spark.read.parquet(table).count()
+    assert n_after_a == a.count()
+
+    b.write.mode("append").parquet(src)   # batch A files still in place
+    drain()                               # restart from the same checkpoint
+    out = spark.read.parquet(table)
+    assert out.count() == base.count()    # A exactly once + B
+    assert out.select("event_id").distinct().count() == base.count()
