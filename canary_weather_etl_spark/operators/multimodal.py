@@ -190,3 +190,94 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str,
         return _pd.DataFrame({idc: pdf[idc], grpc: pdf[grpc], "zscore": z})
 
     return df.groupBy(group_col).applyInPandas(standardize, schema=out_schema)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("modality", StringType()),
+    StructField("media_format", StringType()),
+    StructField("content", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+
+def resize_stub(assets: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Image resize as a payload-TRANSFORMING mapInPandas stage — the
+    binary-in/binary-out shape extract_metadata (metadata-only output)
+    doesn't exercise. Aspect ratio preserved with integer math; the pixel
+    resample itself is the stubbed step (real deployments put
+    PIL.Image.resize here), faked deterministically by truncating the
+    payload proportionally to the area change so output bytes are a pure
+    function of input. Narrow stage, no shuffle: per-partition Arrow
+    batches in, transformed batches out."""
+    mx = max_dim
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        out_cols = ["asset_id", "modality", "media_format", "content",
+                    "width", "height"]
+        for pdf in batches:
+            rows = []
+            for aid, mod, fmt, content in zip(
+                    pdf["asset_id"], pdf["modality"],
+                    pdf["media_format"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                h = _hashlib.sha256(payload).digest()
+                w, ht = 16 + h[0] % 64, 16 + h[1] % 64
+                scale = min(1.0, mx / max(w, ht))
+                nw, nh = max(1, int(w * scale)), max(1, int(ht * scale))
+                keep = max(1, int(len(payload) * (nw * nh) / (w * ht))) \
+                    if payload else 0
+                rows.append({"asset_id": aid, "modality": mod,
+                             "media_format": fmt,
+                             "content": payload[:keep],
+                             "width": nw, "height": nh})
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return (assets.filter(F.col("modality") == "image")
+            .mapInPandas(run, schema=RESIZED_SCHEMA))
+
+
+def embed_stub(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: every asset → a unit-norm float vector derived
+    deterministically from its payload bytes (sha256 stream → centered
+    bytes → L2 normalize). The stubbed step is the model forward pass
+    (CLIP/wav2vec in production); the Spark shape — Arrow-batched
+    mapInPandas emitting array<float> — is exactly what feeds the
+    similarity/ANN operators (operators/similarity.py), closing the
+    multimodal → embedding → dedup/search loop."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType([
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    d = dim
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math as _math
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for aid, mod, content in zip(
+                    pdf["asset_id"], pdf["modality"], pdf["content"]):
+                payload = bytes(content) if content is not None else b""
+                raw = _hashlib.sha256(payload).digest()
+                while len(raw) < d:
+                    raw += _hashlib.sha256(raw).digest()
+                v = [raw[i] - 127.5 for i in range(d)]
+                n = _math.sqrt(sum(x * x for x in v)) or 1.0
+                rows.append({"asset_id": aid, "modality": mod,
+                             "embedding": [x / n for x in v]})
+            yield _pd.DataFrame(rows,
+                                columns=["asset_id", "modality", "embedding"])
+
+    return assets.mapInPandas(run, schema=out_schema)

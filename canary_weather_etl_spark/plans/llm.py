@@ -1211,3 +1211,35 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = T.lm_cross_entropy(d, model, "doc_id", "text")
     return scored.select("doc_id", "n_tri",
                          round_det("xent", 6).alias("xent"))
+
+
+@register(
+    "q_multimodal_embed_topk",
+    oracle=None,  # sha-derived stub embeddings are engine-specific
+    doc="The multimodal → embedding → similarity loop end-to-end: binary "
+        "assets (documents.text as payload) run through the Arrow-batched "
+        "feature-extraction stage (operators/multimodal.embed_stub — the "
+        "model forward pass is the stub; the mapInPandas array<float> "
+        "plumbing is real), then the resulting vectors feed the SAME "
+        "exact top-k operator the embeddings table uses "
+        "(operators/similarity.topk_brute_force): 3 query assets × image "
+        "corpus, top-5 by cosine. Deterministic given the engine; pytest "
+        "asserts unit norms, schema, and self-similarity ranking.",
+    tags=("llm", "multimodal", "similarity"),
+)
+def q_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("raw").alias("media_format"),
+    )
+    emb = M.embed_stub(assets.filter(F.col("modality") == "image"), dim=8)
+    corpus = emb.select(F.col("asset_id").alias("vec_id"), "embedding")
+    queries = (emb.filter(F.col("asset_id") < 9)
+               .select(F.col("asset_id").alias("query_id"),
+                       F.col("embedding")))
+    return S.topk_brute_force(corpus, queries, k=5, round_to=6)

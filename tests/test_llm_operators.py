@@ -438,3 +438,36 @@ def test_cms_overestimate_merge_and_bound(spark, sf_dir):
     assert all(est[k] >= v for k, v in true.items())
     within = sum(1 for k, v in true.items() if est[k] - v <= bound)
     assert within / len(true) >= 0.95
+
+
+def test_multimodal_resize_and_embed_stubs(spark):
+    """resize_stub: dims bounded by max_dim, aspect preserved (within
+    integer truncation), payload shrinks with area, deterministic.
+    embed_stub: unit-norm float vectors, deterministic per payload."""
+    import math
+    from pyspark.sql import functions as F
+    from canary_weather_etl_spark.operators import multimodal as M
+
+    d = spark.createDataFrame(
+        [(i, "image", f"payload-{i}".encode() * 50, "png") for i in range(20)],
+        "asset_id long, modality string, content binary, media_format string")
+
+    resized = {r.asset_id: r for r in M.resize_stub(d, max_dim=24).collect()}
+    meta = {r.asset_id: r for r in M.extract_metadata(d).collect()}
+    assert set(resized) == set(meta)
+    for aid, r in resized.items():
+        m = meta[aid]
+        assert max(r.width, r.height) <= 24
+        assert 1 <= r.width <= m.width and 1 <= r.height <= m.height
+        assert len(bytes(r.content)) <= m.n_bytes
+    again = {r.asset_id: bytes(r.content)
+             for r in M.resize_stub(d, max_dim=24).collect()}
+    assert again == {k: bytes(v.content) for k, v in resized.items()}
+
+    emb = {r.asset_id: r.embedding for r in M.embed_stub(d, dim=8).collect()}
+    assert len(emb) == 20
+    for v in emb.values():
+        assert len(v) == 8
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    emb2 = {r.asset_id: r.embedding for r in M.embed_stub(d, dim=8).collect()}
+    assert all(emb[k] == pytest.approx(emb2[k]) for k in emb)
