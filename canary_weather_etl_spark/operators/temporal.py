@@ -59,3 +59,41 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
          .over(w).alias(f"{on}{suffix}"),
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def merge_intervals(df: DataFrame, by: str, start: str, end: str,
+                    tiebreak: str | None = None) -> DataFrame:
+    """Consolidate overlapping/touching half-open intervals [start, end)
+    per `by` key into maximal disjoint islands (range consolidation — the
+    interval-extent generalization of gaps-and-islands, which Spark has no
+    built-in for; session_window only handles point events + a gap).
+
+    Plan shape: one shuffle (partitionBy key), two ordered window passes
+    over that same partitioning (running max-end, then running island
+    counter — no re-shuffle between them), then a partial+final group-by
+    on (key, island). Per-key state is O(1) per row in the window; islands
+    never cross keys, so 100 TB scales with key cardinality, and a skewed
+    key costs one sorted partition, not a cross-join.
+
+    Returns one row per island: by, island_start, island_end, n_intervals.
+    """
+    tb = [F.col(tiebreak).asc()] if tiebreak else []
+    w = Window.partitionBy(by).orderBy(
+        F.col(start).asc(), F.col(end).asc(), *tb)
+    # an interval starts a new island iff it begins strictly after every
+    # earlier interval has ended; max-end over the preceding frame is NULL
+    # on the first row of a key → also a new island
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end), 1).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.withColumn("__island", island)
+        .groupBy(by, "__island")
+        .agg(F.min(start).alias("island_start"),
+             F.max(end).alias("island_end"),
+             F.count(F.lit(1)).alias("n_intervals"))
+        .drop("__island")
+    )

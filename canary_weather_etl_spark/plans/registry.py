@@ -42,19 +42,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # pin the session tz: timestamp_micros builds a TIMESTAMP_LTZ, and
-        # both window bucketing and collected wall-clock values follow the
-        # session timezone — must equal DuckDB's naive (UTC-as-stored) view
-        # even if the driver's session runs in a non-UTC zone
+        # pin the session tz: the LTZ column below follows the session
+        # timezone for window bucketing and collected wall-clock values —
+        # must equal DuckDB's naive (UTC-as-stored) view even if the
+        # driver's session runs in a non-UTC zone
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
-            # integer `div`, not `/`: float division loses precision on
+            # TIMESTAMP(NANOS) fixtures: the vectorized reader rejects
+            # nanos, so read as long (legacy conf above) and rebuild µs.
+            # Integer `div`, not `/`: float division loses precision on
             # epoch-nano magnitudes (2^53 < 1.7e18) and lands 1µs off
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixtures arrive as
+            # NTZ; with the session tz pinned UTC the cast to LTZ is
+            # value-preserving. LTZ is required downstream: watermarks /
+            # event-time streaming reject NTZ event-time columns
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -99,3 +99,51 @@ def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return two_phase_agg(ev, key="event_type", agg_col="value",
                          salt_factor=16)
+
+
+@register(
+    "q_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e, event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    TIMESTAMP '0001-01-01')
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ), numbered AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    )
+    SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end,
+           COUNT(*) AS n_intervals
+    FROM numbered
+    GROUP BY user_id, island
+    """,
+    doc="Range consolidation (operators/temporal.merge_intervals): each "
+        "event projects a half-open activity interval [ts, ts+5min); "
+        "overlapping/touching intervals per user merge into maximal "
+        "islands. The interval-EXTENT generalization of gaps-and-islands — "
+        "session_window only sees point events + a gap, and cannot merge "
+        "pre-existing ranges (validity windows, maintenance periods, CDC "
+        "effective ranges). One shuffle, two ordered window passes on the "
+        "same partitioning, then a partial+final agg.",
+    tags=("temporal", "window"),
+)
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    from ..operators.temporal import merge_intervals
+    return merge_intervals(iv, by="user_id", start="s", end="e",
+                           tiebreak="event_id")
