@@ -157,7 +157,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # sketch-based by construction
     doc="approx_percentile (KLL-ish sketch) — the 100 TB percentile path; "
         "exactness traded for a single pass + fixed memory. Accuracy vs "
-        "exact asserted in tests/test_scale_ops.py.",
+        "exact asserted in tests/test_scale_ops.py. The sketch's "
+        "array<double> result is projected to scalar columns: the driver's "
+        "canonicalizer pandas-sorts result cells and cannot hash list cells "
+        "(the q_agg_collect failure class from round 2).",
     tags=("agg", "stats", "approx"),
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,6 +169,11 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderstatus")
         .agg(F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
              .alias("approx_p"))
+        .select(
+            "o_orderstatus",
+            F.col("approx_p")[0].alias("p50_approx"),
+            F.col("approx_p")[1].alias("p90_approx"),
+        )
     )
 
 

@@ -17,24 +17,61 @@ from .registry import load, register
 
 
 @register(
-    "q_array_posexplode",
+    "q_array_composite",
     oracle="""
-    SELECT vec_id,
+    WITH pv AS (
+        SELECT vec_id, embedding,
+               CAST(len(embedding) AS INT) AS dim,
+               list_max(embedding) AS mx,
+               list_min(embedding) AS mn,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+               list_sort(list_intersect(
+                   list_filter(generate_series(1, 32),
+                               i -> embedding[i] > 0),
+                   list_filter(generate_series(1, 32),
+                               i -> embedding[i + 32] > 0))) AS common_l,
+               list_filter(generate_series(1, 32),
+                           i -> embedding[i] > 0) AS lo_pos
+        FROM embeddings WHERE vec_id < 20
+    )
+    SELECT vec_id, dim, mx, mn, n_pos,
+           array_to_string(common_l, ' ') AS common_pos,
+           CAST(len(common_l) AS INT) AS n_common,
+           list_has_all(lo_pos, common_l) AS sanity,
            CAST(i - 1 AS INT) AS pos,
            embedding[i] AS val
-    FROM (SELECT vec_id, embedding,
-                 unnest(generate_series(1, len(embedding))) AS i
-          FROM embeddings
-          WHERE vec_id < 20)
+    FROM (SELECT *, unnest(generate_series(1, len(embedding))) AS i FROM pv)
     """,
-    doc="posexplode of an array column (README.md:648's explode, with "
-        "position): array<float> → (pos, val) rows. Values pass through "
-        "untouched — float-exact across engines.",
-    tags=("array",),
+    doc="Array-family composite (folds the former q_array_posexplode / "
+        "q_array_stats / q_array_setops — one driver row now pins every "
+        "function). Per family: posexplode → (pos, val) rows "
+        "(README.md:648's explode, with position; values float-exact); "
+        "array scalars size/array_max/array_min/filter (README.md:696's "
+        "length checks); set ops array_intersect/array_sort/forall/"
+        "array_contains — the verification machinery of the near-dup "
+        "operators as a first-class query. The intersection is sorted in "
+        "native int order then stringified (the driver's canonicalizer "
+        "cannot hash list-typed cells).",
+    tags=("array", "setop"),
 )
-def q_array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_array_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
-    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    idx = F.sequence(F.lit(1), F.lit(32))
+    lo_pos = F.filter(idx, lambda i: F.element_at("embedding", i) > 0)
+    hi_pos = F.filter(idx, lambda i: F.element_at("embedding", i + 32) > 0)
+    common = F.array_sort(F.array_intersect(lo_pos, hi_pos))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_max("embedding").alias("mx"),
+        F.array_min("embedding").alias("mn"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_join(F.transform(common, lambda x: x.cast("string")),
+                     " ").alias("common_pos"),
+        F.size(common).alias("n_common"),
+        F.forall(common, lambda x: F.array_contains(lo_pos, x)).alias("sanity"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
 
 
 @register(
@@ -77,56 +114,73 @@ def q_arrays_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_array_stats",
+    "q_events_scalar_composite",
     oracle="""
-    SELECT vec_id,
-           CAST(len(embedding) AS INT) AS dim,
-           list_max(embedding) AS mx,
-           list_min(embedding) AS mn,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
-    FROM embeddings
-    """,
-    doc="Array scalar family: size (README.md:696's length checks), "
-        "array_max/array_min, filter — per-row array reductions, all "
-        "codegen'd.",
-    tags=("array",),
-)
-def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.array_max("embedding").alias("mx"),
-        F.array_min("embedding").alias("mn"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    WITH holes AS (
+        SELECT event_id,
+               event_id & 255 AS low_byte,
+               event_id | 4096 AS with_flag,
+               CAST(xor(event_id, 21845) AS BIGINT) AS xored,
+               event_id << 3 AS shifted_l,
+               event_id >> 2 AS shifted_r,
+               CAST(bit_count(event_id) AS INT) AS popcount,
+               CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)
+                   AS k,
+               NULLIF(event_type, 'error') AS et,
+               CASE WHEN value < 20 THEN NULL ELSE value END AS v
+        FROM events
+        WHERE event_id % 13 = 0
     )
-
-
-@register(
-    "q_from_json",
-    oracle="""
-    SELECT event_id,
-           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k,
-           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) % 10
-               AS k_mod
-    FROM events
-    WHERE CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) >= 50
+    SELECT event_id, low_byte, with_flag, xored, shifted_l, shifted_r,
+           popcount,
+           k, k % 10 AS k_mod, k >= 50 AS has_k50,
+           'k' AS first_key, k AS first_val,
+           CAST(1 AS INT) AS n_entries, k >= 50 AS has_large,
+           COALESCE(et, 'redacted') AS et_filled,
+           COALESCE(v, -1.0) AS v_filled
+    FROM holes
+    WHERE NOT (et IS NULL AND v IS NULL)
     """,
-    doc="from_json with an explicit schema over events.props (SURVEY.md "
-        "§2.8 JSON family; get_json_object covered by q_json_extract) — "
-        "typed struct access, filter pushed onto the parsed field.",
-    tags=("json",),
+    doc="Events scalar composite (folds the former q_bitwise_ops / "
+        "q_from_json / q_map_type_ops / q_na_handling — one driver row now "
+        "pins every function). Per family: bitwise and/or/xor/shifts/"
+        "popcount (the machinery SimHash and bit-packed signatures build "
+        "on); from_json with an explicit struct schema + typed field access "
+        "(get_json_object covered by q_json_extract); from_json into "
+        "map<string,bigint> with map_keys/map_values/element_at/size/"
+        "exists; null-handling nullif + conditional null injection repaired "
+        "by na.drop(how='all')/na.fill — the standard raw-feed repair step. "
+        "The oracle reaches the map/json values via regexp (fixture props "
+        "is always a single-key object, verified) and the COALESCE/WHERE "
+        "rewrite of the na family.",
+    tags=("scalar", "bitwise", "json", "map", "nulls"),
 )
-def q_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    parsed = e.select(
+def q_events_scalar_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    m = F.from_json("props", "map<string,bigint>")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    holes = ev.select(
         "event_id",
-        F.from_json("props", "k BIGINT").alias("p"),
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft("event_id", 3).alias("shifted_l"),
+        F.shiftright("event_id", 2).alias("shifted_r"),
+        F.bit_count("event_id").alias("popcount"),
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        (k >= 50).alias("has_k50"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(F.map_values(m), 1).alias("first_val"),
+        F.size(m).alias("n_entries"),
+        F.exists(F.map_values(m), lambda v: v >= 50).alias("has_large"),
+        F.nullif("event_type", F.lit("error")).alias("et"),
+        F.when(F.col("value") < 20, None).otherwise(F.col("value")).alias("v"),
     )
     return (
-        parsed.select("event_id", F.col("p.k").alias("k"))
-        .filter(F.col("k") >= 50)
-        .withColumn("k_mod", F.col("k") % 10)
+        holes.na.drop(how="all", subset=["et", "v"])
+        .na.fill({"et": "redacted", "v": -1.0})
+        .withColumnsRenamed({"et": "et_filled", "v": "v_filled"})
     )
 
 
@@ -169,7 +223,7 @@ def q_sql_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_unpivot_metrics",
+    "q_unpivot_bool_profile",
     oracle="""
     WITH m AS (
         SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
@@ -183,16 +237,22 @@ def q_sql_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS DOUBLE) / 100
                / COUNT(val) AS avg_val,
            MIN(val) AS mn,
-           MAX(val) AS mx
+           MAX(val) AS mx,
+           bool_or(val > 400) AS any_large,
+           bool_and(val >= 0) AS all_nonneg,
+           CAST(count_if(val > 100) AS BIGINT) AS n_over100
     FROM m GROUP BY metric
     """,
-    doc="Unpivot/melt (wide→long): the climatology shape — N metric "
-        "columns stacked into (metric, value) rows, then profiled per "
-        "metric in one aggregate. Spark `unpivot` (a.k.a. melt); oracle is "
-        "the UNION ALL rewrite.",
-    tags=("reshape", "agg"),
+    doc="Unpivot + boolean-aggregate composite (folds the former "
+        "q_unpivot_metrics / q_bool_aggs). Unpivot/melt (wide→long): the "
+        "climatology shape — N metric columns stacked into (metric, value) "
+        "rows, then profiled per metric in one aggregate including the "
+        "assertion-style boolean family bool_or / bool_and (any/every) and "
+        "conditional counting count_if — what a data-quality gate composes. "
+        "Oracle is the UNION ALL rewrite.",
+    tags=("reshape", "agg", "bool"),
 )
-def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_unpivot_bool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=[],
@@ -207,141 +267,8 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(F.round(F.col("val") * 100).cast("long")).cast("double")
               / 100 / F.count("val")).alias("avg_val"),
              F.min("val").alias("mn"),
-             F.max("val").alias("mx"))
-    )
-
-
-@register(
-    "q_na_handling",
-    oracle="""
-    WITH holes AS (
-        SELECT event_id,
-               NULLIF(event_type, 'error') AS et,
-               CASE WHEN value < 20 THEN NULL ELSE value END AS v
-        FROM events
-    )
-    SELECT event_id,
-           COALESCE(et, 'redacted') AS et_filled,
-           COALESCE(v, -1.0) AS v_filled
-    FROM holes
-    WHERE NOT (et IS NULL AND v IS NULL)
-    """,
-    doc="Null-handling family: nulls injected (nullif / conditional), then "
-        "na.fill per-column defaults and na.drop(how='all' over the "
-        "nullable cols) — the standard raw-feed repair step. Oracle is the "
-        "COALESCE/WHERE rewrite.",
-    tags=("scalar", "nulls"),
-)
-def q_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    holes = ev.select(
-        "event_id",
-        F.nullif("event_type", F.lit("error")).alias("et"),
-        F.when(F.col("value") < 20, None).otherwise(F.col("value")).alias("v"),
-    )
-    return (
-        holes.na.drop(how="all", subset=["et", "v"])
-        .na.fill({"et": "redacted", "v": -1.0})
-        .withColumnsRenamed({"et": "et_filled", "v": "v_filled"})
-    )
-
-
-@register(
-    "q_bitwise_ops",
-    oracle="""
-    SELECT event_id,
-           event_id & 255 AS low_byte,
-           event_id | 4096 AS with_flag,
-           CAST(xor(event_id, 21845) AS BIGINT) AS xored,
-           event_id << 3 AS shifted_l,
-           event_id >> 2 AS shifted_r,
-           CAST(bit_count(event_id) AS INT) AS popcount
-    FROM events
-    WHERE event_id % 13 = 0
-    """,
-    doc="Bitwise family: and/or/xor/shifts/popcount — the machinery "
-        "SimHash and bit-packed signatures are built from "
-        "(operators/dedup.simhash, hamming_distance).",
-    tags=("scalar", "bitwise"),
-)
-def q_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
-    return e.select(
-        "event_id",
-        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
-        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
-        F.col("event_id").bitwiseXOR(F.lit(21845)).alias("xored"),
-        F.shiftleft("event_id", 3).alias("shifted_l"),
-        F.shiftright("event_id", 2).alias("shifted_r"),
-        F.bit_count("event_id").alias("popcount"),
-    )
-
-
-@register(
-    "q_array_setops",
-    oracle="""
-    SELECT vec_id,
-           list_sort(list_intersect(lo_pos, hi_pos)) AS common_pos,
-           CAST(len(list_intersect(lo_pos, hi_pos)) AS INT) AS n_common,
-           list_has_all(lo_pos, list_intersect(lo_pos, hi_pos)) AS sanity
-    FROM (
-        SELECT vec_id,
-               list_filter(generate_series(1, 32),
-                           i -> embedding[i] > 0) AS lo_pos,
-               list_filter(generate_series(1, 32),
-                           i -> embedding[i + 32] > 0) AS hi_pos
-        FROM embeddings WHERE vec_id < 50
-    )
-    """,
-    doc="Array set operations: per-vector positive-position sets from two "
-        "halves of the embedding, intersected and containment-checked "
-        "(array_intersect / forall — the verification machinery of the "
-        "near-dup ops as a first-class query). Both engines sort the "
-        "intersection (element order is implementation-defined).",
-    tags=("array", "setop"),
-)
-def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
-    idx = F.sequence(F.lit(1), F.lit(32))
-    lo_pos = F.filter(idx, lambda i: F.element_at("embedding", i) > 0)
-    hi_pos = F.filter(idx, lambda i: F.element_at("embedding", i + 32) > 0)
-    common = F.array_sort(F.array_intersect(lo_pos, hi_pos))
-    return e.select(
-        "vec_id",
-        common.alias("common_pos"),
-        F.size(F.array_intersect(lo_pos, hi_pos)).alias("n_common"),
-        F.forall(F.array_intersect(lo_pos, hi_pos),
-                 lambda x: F.array_contains(lo_pos, x)).alias("sanity"),
-    )
-
-
-@register(
-    "q_map_type_ops",
-    oracle="""
-    SELECT event_id,
-           'k' AS first_key,
-           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)
-               AS first_val,
-           CAST(1 AS INT) AS n_entries,
-           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) >= 50
-               AS has_large
-    FROM events
-    WHERE event_id % 17 = 0
-    """,
-    doc="MapType surface (SURVEY.md §1.2 — the props extension): "
-        "from_json into map<string,bigint>, then map_keys / element_at / "
-        "size / exists over the map. The oracle reaches the same values "
-        "via regexp (DuckDB's map type isn't needed to verify the "
-        "semantics, only the outputs).",
-    tags=("map", "json"),
-)
-def q_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
-    m = F.from_json("props", "map<string,bigint>")
-    return e.select(
-        "event_id",
-        F.element_at(F.map_keys(m), 1).alias("first_key"),
-        F.element_at(F.map_values(m), 1).alias("first_val"),
-        F.size(m).alias("n_entries"),
-        F.exists(F.map_values(m), lambda v: v >= 50).alias("has_large"),
+             F.max("val").alias("mx"),
+             F.bool_or(F.col("val") > 400).alias("any_large"),
+             F.bool_and(F.col("val") >= 0).alias("all_nonneg"),
+             F.count_if(F.col("val") > 100).alias("n_over100"))
     )

@@ -42,7 +42,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # pin the session tz: the LTZ column below follows the session
@@ -61,8 +61,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(MICROS, isAdjustedToUTC=false) fixtures arrive as
             # NTZ; with the session tz pinned UTC the cast to LTZ is
             # value-preserving. LTZ is required downstream: watermarks /
-            # event-time streaming reject NTZ event-time columns
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # event-time streaming reject NTZ event-time columns.
+            # Explicit TimestampType, not the "timestamp" string: the string
+            # resolves via spark.sql.timestampType, which a deployment could
+            # set to TIMESTAMP_NTZ, silently making this cast a no-op
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
         return df
     return spark.read.parquet(path)
 

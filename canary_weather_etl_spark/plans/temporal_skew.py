@@ -109,10 +109,13 @@ def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), flagged AS (
         SELECT user_id, s, e, event_id,
-               CASE WHEN s > COALESCE(MAX(e) OVER (
+               CASE WHEN MAX(e) OVER (
                         PARTITION BY user_id ORDER BY s, e, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    TIMESTAMP '0001-01-01')
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     THEN 1 ELSE 0 END AS new_island
         FROM iv
     ), numbered AS (

@@ -25,17 +25,18 @@ def _assert_same(a, b, key="event_id"):
 def test_csv_round_trip(spark, tmp_path):
     src = _events_sample(spark)
     path = str(tmp_path / "csv")
-    # ts is TIMESTAMP_NTZ: the text writers format NTZ columns with
-    # timestampNTZFormat (timestampFormat only governs TIMESTAMP_LTZ), and
-    # the default NTZ pattern truncates to milliseconds — microsecond
-    # fixtures need the explicit 6-digit pattern on BOTH sides
+    # ts is TIMESTAMP_LTZ after registry.load() (it rebuilds/casts events.ts
+    # to TimestampType in both fixture branches), so the text writers format
+    # it with timestampFormat — and the default LTZ pattern truncates to
+    # milliseconds, so microsecond fixtures need the explicit 6-digit
+    # pattern on BOTH sides
     (src.write.mode("overwrite")
         .option("header", "true")
-        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .csv(path))
     back = (spark.read.schema(src.schema)
             .option("header", "true")
-            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
             .csv(path))
     _assert_same(src, back)
 
@@ -44,12 +45,12 @@ def test_jsonlines_round_trip(spark, tmp_path):
     src = _events_sample(spark)
     path = str(tmp_path / "jsonl")
     (src.write.mode("overwrite")
-        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path))
     # NOTE: default (non-multiLine) = one JSON object per line — the
     # streaming-friendly layout, unlike the reference's whole-file docs
     back = (spark.read.schema(src.schema)
-            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
             .json(path))
     _assert_same(src, back)
 

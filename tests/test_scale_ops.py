@@ -77,7 +77,7 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
 def test_approx_percentile_accuracy(spark, sf_dir):
     """The sketch percentile must land within 2% relative error of exact."""
     from canary_weather_etl_spark.plans import REGISTRY
-    approx = {r["o_orderstatus"]: r["approx_p"]
+    approx = {r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"])
               for r in REGISTRY["q_approx_percentile"].fn(spark, sf_dir).collect()}
     exact = {r["o_orderstatus"]: (r["p50"], r["p90"])
              for r in REGISTRY["q_percentiles"].fn(spark, sf_dir).collect()}
