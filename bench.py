@@ -58,11 +58,25 @@ def main() -> None:
                                        lambda x, y: x * y),
                             F.lit(0.0), lambda a, x: a + x).alias("s"))
         .agg(F.sum("s")).collect())
+    # warm the partitioned-window path (WindowExec + last/ignorenulls
+    # codegen): the as-of join is built on it, and without this the first
+    # window-bearing query absorbs a one-time setup cost that the r3 bench
+    # mischarged to whichever query ran first after a priority reshuffle
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    (e.withColumn("lv", F.last("value", ignorenulls=True).over(w))
+       .agg(F.sum("lv")).collect())
 
     timings: dict[str, float] = {}
-    for name, spec in REGISTRY.items():
-        if not spec.bench:
-            continue
+    # Fixed iteration order, independent of the registry's driver-sample
+    # rotation: _DRIVER_PRIORITY reshuffles REGISTRY enumeration each round,
+    # and r3 showed that letting it decide who runs first makes bench-vs-
+    # bench comparisons hostage to which query pays residual first-run
+    # costs. Alphabetical = stable across rounds.
+    bench_names = sorted(n for n, s in REGISTRY.items() if s.bench)
+    for name in bench_names:
+        spec = REGISTRY[name]
         # best-of-2: a single pass is hostage to scheduler/host noise at
         # these sub-second scales; min-of-two is the achievable latency
         best = float("inf")

@@ -21,6 +21,7 @@ from . import scalars_ext  # noqa: E402,F401  extended string/date scalar covera
 from . import weather_ingest  # noqa: E402,F401  §2.1/2.9 ingestion differential
 from . import curation     # noqa: E402,F401  §2.11 split/mix/vocab/contamination
 from . import formats      # noqa: E402,F401  §2.1 CSV/JSONL sink+scan round trips
+from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly-once
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
