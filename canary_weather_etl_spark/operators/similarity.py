@@ -17,6 +17,8 @@ fixed left-to-right fold (F.aggregate), deterministic per engine.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -329,3 +331,49 @@ def quantize_int8(vec: F.Column, scale: F.Column) -> F.Column:
 
 def dequantize(qvec: F.Column, scale: F.Column) -> F.Column:
     return F.transform(qvec, lambda q: q.cast("double") / scale)
+
+
+# --------------------- random projection (JL transform) ----------------------
+
+def jl_matrix(in_dim: int, out_dim: int, salt: str = "jl42"):
+    """Deterministic Johnson–Lindenstrauss projection matrix as a plain
+    Python list-of-lists: entry (i, j) = md5(f"{i}:{j}:{salt}") mapped to
+    uniform(−0.5, 0.5). md5 is engine-portable, so a SQL twin can rebuild
+    the IDENTICAL matrix from generate_series — no literal matrix shipped,
+    no RNG state, reproducible across runs/engines (same growth-stable
+    property as the md5 train/val split). Uniform ±0.5 entries are
+    sub-gaussian, which is all JL needs."""
+    import hashlib
+
+    return [[int(hashlib.md5(f"{i}:{j}:{salt}".encode()).hexdigest()[:8],
+                 16) / 2 ** 32 - 0.5
+             for j in range(out_dim)]
+            for i in range(in_dim)]
+
+
+def random_projection(df: DataFrame, vec_col: str, in_dim: int,
+                      out_dim: int, salt: str = "jl42",
+                      out_col: str = "proj") -> DataFrame:
+    """Project `vec_col` (array<numeric>, length in_dim) to out_dim
+    dimensions with the deterministic JL matrix — the dimensionality
+    reduction in front of ANN / clustering when 100 TB of float32×768
+    won't fit the candidate stage.
+
+    Arrow-vectorized pandas_udf doing one numpy matmul per batch: this is
+    the documented exception to 'built-ins first' — a dense mat-mat
+    product is exactly where BLAS beats 64 codegen'd aggregate folds per
+    row. The matrix broadcasts implicitly via the UDF closure (a few KB);
+    zero shuffle, row-wise, scales with scan width."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    m = np.asarray(jl_matrix(in_dim, out_dim, salt))
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _proj(v: pd.Series) -> pd.Series:
+        x = np.vstack(v.to_numpy())          # batch × in_dim
+        p = x.astype(np.float64) @ m         # batch × out_dim
+        return pd.Series(list(p))
+
+    return df.withColumn(out_col, _proj(as_double(vec_col)))

@@ -26,44 +26,45 @@ from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Rounds 1–2 sampled the same prefix, leaving
-# 47 queries with pytest-only evidence. This list front-loads exactly those:
-# the weather-ingestion differential, the benched-but-unproven queries
-# (as-of/range join, corpus curation), the round-2-new operators, and the
-# round-3 fix (q_agg_collect, red in r2). Previously-green queries keep their
-# r1/r2 rows and rotate to the back. The single-purpose scalar families
-# (bitwise/bool-agg/hash/string-ext) rotate behind the round-3-new curation
-# queries — they are the lowest-risk members of the never-sampled set
-# (pure built-in scalar expressions with literal-for-literal SQL twins).
+# hard external correctness row. Round-4 rotation closes the last coverage
+# gaps: front-load (a) q_approx_percentile — r3's one red row, fixed by
+# projecting the sketch array to scalars; (b) the three r3-new operators the
+# r3 sample never reached (count-min heavy hitters, multimodal embed→top-k,
+# interval merge); (c) the four composites that replaced the 12 never-
+# sampled single-purpose scalar/array queries; (d) everything new in r4
+# (streaming restart proof, sessionize, partition-stats manifest, histogram,
+# weighted sampling, embedding-cosine dedup clusters). With those 14
+# sampled, every registry entry has at least one driver row across r1-r4.
+# The ~36 backfill slots re-evidence the r2-sampled relational/join/window/
+# set-op core (unchanged code, but their last hard rows are two rounds old).
 _DRIVER_PRIORITY = (
-    # red row in r2, fixed this round — must re-sample
-    "q_agg_collect",
-    # weather-ingestion differential (never sampled)
-    "q_weather_flatten_om", "q_weather_flatten_vc",
-    "q_weather_clean_build", "q_weather_upsert_newwins",
-    # benched headline queries with no driver correctness row
-    "q_asof_join", "q_range_join", "q_corpus_curation", "q_tfidf_top_terms",
-    # round-2-new oracled operators
-    "q_global_rank", "q_zorder_key", "q_pack_sequences",
-    "q_pack_sequences_greedy", "q_events_funnel",
-    "q_events_cohort_retention",
-    # remaining never-sampled set
-    "q_heavy_hitters", "q_sql_facade", "q_salted_join", "q_two_phase_agg",
-    "q_time_rollup", "q_percentiles", "q_approx_percentile",
-    "q_stats_moments", "q_data_quality_profile", "q_pivot",
-    "q_stratified_sample", "q_gap_fill_calendar",
-    "q_arrays_zip_explode", "q_text_chunking",
-    "q_corpus_shuffle_shards", "q_text_clean_redact",
-    "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
-    "q_text_dup_lines", "q_cosine_pairs_exact",
-    "q_sim_ann_recall",
-    # round-3-new: the stream-stream interval join's batch twin and the
-    # corpus-curation family (hash split / domain mix / vocab / contamination)
-    "q_interval_join_batch",
-    "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
-    "q_contamination_ngrams", "q_dedup_clusters", "q_embedding_quantize",
-    "q_star_join_revenue", "q_dedup_incremental", "q_bitmap_semi_join",
-    "q_csv_roundtrip", "q_jsonl_roundtrip", "q_lm_quality_score",
+    # red row in r3, fixed this round — must re-sample
+    "q_approx_percentile",
+    # r3-new operators the r3 sample never reached
+    "q_cms_heavy_hitters", "q_multimodal_embed_topk", "q_merge_intervals",
+    # r4 composites replacing the 12 never-sampled scalar/array queries
+    "q_array_composite", "q_events_scalar_composite",
+    "q_string_date_hash_composite", "q_unpivot_bool_profile",
+    # r4-new operators
+    "q_stream_restart_dedup", "q_sessionize", "q_partition_stats",
+    "q_histogram", "q_weighted_sample", "q_dedup_embedding_clusters",
+    "q_orc_roundtrip", "q_random_projection",
+    # backfill: r2-sampled core, re-evidenced (bench trio first)
+    "q1_groupby_avg", "q2_groupby2_topk", "q3_filtered_groupby_avg",
+    "q_join_inner_fact", "q_join_broadcast_dims", "q_join_left_anti",
+    "q_join_left_semi", "q_join_left_outer", "q_join_full_outer",
+    "q_cross_join",
+    "q_union_by_name", "q_except_all", "q_intersect_distinct",
+    "q_intersect_all",
+    "q_window_rank", "q_window_rolling", "q_window_lag_delta",
+    "q_window_distribution", "q_correlated_subquery",
+    "q_rollup", "q_cube", "q_grouping_sets",
+    "q_events_tumbling", "q_events_sliding", "q_events_session",
+    "q_projection_derived", "q_filter_null_empty", "q_distinct_pairs",
+    "q_topk_global",
+    "q_scalar_string", "q_scalar_date", "q_conditional_case",
+    "q_json_extract",
+    "q_count_distinct", "q_agg_min_max_by", "q_median_exact",
 )
 
 

@@ -508,3 +508,136 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(o, [F.desc("o_totalprice"), F.asc("o_orderkey")],
                          n_partitions=16)
     return ranked.select("o_orderkey", "o_totalprice", "global_rank")
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ), numbered AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_sec,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization with STABLE session ids — the gaps-and-islands "
+        "assignment (30-minute inactivity gap) that event analytics joins "
+        "back to, distinct from session_window (which aggregates but "
+        "exposes no joinable id) and merge_intervals (which consolidates "
+        "pre-existing ranges). Plan: one shuffle on user_id, two ordered "
+        "window passes over the SAME partitioning (lag → running sum, no "
+        "re-shuffle), then partial+final agg on (user, session). Per-key "
+        "state is O(1); a skewed user costs one sorted partition. "
+        "Deterministic tiebreak (ts, event_id) keeps both engines' "
+        "running sums identical.",
+    tags=("analytics", "temporal", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w)))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    session_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.withColumn("session_id", session_id)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             (F.unix_timestamp(F.max("ts"))
+              - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+             F.count_distinct("event_type").alias("n_types"))
+    )
+
+
+@register(
+    "q_partition_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_rows,
+           MIN(value) AS min_val,
+           MAX(value) AS max_val,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+    doc="Partition-statistics manifest — the zone map a data-skipping "
+        "reader consults: per (day, event_type) partition cell, row count "
+        "plus min/max of the predicate columns and user cardinality. At "
+        "100 TB this table IS the scan planner's input (the z-order writer "
+        "in operators/layout makes the min/max ranges tight); computing it "
+        "is one partial+final agg, output rows = #partition cells, not "
+        "#rows. The manifest-driven pruning loop: write sorted → collect "
+        "stats → skip files whose [min,max] misses the predicate.",
+    tags=("analytics", "layout", "scale"),
+)
+def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.min("value").alias("min_val"),
+             F.max("value").alias("max_val"),
+             F.min("event_id").alias("min_id"),
+             F.max("event_id").alias("max_id"),
+             F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 25000), 23) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram (24 x 25k buckets over order totals, "
+        "last bucket open-ended) — the single-pass distribution profile "
+        "behind skew detection and bucket-boundary planning. Identical "
+        "floor arithmetic on both engines (DuckDB lacks width_bucket; "
+        "floating bucket edges would also make boundary rows "
+        "engine-dependent). Map-side partial agg reduces each partition "
+        "to <=24 rows before the exchange.",
+    tags=("analytics", "stats"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000),
+                     F.lit(23)).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("o_totalprice").alias("lo"),
+             F.max("o_totalprice").alias("hi"))
+    )

@@ -221,3 +221,59 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / F.col("n_grams").cast("double"), 6)
             .alias("contamination"))
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS DOUBLE) AS w,
+               CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp42'),
+                               1, 8)) AS UBIGINT) AS DOUBLE)
+                   / 4294967296.0 AS u
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source, w, -ln(u) / w AS k,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY -ln(u) / w ASC, doc_id)
+                   AS rk
+        FROM keyed
+    )
+    SELECT source, doc_id, w,
+           FLOOR(k * 1e9 + 0.5) / 1e9 AS sample_key,
+           CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 10
+    """,
+    doc="Weighted sampling without replacement (A-ES / Efraimidis-"
+        "Spirakis): per stratum, the k=10 docs with the smallest "
+        "exponential keys -ln(u)/w — equivalent to sequential weighted "
+        "draws, here weight = doc length. u is derived from md5(doc_id + "
+        "fixed salt), NOT rand(): the draw is reproducible, growth-stable "
+        "per doc (same property as the md5 split), and cross-engine "
+        "checkable. Plan: row-wise key computation (zero shuffle), then "
+        "one per-stratum top-k window — at 100 TB swap the window for "
+        "the two-phase per-partition-heap top-k (operators/ranking) per "
+        "stratum. The standard quality-weighted corpus subsampling step.",
+    tags=("llm", "curation", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_par(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":wsamp42"))), 1, 8), 16, 10)
+         .cast("double") / F.lit(4294967296.0))
+    w = F.length("text").cast("double")
+    keyed = d.select("doc_id", "source", w.alias("w"),
+                     (-F.log(u) / w).alias("k"))
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("k"), F.asc("doc_id")))
+    return (
+        keyed.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "w",
+                round_det("k", 9).alias("sample_key"), "rk")
+    )

@@ -114,3 +114,42 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum(F.length("text")).alias("total_chars"))
     )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE)
+               / 1e2 AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="ORC sink + scan fidelity: orders written through df.write.orc "
+        "(the columnar alternative when the lakehouse standard is "
+        "ORC/Hive rather than parquet — same predicate-pushdown and "
+        "column-pruning contract) and read back. ORC is binary+typed, so "
+        "unlike the text round trips nothing is at risk in serialization "
+        "format-wise; what the hash checks is the write→read path itself "
+        "(schema preservation, null handling, split planning). Oracle "
+        "aggregates the ORIGINAL parquet.",
+    tags=("source", "sink"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="canary_orc_roundtrip_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "orders_orc")
+    (load(spark, sf_dir, "orders")
+     .select("o_orderkey", "o_orderstatus", "o_totalprice")
+     .write.mode("overwrite").orc(path))
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             exact_sum("o_totalprice", scale=2).alias("total_price"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderkey").alias("max_key"))
+    )

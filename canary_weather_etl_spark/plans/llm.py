@@ -1243,3 +1243,118 @@ def q_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("asset_id").alias("query_id"),
                        F.col("embedding")))
     return S.topk_brute_force(corpus, queries, k=5, round_to=6)
+
+
+@register(
+    "q_dedup_embedding_clusters",
+    oracle="""
+    WITH RECURSIVE sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+    ), cand AS (
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               l.embedding AS va, r.embedding AS vb
+        FROM sub l JOIN sub r ON l.vec_id < r.vec_id
+    ), expl AS (
+        SELECT a, b, va, vb, unnest(generate_series(1, len(va))) AS i
+        FROM cand
+    ), dots AS (
+        SELECT a, b,
+               SUM(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dp,
+               SUM(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)) AS aa,
+               SUM(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS bb
+        FROM expl GROUP BY a, b
+    ), pairs AS (
+        SELECT a, b FROM dots WHERE dp / (SQRT(aa) * SQRT(bb)) >= 0.3
+    ), edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b AS src, a AS dst FROM pairs
+    ), nodes AS (SELECT vec_id AS id FROM sub),
+    reach(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT c.id AS vec_id, c.component, s.cluster_size,
+           c.id = c.component AS is_keeper
+    FROM comp c
+    JOIN (SELECT component, COUNT(*) AS cluster_size
+          FROM comp GROUP BY component) s USING (component)
+    """,
+    doc="Embedding-cosine near-dup dedup, end-to-end: cosine>=0.3 pairs "
+        "(exact scoring at fixture scale — the oracle-checkable twin of "
+        "the LSH-bucketed candidate path, same exact/approx pairing as "
+        "the Jaccard family) fed through connected-components label "
+        "propagation (operators/graph.py) into dedup clusters with a "
+        "deterministic min-id keeper. Completes the semantic-dedup "
+        "family: exact hash, MinHash/SimHash lexical near-dup, and now "
+        "embedding-space near-dup all land in the same cluster/keeper "
+        "audit shape. At 100 TB the pair stage is the LSH/IVF bucketed "
+        "candidate join (operators/similarity) + cosine verify on "
+        "candidates only; the closure stage is unchanged.",
+    tags=("llm", "dedup", "similarity", "graph"),
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_par(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 300)
+         .select("vec_id", S.as_double("embedding").alias("v"))
+         .withColumn("nrm", S.l2_norm(F.col("v"))))
+    l = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    r = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    pairs = (
+        l.join(r, F.col("a") < F.col("b"))
+        .filter((S.dot(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))) >= 0.3)
+        .select("a", "b")
+    )
+    return (
+        G.dedup_clusters(pairs, e.select("vec_id"), id_col="vec_id")
+        .select(F.col("id").alias("vec_id"), "component",
+                "cluster_size", "is_keeper")
+    )
+
+
+@register(
+    "q_random_projection",
+    oracle="""
+    WITH m AS (
+        SELECT s.i AS i, t.j AS j,
+               CAST(CAST(concat('0x',
+                        substr(md5(s.i || ':' || t.j || ':jl42'), 1, 8))
+                    AS UBIGINT) AS DOUBLE) / 4294967296.0 - 0.5 AS w
+        FROM generate_series(0, 63) s(i), generate_series(0, 15) t(j)
+    ), e AS (
+        SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings WHERE vec_id < 200)
+    )
+    SELECT e.vec_id, m.j,
+           FLOOR(SUM(e.x * m.w) * 1e6 + 0.5) / 1e6 AS proj
+    FROM e JOIN m ON e.i = m.i
+    GROUP BY e.vec_id, m.j
+    """,
+    doc="Johnson-Lindenstrauss random projection 64->16 "
+        "(operators/similarity.random_projection): the dimensionality "
+        "reduction in front of ANN/clustering when the full-width "
+        "embedding corpus won't fit the candidate stage. The projection "
+        "matrix is DERIVED from md5(i:j:salt) -> uniform(-0.5,0.5), so "
+        "the oracle rebuilds the identical matrix from generate_series "
+        "and verifies the numpy-matmul pandas_udf (the documented "
+        "built-ins-first exception: dense matmul is where BLAS wins) "
+        "against pure SQL sums. Long-form (vec_id, j, proj) output; "
+        "rounded at 1e-6 because BLAS and sequential SQL summation "
+        "order differ at the ulp level.",
+    tags=("llm", "similarity", "udf"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_par(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 200))
+    proj = S.random_projection(e, "embedding", in_dim=64, out_dim=16)
+    return (
+        proj.select("vec_id", F.posexplode("proj").alias("j", "p"))
+        .select("vec_id", "j", round_det("p", 6).alias("proj"))
+    )

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Second-decade bench point for the headline queries (SCALE.md evidence).
 
-Amplifies every table a headline (bench=True) query touches to 10x sf0.1
-under /tmp/bench_10x/, preserving join relationships:
+Amplifies every table a headline (bench=True) query touches to Mx sf0.1
+under /tmp/bench_{M}x/, preserving join relationships:
 
 - lineitem/orders/customer: copy i shifts the orderkey/custkey PK-FK pairs
   by i*KEYSHIFT (joins stay 1:N within a copy, never across copies);
@@ -21,7 +21,12 @@ Then runs each headline query at sf0.1 and at the amplified dir in ONE
 warm session (best-of-N, default 2) and prints one JSON line per scale
 with per-query seconds — the input for SCALE.md's measured-decades table.
 
-Usage: python scripts/bench_scale.py [--reps N] [--mult M]
+Usage: python scripts/bench_scale.py [--reps N] [--mult M] [--force]
+                                     [--only q_a,q_b,...]
+
+--force swaps the collect() sink for a one-row xxhash64-of-all-columns
+aggregate: full computation, no driver result serialization — use it to
+tell "the operator scales" apart from "the output I collect grows".
 """
 
 from __future__ import annotations
@@ -41,7 +46,6 @@ from canary_weather_etl_spark.plans.registry import load  # noqa: E402
 from canary_weather_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = "/tmp/bench_10x"
 KEYSHIFT = 100_000_000  # far above any sf0.1 key
 
 TABLES = ("region", "nation", "customer", "supplier", "part",
@@ -58,11 +62,14 @@ SHIFTS = {
 
 
 def amplify(spark, mult: int) -> str:
-    if os.path.exists(os.path.join(OUT_DIR, "_DONE")):
-        return OUT_DIR
-    os.makedirs(OUT_DIR, exist_ok=True)
+    # mult-scoped dir: a fixed path + _DONE marker would silently hand a
+    # --mult 100 run the cached 10x tables
+    out_dir = f"/tmp/bench_{mult}x"
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
-        dst = f"{OUT_DIR}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
         # registry.load handles events' TIMESTAMP(NANOS) rebuild; the
         # amplified copy is written back as standard micros
         base = load(spark, SF_DIR, t)
@@ -83,19 +90,33 @@ def amplify(spark, mult: int) -> str:
         for c in copies[1:]:
             df = df.unionByName(c)
         df.write.mode("overwrite").parquet(dst)
-    open(os.path.join(OUT_DIR, "_DONE"), "w").close()
-    return OUT_DIR
+    open(os.path.join(out_dir, "_DONE"), "w").close()
+    return out_dir
 
 
-def run_set(spark, sf_dir: str, reps: int) -> dict[str, float]:
+def run_set(spark, sf_dir: str, reps: int, force: bool = False,
+            only: set[str] | None = None) -> dict[str, float]:
+    """force=True replaces .collect() with a full-computation hash sink
+    (sum of xxhash64 over every output column → ONE row): the operator
+    still computes everything (no column pruning — xxhash64 consumes all
+    columns), but driver-side result serialization is out of the
+    measurement. collect() ratios conflate the two: a query whose OUTPUT
+    grows 10x pays 10x row-pickling on the driver even when the
+    distributed plan scales flat."""
     timings = {}
     for name, spec in REGISTRY.items():
-        if not spec.bench:
+        if not spec.bench or (only and name not in only):
             continue
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
+            df = spec.fn(spark, sf_dir)
+            if force:
+                # bit_xor, not sum: the session runs ANSI mode and a long
+                # sum of 64-bit hashes overflows
+                df.select(F.bit_xor(F.xxhash64(*df.columns)).alias("h")).collect()
+            else:
+                df.collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     return timings
@@ -105,14 +126,18 @@ def main() -> None:
     args = sys.argv[1:]
     reps = int(args[args.index("--reps") + 1]) if "--reps" in args else 2
     mult = int(args[args.index("--mult") + 1]) if "--mult" in args else 10
+    force = "--force" in args
+    only = (set(args[args.index("--only") + 1].split(","))
+            if "--only" in args else None)
 
     spark = get_spark("canary-bench-scale")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 
     big = amplify(spark, mult)
     for label, d in (("sf0.1", SF_DIR), (f"{mult}x sf0.1", big)):
-        t = run_set(spark, d, reps)
-        print(json.dumps({"scale": label, "total": round(sum(t.values()), 3),
+        t = run_set(spark, d, reps, force=force, only=only)
+        print(json.dumps({"scale": label, "sink": "hash" if force else "collect",
+                          "total": round(sum(t.values()), 3),
                           "queries": t}))
 
 

@@ -1,0 +1,94 @@
+"""Semantic property tests for the round-4 operators, beyond the oracle
+hash (which pins values but not the invariants a consumer relies on)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.plans import REGISTRY
+from canary_weather_etl_spark.plans.registry import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sessionize_partitions_events(spark):
+    """Sessions tile the event stream: every event lands in exactly one
+    session, durations are non-negative, and the 30-min gap rule holds
+    when recomputed independently for the busiest user."""
+    out = REGISTRY["q_sessionize"].fn(spark, SF).cache()
+    ev = load(spark, SF, "events")
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    assert out.filter(F.col("duration_sec") < 0).count() == 0
+
+    busiest = (ev.groupBy("user_id").count()
+               .orderBy(F.desc("count")).first()["user_id"])
+    ts = [r["ts"] for r in
+          ev.filter(F.col("user_id") == busiest)
+            .orderBy("ts", "event_id").collect()]
+    n_sessions = 1 + sum(
+        1 for a, b in zip(ts, ts[1:]) if (b - a).total_seconds() > 1800)
+    got = out.filter(F.col("user_id") == busiest).count()
+    assert got == n_sessions
+    out.unpersist()
+
+
+def test_weighted_sample_stratum_size_and_bias(spark):
+    """Exactly min(10, |stratum|) rows per source, ranks contiguous, and
+    the length-weighting shows: mean sampled doc length exceeds the
+    stratum mean (the point of weighting by length)."""
+    out = REGISTRY["q_weighted_sample"].fn(spark, SF).cache()
+    d = load(spark, SF, "documents")
+    per_src = {r["source"]: r["n"] for r in
+               d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in per_src.items():
+        assert got[src] == min(10, n)
+    ranks = out.groupBy("source").agg(F.min("rk").alias("lo"),
+                                      F.max("rk").alias("hi")).collect()
+    for r in ranks:
+        assert r["lo"] == 1 and r["hi"] == got[r["source"]]
+
+    corpus_avg = d.agg(F.avg(F.length("text"))).first()[0]
+    sample_avg = out.agg(F.avg("w")).first()[0]
+    assert sample_avg > corpus_avg
+    out.unpersist()
+
+
+def test_histogram_totals_and_bounds(spark):
+    out = REGISTRY["q_histogram"].fn(spark, SF).collect()
+    o = load(spark, SF, "orders")
+    assert sum(r["n"] for r in out) == o.count()
+    for r in out:
+        b = r["bucket"]
+        assert r["lo"] >= b * 25000
+        assert r["lo"] <= r["hi"]
+        if b < 23:
+            assert r["hi"] < (b + 1) * 25000
+
+
+def test_partition_stats_manifest_consistency(spark):
+    out = REGISTRY["q_partition_stats"].fn(spark, SF).cache()
+    ev = load(spark, SF, "events")
+    assert out.agg(F.sum("n_rows")).first()[0] == ev.count()
+    bad = out.filter((F.col("min_val") > F.col("max_val"))
+                     | (F.col("min_id") > F.col("max_id"))
+                     | (F.col("n_users") > F.col("n_rows"))
+                     | (F.col("n_users") < 1)).count()
+    assert bad == 0
+    out.unpersist()
+
+
+def test_embedding_clusters_cover_and_keeper(spark):
+    """Every vec_id < 300 appears exactly once; the keeper is the minimum
+    id of its component; cluster_size counts the component's members."""
+    rows = REGISTRY["q_dedup_embedding_clusters"].fn(spark, SF).collect()
+    assert sorted(r["vec_id"] for r in rows) == list(range(300))
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m["vec_id"] for m in members)
+        for m in members:
+            assert m["cluster_size"] == len(members)
+            assert m["is_keeper"] == (m["vec_id"] == comp)
