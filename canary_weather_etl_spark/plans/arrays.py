@@ -272,3 +272,37 @@ def q_unpivot_bool_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.bool_and(F.col("val") >= 0).alias("all_nonneg"),
              F.count_if(F.col("val") > 100).alias("n_over100"))
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)
+               AS k,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) * 2
+               AS k_doubled,
+           CAST(NULL AS VARCHAR) AS missing_field
+    FROM events
+    WHERE event_id % 19 = 0
+    """,
+    doc="VARIANT semi-structured type (Spark 4): parse_json once into the "
+        "binary variant encoding, then typed variant_get path extraction — "
+        "the modern replacement for per-access get_json_object re-parsing "
+        "(each get_json_object call re-parses the string; variant parses "
+        "once and extracts many times from the encoded form — the shredded "
+        "column direction Parquet variant shredding standardizes). "
+        "try_variant_get on an absent path yields NULL instead of "
+        "erroring. Oracle reaches the same values via regexp.",
+    tags=("json", "variant"),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 19 == 0)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k * 2).alias("k_doubled"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+    )

@@ -1,0 +1,113 @@
+"""HTTP weather API as a DISTRIBUTED scan — a Spark 4 Python DataSource.
+
+The reference fetches every location sequentially on the driver
+(README.md:667-732: a Python for-loop over locations inside one Lambda).
+`sources/extract.py` reproduces that shape for parity; THIS module is the
+Spark-native form: `spark.dataSource.register(WeatherApiDataSource)` turns
+the fetch itself into a scan with **one input partition per location**, so
+1000 locations fan out across executors, retries/backoff run inside tasks
+(per-partition, independently retried by Spark on failure), and the result
+lands directly in DataFrame-land with a pinned schema — no driver loop, no
+collect, no intermediate files unless you want them.
+
+Networking uses the same `extract.fetch_json` (urllib + exponential
+backoff). Tests point the per-location URLs at `file://` golden fixtures —
+urllib serves those identically, so the whole distributed path runs
+hermetically (the container has no network).
+
+Usage:
+    spark.dataSource.register(WeatherApiDataSource)
+    df = (spark.read.format("weather_api")
+          .option("urls", json.dumps({"corfu": "https://...", ...}))
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date as _date
+
+try:
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        InputPartition)
+    HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    HAS_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+# flattened daily rows: one row per (location, day); parallel arrays from
+# the raw response are zipped positionally, exactly like the arrays_zip
+# flatten in sources/weather.py
+_SCHEMA = ("location string, day date, tmax double, tmin double, "
+           "precip double")
+
+
+class _WeatherPartition(InputPartition):
+    def __init__(self, location: str, url: str):
+        self.location = location
+        self.url = url
+
+
+class WeatherApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        urls = options.get("urls")
+        if not urls:
+            raise ValueError("weather_api requires an 'urls' option: "
+                             "JSON object {location: url}")
+        self.urls: dict[str, str] = json.loads(urls)
+        self.retries = int(options.get("retries", 5))
+
+    def partitions(self):
+        # one partition per location — the unit of fetch parallelism AND of
+        # Spark's task retry (a failed location refetches alone)
+        return [_WeatherPartition(loc, url)
+                for loc, url in sorted(self.urls.items())]
+
+    def read(self, partition: _WeatherPartition):
+        from . import extract
+
+        doc = extract.fetch_json(partition.url, retries=self.retries)
+        daily = doc.get("daily", {})
+        days = daily.get("time", [])
+        tmax = daily.get("temperature_2m_max", [])
+        tmin = daily.get("temperature_2m_min", [])
+        prec = daily.get("precipitation_sum", [])
+        n = len(days)
+        # the reference's parallel-array guard (README.md:699-704): ragged
+        # arrays are a hard error, not silent truncation
+        for name, arr in (("temperature_2m_max", tmax),
+                          ("temperature_2m_min", tmin),
+                          ("precipitation_sum", prec)):
+            if arr and len(arr) != n:
+                raise ValueError(
+                    f"ragged daily array {name!r} for {partition.location}: "
+                    f"{len(arr)} values vs {n} dates")
+        for i in range(n):
+            yield (partition.location,
+                   _date.fromisoformat(days[i]),
+                   float(tmax[i]) if tmax else None,
+                   float(tmin[i]) if tmin else None,
+                   float(prec[i]) if prec else None)
+
+
+class WeatherApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "weather_api"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> WeatherApiReader:
+        return WeatherApiReader(self.options)
