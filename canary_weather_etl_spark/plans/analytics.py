@@ -551,7 +551,7 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state is O(1); a skewed user costs one sorted partition. "
         "Deterministic tiebreak (ts, event_id) keeps both engines' "
         "running sums identical.",
-    tags=("analytics", "temporal", "window"),
+    tags=("analytics", "temporal", "window"), bench=True,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

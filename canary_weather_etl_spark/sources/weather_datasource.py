@@ -79,7 +79,9 @@ class WeatherApiReader(DataSourceReader):
 
         doc = extract.fetch_json(partition.url, retries=self.retries)
         daily = doc.get("daily", {})
-        days = daily.get("time", [])
+        # live Open-Meteo responses key the date array "time"; the saved
+        # raw documents (to_open_meteo_doc) rename it "date" — accept both
+        days = daily.get("time") or daily.get("date") or []
         tmax = daily.get("temperature_2m_max", [])
         tmin = daily.get("temperature_2m_min", [])
         prec = daily.get("precipitation_sum", [])
@@ -111,3 +113,34 @@ class WeatherApiDataSource(DataSource):
 
     def reader(self, schema) -> WeatherApiReader:
         return WeatherApiReader(self.options)
+
+
+def ensure_package_on_executors(spark) -> str:
+    """Ship this package to executor Python workers (the runtime form of
+    spark-submit --py-files). A Python DataSource class pickles BY
+    REFERENCE — executors must import
+    canary_weather_etl_spark.sources.weather_datasource themselves, which
+    only works when the package is on the WORKER's sys.path, not just the
+    driver's (sys.path.insert on the driver is invisible to workers; tests
+    pass from the repo root only because cwd leaks onto worker paths).
+    Zips the package per-process and addPyFile's it — idempotent within a
+    session."""
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    dst = os.path.join(tempfile.gettempdir(),
+                       f"canary_pkg_u{os.getuid()}_p{os.getpid()}.zip")
+    if not os.path.exists(dst):
+        tmp = f"{dst}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, dst)
+    spark.sparkContext.addPyFile(dst)
+    return dst

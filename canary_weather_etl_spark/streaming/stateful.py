@@ -70,3 +70,55 @@ def running_user_totals(events: DataFrame,
             timeoutConf=getattr(GroupStateTimeout, timeout),
         )
     )
+
+
+# ----------------- transformWithState (Spark 4 successor API) ----------------
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same cumulative per-user totals on Spark 4's
+    ``transformWithStateInPandas`` — the successor to
+    applyInPandasWithState: state is named and composable (value/list/map
+    handles instead of one tuple), timers are first-class, and the state
+    store is RocksDB-backed (the operator REQUIRES
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider — HDFS-backed state is not supported).
+    Kept alongside the original so both stateful APIs stay exercised; the
+    semantics and schemas are identical, which the paired test asserts.
+    ENVIRONMENT NOTE: the TWS state-server protocol imports
+    google.protobuf at query start; in containers without protobuf the
+    paired test skips and applyInPandasWithState stays the exercised
+    path."""
+    import pandas as _pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, total, mx = self._totals.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._totals.update((n, total, mx))
+            yield _pd.DataFrame([{
+                "user_id": key[0], "n_events": n,
+                "total_value": total, "max_value": mx,
+            }])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

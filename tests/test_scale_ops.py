@@ -152,3 +152,53 @@ def test_hll_sketch_merge_error_bound(spark, sf_dir):
              .agg(F.countDistinct("o_custkey")).collect()[0][0])
     assert abs(rows["ALL"] - exact) / exact < 0.05, (rows["ALL"], exact)
     assert rows["ALL"] >= max(v for k, v in rows.items() if k != "ALL")
+
+
+def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the stateful operator:
+    same two-micro-batch drive, same cumulative semantics, RocksDB state
+    store (required by the new API). Skipped where protobuf is absent —
+    the TWS state-server protocol imports google.protobuf at query start
+    (this container ships pyspark without it; applyInPandasWithState above
+    remains the fully-exercised stateful path)."""
+    import importlib.util
+    if importlib.util.find_spec("google") is None or \
+            importlib.util.find_spec("google.protobuf") is None:
+        pytest.skip("google.protobuf not installed: transformWithState's "
+                    "state server cannot start in this environment")
+    from canary_weather_etl_spark.streaming.stateful import (
+        running_user_totals_tws)
+
+    ev = load(spark, "/root/testdata/sf0.001", "events") \
+        .select("user_id", "ts", "value")
+    d = str(tmp_path / "drops")
+    one_user = ev.filter(F.col("user_id") == ev.first()["user_id"]).cache()
+    half1 = one_user.limit(10)
+    half2 = one_user.exceptAll(half1).limit(10)
+    half1.coalesce(1).write.mode("overwrite").parquet(d)
+    half2.coalesce(1).write.mode("append").parquet(d)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        schema = spark.read.parquet(d).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        q = (running_user_totals_tws(stream)
+             .writeStream.format("memory").queryName("totals_tws")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.sql("SELECT * FROM totals_tws").collect()
+    assert len(rows) == 2
+    final = max(rows, key=lambda r: r["n_events"])
+    assert final["n_events"] == 20
+    exact = one_user.limit(10).unionByName(half2).agg(
+        F.sum("value"), F.max("value")).collect()[0]
+    assert final["total_value"] == pytest.approx(exact[0])
+    assert final["max_value"] == exact[1]
