@@ -71,3 +71,44 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("h_md5"),
         F.sha2("c_name", 256).alias("h_sha256"),
     )
+
+
+@register(
+    "q_try_functions",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value = 0 THEN NULL ELSE value / value END AS self_ratio,
+           CASE WHEN MOD(event_id, 3) = 0 THEN NULL
+                ELSE CAST(value AS DOUBLE) / CAST(MOD(event_id, 3) AS DOUBLE)
+           END AS per_bucket,
+           TRY_CAST(event_type AS DOUBLE) AS et_num,
+           TRY_CAST(substr(event_type, 1, 1) AS INT) AS et_first_int,
+           CAST(FLOOR(value) AS BIGINT) >= 1 AS overflowed
+    FROM events
+    WHERE event_id % 23 = 0
+    """,
+    doc="ANSI-safe try_* family: this engine runs ANSI mode (SURVEY §4.3 "
+        "discipline — silent NULLs/wraparounds are how quality bugs hide "
+        "at 100 TB), so the errors-to-NULL escape hatch must be explicit: "
+        "try_divide (zero divisor -> NULL instead of DIVIDE_BY_ZERO), "
+        "try_cast on non-numeric strings, try_add at bigint overflow. The "
+        "oracle mirrors with CASE/TRY_CAST; DuckDB silently widens the "
+        "overflow addition instead of erroring, so the oracle states the "
+        "expected outcome directly: CAST(value AS BIGINT) + int64-max "
+        "overflows (-> try_add NULL) exactly when floor(value) >= 1 "
+        "(values are non-negative; Spark's ANSI double->bigint cast "
+        "truncates = floor here).",
+    tags=("scalar", "ansi"),
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    return e.select(
+        "event_id",
+        F.try_divide("value", "value").alias("self_ratio"),
+        F.try_divide(F.col("value").cast("double"),
+                     (F.col("event_id") % 3).cast("double")).alias("per_bucket"),
+        F.try_to_number("event_type", F.lit("999")).cast("double").alias("et_num"),
+        F.expr("try_cast(substr(event_type, 1, 1) AS INT)").alias("et_first_int"),
+        F.expr("try_add(CAST(value AS BIGINT), 9223372036854775807)")
+         .isNull().alias("overflowed"),
+    )

@@ -123,3 +123,15 @@ def test_bitmap_semi_join_equals_left_semi(spark):
     want = sorted(r.k for r in
                   fact.join(keys, fact.k == keys.j, "left_semi").collect())
     assert got == want == [1, 4096, 32768, 32769, 65536]
+
+
+def test_window_rank_filter_pushes_group_limit(spark, sf_dir):
+    """rank<=k on top of a window is NOT a full window + filter since Spark
+    3.5: the WindowGroupLimit rule keeps only k+ rows per group BEFORE the
+    shuffle/sort — per-partition heaps, the per-group analog of
+    TakeOrderedAndProject. At 100 TB this is the difference between sorting
+    every group fully and keeping 3 rows per group per mapper."""
+    from canary_weather_etl_spark.plans import REGISTRY
+    df = REGISTRY["q_window_rank"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
