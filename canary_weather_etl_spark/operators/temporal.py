@@ -97,3 +97,23 @@ def merge_intervals(df: DataFrame, by: str, start: str, end: str,
              F.count(F.lit(1)).alias("n_intervals"))
         .drop("__island")
     )
+
+
+def sessionize(df: DataFrame, by: str, ts: str, gap_sec: int,
+               tiebreak: str | None = None) -> DataFrame:
+    """Assign STABLE session ids per `by` key: a new session starts when
+    the gap since the previous event exceeds `gap_sec`. Returns the input
+    rows plus a `session_id` column (1-based per key) — the joinable form
+    of sessionization that `session_window` (aggregate-only) cannot give.
+
+    Plan: one shuffle on the key, two ordered window passes over that same
+    partitioning (lag → running sum of new-session flags); per-key state
+    is O(1) per row. A skewed key costs one sorted partition."""
+    tb = [F.col(tiebreak).asc()] if tiebreak else []
+    w = Window.partitionBy(by).orderBy(F.col(ts).asc(), *tb)
+    prev = F.lag(ts).over(w)
+    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev)
+    new_sess = F.when(prev.isNull() | (gap > gap_sec), 1).otherwise(0)
+    session_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn("session_id", session_id)

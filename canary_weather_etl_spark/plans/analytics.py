@@ -554,18 +554,12 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "temporal", "window"), bench=True,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.temporal import sessionize
 
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts")
-           - F.unix_timestamp(F.lag("ts").over(w)))
-    new_sess = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
-    session_id = F.sum(new_sess).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        ev.withColumn("session_id", session_id)
+        sessionize(ev, by="user_id", ts="ts", gap_sec=1800,
+                   tiebreak="event_id")
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("ts").alias("session_start"),

@@ -121,3 +121,67 @@ def test_agg_collect_arrays_matches_serialized(spark):
     for k in raw:
         assert " ".join(raw[k]["segments"]) == ser[k]["segments"]
         assert " ".join(str(x) for x in raw[k]["custkeys"]) == ser[k]["custkeys"]
+
+
+@given(
+    iv=st.lists(st.tuples(key_strategy, st.integers(0, 50),
+                          st.integers(0, 30)),
+                min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_merge_intervals_matches_naive_sweep(spark, iv):
+    from collections import defaultdict
+
+    from canary_weather_etl_spark.operators.temporal import merge_intervals
+
+    rows = [(k, s, s + d, i) for i, (k, s, d) in enumerate(iv)]
+    df = spark.createDataFrame(rows, ["k", "s", "e", "id"])
+    got = sorted((r["k"], r["island_start"], r["island_end"],
+                  r["n_intervals"])
+                 for r in merge_intervals(df, by="k", start="s", end="e",
+                                          tiebreak="id").collect())
+
+    per = defaultdict(list)
+    for k, s, e, i in rows:
+        per[k].append((s, e, i))
+    expect = []
+    for k, items in per.items():
+        islands: list[list] = []
+        for s, e, _i in sorted(items):
+            # touching merges (new island only when s > running max end)
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        expect.extend((k, s, e, n) for s, e, n in islands)
+    assert got == sorted(expect)
+
+
+@given(
+    evs=st.lists(st.tuples(key_strategy, st.integers(0, 10_000)),
+                 min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_naive_gap_scan(spark, evs):
+    from collections import defaultdict
+
+    from canary_weather_etl_spark.operators.temporal import sessionize
+
+    rows = [(k, t, i) for i, (k, t) in enumerate(evs)]
+    df = (spark.createDataFrame(rows, ["k", "t_int", "id"])
+          .withColumn("t", F.timestamp_seconds("t_int")))
+    out = sessionize(df, by="k", ts="t", gap_sec=600, tiebreak="id")
+    got = {r["id"]: r["session_id"] for r in out.collect()}
+
+    per = defaultdict(list)
+    for k, t, i in rows:
+        per[k].append((t, i))
+    for k, items in per.items():
+        sess, prev = 0, None
+        for t, i in sorted(items):
+            if prev is None or t - prev > 600:
+                sess += 1
+            prev = t
+            assert got[i] == sess, (
+                f"id={i} key={k} t={t}: got {got[i]}, want {sess}")
