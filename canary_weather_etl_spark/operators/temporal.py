@@ -112,8 +112,14 @@ def sessionize(df: DataFrame, by: str, ts: str, gap_sec: int,
     tb = [F.col(tiebreak).asc()] if tiebreak else []
     w = Window.partitionBy(by).orderBy(F.col(ts).asc(), *tb)
     prev = F.lag(ts).over(w)
-    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev)
-    new_sess = F.when(prev.isNull() | (gap > gap_sec), 1).otherwise(0)
+    # microsecond gap, not unix_timestamp: unix_timestamp truncates to
+    # whole seconds, so a true gap of 1800.4s would compare as 1800 and
+    # NOT break the session while an exact-interval reference (the DuckDB
+    # oracle's `ts - prev > INTERVAL`) would — boundary-row divergence on
+    # any fixture with sub-second timestamps (all of them)
+    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(prev)
+    new_sess = F.when(
+        prev.isNull() | (gap_us > gap_sec * 1_000_000), 1).otherwise(0)
     session_id = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn("session_id", session_id)

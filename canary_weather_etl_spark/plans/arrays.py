@@ -32,7 +32,7 @@ from .registry import load, register
                                i -> embedding[i + 32] > 0))) AS common_l,
                list_filter(generate_series(1, 32),
                            i -> embedding[i] > 0) AS lo_pos
-        FROM embeddings WHERE vec_id < 20
+        FROM embeddings WHERE vec_id < 50
     )
     SELECT vec_id, dim, mx, mn, n_pos,
            array_to_string(common_l, ' ') AS common_pos,
@@ -51,11 +51,13 @@ from .registry import load, register
         "array_contains — the verification machinery of the near-dup "
         "operators as a first-class query. The intersection is sorted in "
         "native int order then stringified (the driver's canonicalizer "
-        "cannot hash list-typed cells).",
+        "cannot hash list-typed cells). Scope vec_id<50 — the union of the "
+        "folded queries' widest subset (the old setops range), not the "
+        "posexplode-only <20.",
     tags=("array", "setop"),
 )
 def q_array_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     idx = F.sequence(F.lit(1), F.lit(32))
     lo_pos = F.filter(idx, lambda i: F.element_at("embedding", i) > 0)
     hi_pos = F.filter(idx, lambda i: F.element_at("embedding", i + 32) > 0)

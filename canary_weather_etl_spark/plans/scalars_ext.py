@@ -81,7 +81,9 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN MOD(event_id, 3) = 0 THEN NULL
                 ELSE CAST(value AS DOUBLE) / CAST(MOD(event_id, 3) AS DOUBLE)
            END AS per_bucket,
-           TRY_CAST(event_type AS DOUBLE) AS et_num,
+           TRY_CAST(CASE WHEN event_id % 2 = 0
+                         THEN CAST(value AS VARCHAR) ELSE event_type END
+                    AS DOUBLE) AS mixed_num,
            TRY_CAST(substr(event_type, 1, 1) AS INT) AS et_first_int,
            CAST(FLOOR(value) AS BIGINT) >= 1 AS overflowed
     FROM events
@@ -91,7 +93,9 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "discipline — silent NULLs/wraparounds are how quality bugs hide "
         "at 100 TB), so the errors-to-NULL escape hatch must be explicit: "
         "try_divide (zero divisor -> NULL instead of DIVIDE_BY_ZERO), "
-        "try_cast on non-numeric strings, try_add at bigint overflow. The "
+        "try_cast exercised on both the parse-success and the "
+        "errors-to-NULL path (mixed_num alternates numeric strings with "
+        "words), try_add at bigint overflow. The "
         "oracle mirrors with CASE/TRY_CAST; DuckDB silently widens the "
         "overflow addition instead of erroring, so the oracle states the "
         "expected outcome directly: CAST(value AS BIGINT) + int64-max "
@@ -102,12 +106,18 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    # mixed_num: half the rows carry a parseable number, half a word — so
+    # the try_cast surface is exercised on BOTH the success and the
+    # errors-to-NULL path (an always-NULL column would pin nothing, and a
+    # plain ANSI cast here would throw CAST_INVALID_INPUT)
+    mixed = F.when(F.col("event_id") % 2 == 0,
+                   F.col("value").cast("string")).otherwise(F.col("event_type"))
     return e.select(
         "event_id",
         F.try_divide("value", "value").alias("self_ratio"),
         F.try_divide(F.col("value").cast("double"),
                      (F.col("event_id") % 3).cast("double")).alias("per_bucket"),
-        F.try_to_number("event_type", F.lit("999")).cast("double").alias("et_num"),
+        mixed.try_cast("double").alias("mixed_num"),
         F.expr("try_cast(substr(event_type, 1, 1) AS INT)").alias("et_first_int"),
         F.expr("try_add(CAST(value AS BIGINT), 9223372036854775807)")
          .isNull().alias("overflowed"),

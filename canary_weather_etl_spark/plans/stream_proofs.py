@@ -27,7 +27,7 @@ from .registry import load, register
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(event_id) AS id_sum,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
            CAST(MIN(event_id) AS BIGINT) AS id_min,
            CAST(MAX(event_id) AS BIGINT) AS id_max
     FROM events
@@ -61,7 +61,12 @@ def q_stream_restart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .option("checkpointLocation", ckpt)
                  .outputMode("append")
                  .trigger(availableNow=True).start())
-            q.awaitTermination(120)
+            if not q.awaitTermination(120):
+                # fail loudly: letting a still-active query's checkpoint be
+                # reused by the next drain() is a concurrent-query error or
+                # checkpoint corruption, not a clean timeout
+                q.stop()
+                raise TimeoutError("stream drain did not finish in 120s")
 
         drain()                              # stream sees only A
         b.write.mode("append").parquet(src)  # A files still in place

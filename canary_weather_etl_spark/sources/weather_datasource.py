@@ -95,12 +95,16 @@ class WeatherApiReader(DataSourceReader):
                 raise ValueError(
                     f"ragged daily array {name!r} for {partition.location}: "
                     f"{len(arr)} values vs {n} dates")
+        def _f(arr, i):
+            # live Open-Meteo responses carry per-day nulls (missing /
+            # future dates) inside otherwise-populated arrays — those must
+            # flow through as NULL cells, not crash float()
+            return float(arr[i]) if arr and arr[i] is not None else None
+
         for i in range(n):
             yield (partition.location,
                    _date.fromisoformat(days[i]),
-                   float(tmax[i]) if tmax else None,
-                   float(tmin[i]) if tmin else None,
-                   float(prec[i]) if prec else None)
+                   _f(tmax, i), _f(tmin, i), _f(prec, i))
 
 
 class WeatherApiDataSource(DataSource):
@@ -123,24 +127,35 @@ def ensure_package_on_executors(spark) -> str:
     only works when the package is on the WORKER's sys.path, not just the
     driver's (sys.path.insert on the driver is invisible to workers; tests
     pass from the repo root only because cwd leaks onto worker paths).
-    Zips the package per-process and addPyFile's it — idempotent within a
-    session."""
+    The zip is keyed by a digest of the package's .py contents — NOT by
+    pid (pid reuse across container lifetimes would silently ship a stale
+    zip) — so a changed checkout rebuilds and an unchanged one reuses."""
+    import hashlib
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
+    files = []
+    for dirpath, _, names in os.walk(pkg_dir):
+        for f in names:
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                files.append((os.path.relpath(full, root), full))
+    files.sort()
+    h = hashlib.sha256()
+    for rel, full in files:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
     dst = os.path.join(tempfile.gettempdir(),
-                       f"canary_pkg_u{os.getuid()}_p{os.getpid()}.zip")
+                       f"canary_pkg_u{os.getuid()}_{h.hexdigest()[:16]}.zip")
     if not os.path.exists(dst):
-        tmp = f"{dst}.tmp"
+        tmp = f"{dst}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+            for rel, full in files:
+                z.write(full, rel)
         os.replace(tmp, dst)
     spark.sparkContext.addPyFile(dst)
     return dst

@@ -92,3 +92,24 @@ def test_embedding_clusters_cover_and_keeper(spark):
         for m in members:
             assert m["cluster_size"] == len(members)
             assert m["is_keeper"] == (m["vec_id"] == comp)
+
+
+def test_sessionize_subsecond_gap_boundary(spark):
+    """The gap rule is exact-interval, not whole-second: 1800.4s breaks a
+    1800s session, 1800.0s exactly does not (strict >). unix_timestamp
+    truncation would get the first case wrong on microsecond data."""
+    import datetime as dt
+
+    from canary_weather_etl_spark.operators.temporal import sessionize
+
+    def run(ts2_us):
+        rows = [(1, dt.datetime(2024, 1, 1, 10, 0, 0, 100000), 1),
+                (1, dt.datetime(2024, 1, 1, 10, 30, 0, ts2_us), 2)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long")
+        out = sessionize(df, by="user_id", ts="ts", gap_sec=1800,
+                         tiebreak="event_id")
+        return [r["session_id"] for r in out.orderBy("event_id").collect()]
+
+    assert run(500000) == [1, 2]   # gap 1800.4s > 1800s → new session
+    assert run(100000) == [1, 1]   # gap exactly 1800s → same session
