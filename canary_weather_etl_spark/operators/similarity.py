@@ -377,3 +377,52 @@ def random_projection(df: DataFrame, vec_col: str, in_dim: int,
         return pd.Series(list(p))
 
     return df.withColumn(out_col, _proj(as_double(vec_col)))
+
+
+def topk_projected(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                   in_dim: int = 64, out_dim: int = 16, pool: int = 30,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Project-then-rerank ANN: score in JL-projected out_dim space to pick
+    a `pool`-sized candidate set per query, then re-rank ONLY those
+    candidates with exact full-width cosine and keep top-k.
+
+    The point at 100 TB: the candidate pass touches out_dim/in_dim of the
+    bytes (4x less here, ~50x for 768->16 production widths), and the
+    exact pass costs pool·q dot products instead of n·q. Composes with the
+    int8-quantized corpus (quantize_int8) for a further 4x. Recall is
+    pinned as data by q_sim_ann_recall's 'jl' row.
+
+    Output: (query_id, rank, vec_id, cos_sim) — same shape as the exact
+    and LSH/IVF variants, exact scores on the survivors."""
+    proj_c = random_projection(
+        embeddings.select(id_col, vec_col), vec_col, in_dim, out_dim,
+        out_col="__p")
+    proj_q = random_projection(
+        queries.select(query_id_col, vec_col), vec_col, in_dim, out_dim,
+        out_col="__p")
+    cand_ids = topk_brute_force(
+        proj_c.select(id_col, F.col("__p").alias(vec_col)),
+        proj_q.select(query_id_col, F.col("__p").alias(vec_col)),
+        k=pool, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col).select("query_id", "vec_id")
+    # exact re-rank on the pooled candidates only
+    cand = (cand_ids.join(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double(vec_col).alias("v")), "vec_id")
+        .withColumn("v_norm", l2_norm(F.col("v"))))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        as_double(vec_col).alias("qv"))
+         .withColumn("q_norm", l2_norm(F.col("qv"))))
+    scored = (cand.join(F.broadcast(q), "query_id")
+              .select("query_id", "vec_id",
+                      (dot(F.col("qv"), F.col("v"))
+                       / (F.col("q_norm") * F.col("v_norm"))).alias("cos")))
+    from ..functions import round_det
+    scored = scored.withColumn("cos", round_det("cos", 6))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.col("cos").alias("cos_sim")))

@@ -632,9 +632,10 @@ def _ivf_quantizer_path(sf_dir: str) -> str:
     oracle=None,  # quality metric of engine-specific ANN paths vs exact
     doc="ANN quality pinned as DATA (VERDICT r1 item 8): recall@10 of each "
         "approximate path (hyperplane LSH probes=16, persisted-quantizer "
-        "IVF n_probe=4) against the exact brute-force top-10, one row per "
-        "method over the 5 fixture queries. The driver's rows-only check "
-        "records the metric; pytest asserts the floors.",
+        "IVF n_probe=4, JL project-32d-then-rerank pool=60) against the "
+        "exact brute-force top-10, one row per method over the 5 fixture "
+        "queries. The driver's rows-only check records the metric; pytest "
+        "asserts the floors.",
     tags=("llm", "similarity", "approx", "quality"),
 )
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +649,11 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "lsh": S.topk_lsh(e, q, k=10, dim=64, bits=4, probes=16),
         "ivf": S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4, centroids=cdf),
+        # out_dim=32/pool=60: unclustered random fixtures are JL's worst
+        # case (cosine gaps shrink toward 0 as dims mix) — halving the
+        # width with a 60-candidate re-rank pool is the honest operating
+        # point here; clustered real corpora tolerate far harsher cuts
+        "jl": S.topk_projected(e, q, k=10, in_dim=64, out_dim=32, pool=60),
     }
     outs = []
     for method, adf in approx.items():
@@ -658,7 +664,10 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(method).alias("method"),
                         (F.col("n_hits") / F.lit(n_total))
                         .alias("recall_at_10")))
-    return outs[0].unionByName(outs[1]).orderBy("method")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")
 
 
 _TFIDF_SQL = r"""

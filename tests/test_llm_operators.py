@@ -189,9 +189,12 @@ def test_ann_recall_query_floors(spark, sf_dir):
     from canary_weather_etl_spark.plans.registry import REGISTRY
     rows = {r["method"]: r["recall_at_10"]
             for r in REGISTRY["q_sim_ann_recall"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "ivf", "jl"}
     assert rows["lsh"] >= 0.7, rows
     assert rows["ivf"] >= 0.7, rows
+    # JL floor is lower: random unclustered fixtures are the projection's
+    # worst case (measured 0.70 at 64->32/pool=60; floor leaves headroom)
+    assert rows["jl"] >= 0.5, rows
 
 
 def test_ivf_query_uses_persisted_quantizer(spark, sf_dir):
