@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               value_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              max_stale: str | None = None) -> DataFrame:
     """For each row of `right`, attach the most recent `left` row with
     left.on <= right.on, matched per `by` key. Right rows with no prior
     left row keep nulls (ASOF LEFT JOIN semantics, as in DuckDB).
@@ -27,6 +28,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
     value_cols: left columns to carry (default: all but on/by). Right's own
     payload columns ride through the union untouched — single pass, one
     shuffle, no re-join.
+
+    max_stale: optional SQL interval string (e.g. ``'30 minutes'``). When
+    set, a carried match older than ``right.on - max_stale`` is NULLed out
+    — point-in-time-correct feature-store semantics (a feature value past
+    its freshness horizon must read as absent, not silently stale). Rows
+    are kept (LEFT semantics); only the carried columns go NULL. Same
+    single-shuffle plan: the bound is a row-wise post-filter on the
+    window output, not a second join.
     """
     value_cols = value_cols or [c for c in left.columns if c not in (on, by)]
     right_payload = [c for c in right.columns if c not in (on, by)]
@@ -58,7 +67,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True)
          .over(w).alias(f"{on}{suffix}"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if max_stale is not None:
+        fresh = (F.col(f"{on}{suffix}")
+                 >= F.col(on) - F.expr(f"INTERVAL {max_stale}"))
+        out = out.select(
+            by, on, *right_payload,
+            *[F.when(fresh, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+              for c in value_cols],
+            F.when(fresh, F.col(f"{on}{suffix}")).alias(f"{on}{suffix}"),
+        )
+    return out
 
 
 def merge_intervals(df: DataFrame, by: str, start: str, end: str,

@@ -49,7 +49,7 @@ _DRIVER_PRIORITY = (
     "q_stream_restart_dedup", "q_sessionize", "q_partition_stats",
     "q_histogram", "q_weighted_sample", "q_dedup_embedding_clusters",
     "q_orc_roundtrip", "q_random_projection", "q_variant_json",
-    "q_api_datasource_scan", "q_try_functions",
+    "q_api_datasource_scan", "q_try_functions", "q_asof_join_staleness",
     # backfill: r2-sampled core, re-evidenced (bench trio first)
     "q1_groupby_avg", "q2_groupby2_topk", "q3_filtered_groupby_avg",
     "q_join_inner_fact", "q_join_broadcast_dims", "q_join_left_anti",

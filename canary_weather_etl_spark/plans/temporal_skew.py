@@ -150,3 +150,42 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import merge_intervals
     return merge_intervals(iv, by="user_id", start="s", end="e",
                            tiebreak="event_id")
+
+
+@register(
+    "q_asof_join_staleness",
+    oracle="""
+    WITH matched AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.value AS click_value_asof, c.ts AS ts_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN ts_asof >= ts - INTERVAL 30 MINUTE
+                THEN click_value_asof END AS click_value_asof,
+           CASE WHEN ts_asof >= ts - INTERVAL 30 MINUTE
+                THEN ts_asof END AS ts_asof
+    FROM matched
+    """,
+    doc="Staleness-bounded as-of join (operators/temporal.asof_join with "
+        "max_stale): point-in-time-correct feature retrieval — the latest "
+        "prior click per purchase, but only if it is at most 30 minutes "
+        "old; a match past its freshness horizon reads as NULL instead of "
+        "silently stale (the feature-store correctness rule). Same "
+        "single-shuffle union+window plan as q_asof_join; the bound is a "
+        "row-wise post-condition, not a second join. Oracle: DuckDB "
+        "native ASOF with the same CASE freshness mask.",
+    tags=("temporal", "join"),
+)
+def q_asof_join_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("value").alias("click_value")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    value_cols=["click_value"], max_stale="30 minutes")
+    return out.select("event_id", "user_id", "ts", "value",
+                      "click_value_asof", "ts_asof")
