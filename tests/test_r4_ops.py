@@ -113,3 +113,27 @@ def test_sessionize_subsecond_gap_boundary(spark):
 
     assert run(500000) == [1, 2]   # gap 1800.4s > 1800s → new session
     assert run(100000) == [1, 1]   # gap exactly 1800s → same session
+
+
+def test_asof_staleness_boundary(spark):
+    """max_stale is inclusive at the horizon: a match exactly max_stale old
+    is kept; one microsecond older reads NULL (row itself stays — LEFT
+    semantics)."""
+    import datetime as dt
+
+    from canary_weather_etl_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, 10.0), (2, t0 - dt.timedelta(microseconds=1), 20.0)],
+        "k long, t timestamp, lv double")
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30), 1),
+         (2, t0 + dt.timedelta(minutes=30), 2)],
+        "k long, t timestamp, rid long")
+    out = {r["rid"]: (r["lv_asof"], r["t_asof"]) for r in
+           asof_join(left, right, on="t", by="k", value_cols=["lv"],
+                     max_stale="30 minutes").collect()}
+    assert out[1] == (10.0, t0)          # exactly 30 min old: fresh
+    assert out[2] == (None, None)        # 30 min + 1 microsecond: stale
+    assert len(out) == 2                 # both right rows survive
