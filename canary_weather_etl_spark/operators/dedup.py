@@ -215,17 +215,19 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            bits: int = 32) -> DataFrame:
+            bits: int = 64) -> DataFrame:
     """SimHash per doc: hash each token, sum ±1 per bit position weighted by
     term frequency, bit b of the result = sign of the sum. Near-dup docs
     land at small Hamming distance. One explode + one groupBy (the per-bit
     sums all ride in the same aggregate).
 
     `bits` up to 64: the signature assembles via shiftleft+bitwiseOR, so
-    the sign bit is safe. Choose width by corpus size — see
-    `simhash_candidate_pairs`: band buckets need enough distinct values
-    that corpus/2^(bits/(max_hamming+1)) rows per bucket stays small; 32
-    bits (8-bit bands) saturates around 10⁴ docs, web scale wants 64."""
+    the sign bit is safe. The default is 64 — the width you'd ship at
+    100 TB: band buckets need enough distinct values that
+    corpus/2^(bits/(max_hamming+1)) rows per bucket stays small, and
+    32 bits (8-bit bands) saturates around 10⁴ docs (SCALE.md sizing
+    rule). Pass bits=32 explicitly only for tiny corpora where the
+    narrower aggregate is worth the quadratic cliff."""
     if not 1 <= bits <= 64:
         raise ValueError("bits must be in [1, 64]")
     toks = (
@@ -254,7 +256,7 @@ def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidate_pairs(sim: DataFrame, bits: int = 32,
+def simhash_candidate_pairs(sim: DataFrame, bits: int = 64,
                             max_hamming: int = 3) -> DataFrame:
     """Pigeonhole-banded candidate generation for SimHash near-dup search.
 
@@ -296,7 +298,7 @@ def simhash_candidate_pairs(sim: DataFrame, bits: int = 32,
 
 
 def near_dup_pairs_simhash(df: DataFrame, id_col: str, text_col: str,
-                           bits: int = 32, max_hamming: int = 3) -> DataFrame:
+                           bits: int = 64, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pipeline at 100 TB shape: signatures (one explode +
     one groupBy) → pigeonhole band buckets (equi self-join, exact recall)
     → Hamming verification on candidates only. Output (a, b, hamming)."""

@@ -228,10 +228,10 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH keyed AS (
         SELECT doc_id, source,
-               CAST(length(text) AS DOUBLE) AS w,
-               CAST(CAST(concat('0x',
+               GREATEST(CAST(COALESCE(length(text), 0) AS DOUBLE), 1.0) AS w,
+               (CAST(CAST(concat('0x',
                         substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp42'),
-                               1, 8)) AS UBIGINT) AS DOUBLE)
+                               1, 8)) AS UBIGINT) AS DOUBLE) + 0.5)
                    / 4294967296.0 AS u
         FROM documents
     ), scored AS (
@@ -262,11 +262,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_par(spark, sf_dir, "documents")
-    u = (F.conv(F.substring(
+    # u is shifted by +0.5/2^32 into the open interval (0,1) so ln(u) is
+    # total (a 00000000 md5 prefix would otherwise hit ln(0)); w is
+    # floored at 1 so empty/NULL documents don't divide by zero under
+    # ANSI mode — both guards are mirrored verbatim in the oracle.
+    u = ((F.conv(F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"),
                            F.lit(":wsamp42"))), 1, 8), 16, 10)
-         .cast("double") / F.lit(4294967296.0))
-    w = F.length("text").cast("double")
+         .cast("double") + F.lit(0.5)) / F.lit(4294967296.0))
+    w = F.greatest(F.coalesce(F.length("text"), F.lit(0)).cast("double"),
+                   F.lit(1.0))
     keyed = d.select("doc_id", "source", w.alias("w"),
                      (-F.log(u) / w).alias("k"))
     rk = F.row_number().over(

@@ -368,11 +368,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_simhash",
     oracle=None,  # hash-specific
-    doc="SimHash(32-bit) near-dup pairs within Hamming distance 3 — the "
-        "other classic near-dup family, at the 100 TB shape: pigeonhole "
-        "banding (4×8-bit chunks; Hamming ≤3 ⇒ ≥1 identical chunk, so "
-        "recall is exact) → equi self-join on (band, band_val) → "
-        "bit_count(xor) verification on candidates only. No "
+    doc="SimHash(64-bit, the at-scale default) near-dup pairs within "
+        "Hamming distance 3 — the other classic near-dup family, at the "
+        "100 TB shape: pigeonhole banding (4×16-bit chunks; Hamming ≤3 ⇒ "
+        "≥1 identical chunk, so recall is exact) → equi self-join on "
+        "(band, band_val) → bit_count(xor) verification on candidates "
+        "only. 64-bit signatures keep band buckets sparse past 10⁴ docs "
+        "(corpus/2^16 per bucket; the 32-bit width SCALE.md's sizing rule "
+        "flags quadratic is an explicit opt-in for tiny corpora). No "
         "BroadcastNestedLoopJoin anywhere in the plan; pytest asserts set "
         "equality with the brute-force all-pairs result.",
     tags=("llm", "dedup", "approx"),
@@ -380,7 +383,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
     return D.near_dup_pairs_simhash(d, "doc_id", "text",
-                                    bits=32, max_hamming=3)
+                                    bits=64, max_hamming=3)
 
 
 # --------------------------- similarity search ------------------------------

@@ -85,7 +85,9 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN CAST(value AS VARCHAR) ELSE event_type END
                     AS DOUBLE) AS mixed_num,
            TRY_CAST(substr(event_type, 1, 1) AS INT) AS et_first_int,
-           CAST(FLOOR(value) AS BIGINT) >= 1 AS overflowed
+           CAST(FLOOR(value) AS BIGINT) >= 1 AS overflowed,
+           CASE WHEN event_id % 2 = 0
+                THEN CAST(event_id % 10000 AS DECIMAL(4,0)) END AS amount_num
     FROM events
     WHERE event_id % 23 = 0
     """,
@@ -95,7 +97,9 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "try_divide (zero divisor -> NULL instead of DIVIDE_BY_ZERO), "
         "try_cast exercised on both the parse-success and the "
         "errors-to-NULL path (mixed_num alternates numeric strings with "
-        "words), try_add at bigint overflow. The "
+        "words), try_add at bigint overflow, try_to_number on a "
+        "'$'-prefixed zero-padded amount ('$0000' format) with the word "
+        "rows as the parse-failure path (-> NULL). The "
         "oracle mirrors with CASE/TRY_CAST; DuckDB silently widens the "
         "overflow addition instead of erroring, so the oracle states the "
         "expected outcome directly: CAST(value AS BIGINT) + int64-max "
@@ -121,4 +125,15 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(substr(event_type, 1, 1) AS INT)").alias("et_first_int"),
         F.expr("try_add(CAST(value AS BIGINT), 9223372036854775807)")
          .isNull().alias("overflowed"),
+        # try_to_number: even rows carry a '$'-prefixed zero-padded amount
+        # that parses under the '$0000' format; odd rows reuse the
+        # event_type word, which fails the format -> NULL (the oracle
+        # states both outcomes directly — DuckDB has no to_number).
+        F.try_to_number(
+            F.when(F.col("event_id") % 2 == 0,
+                   F.concat(F.lit("$"),
+                            F.lpad((F.col("event_id") % 10000).cast("string"),
+                                   4, "0")))
+             .otherwise(F.col("event_type")),
+            F.lit("$0000")).alias("amount_num"),
     )

@@ -87,11 +87,14 @@ class WeatherApiReader(DataSourceReader):
         prec = daily.get("precipitation_sum", [])
         n = len(days)
         # the reference's parallel-array guard (README.md:699-704): ragged
-        # arrays are a hard error, not silent truncation
+        # arrays are a hard error, not silent truncation — and an absent or
+        # empty array (e.g. an upstream field rename) is the same error,
+        # not a silent all-NULL column; per-day nulls INSIDE a
+        # correct-length array are the only sanctioned missing-data shape
         for name, arr in (("temperature_2m_max", tmax),
                           ("temperature_2m_min", tmin),
                           ("precipitation_sum", prec)):
-            if arr and len(arr) != n:
+            if len(arr) != n:
                 raise ValueError(
                     f"ragged daily array {name!r} for {partition.location}: "
                     f"{len(arr)} values vs {n} dates")
@@ -99,7 +102,7 @@ class WeatherApiReader(DataSourceReader):
             # live Open-Meteo responses carry per-day nulls (missing /
             # future dates) inside otherwise-populated arrays — those must
             # flow through as NULL cells, not crash float()
-            return float(arr[i]) if arr and arr[i] is not None else None
+            return float(arr[i]) if arr[i] is not None else None
 
         for i in range(n):
             yield (partition.location,

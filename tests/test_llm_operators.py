@@ -59,15 +59,18 @@ def test_simhash_separates_near_dups(spark, docs):
 
 def test_simhash_banded_pairs_match_bruteforce(spark, docs):
     """Pigeonhole banding is exact (hamming<=3 with 4 bands => >=1 band
-    identical): the banded pipeline must return the SAME pair set as an
-    all-pairs scan of the signatures, with no BroadcastNestedLoopJoin."""
-    sim = D.simhash(docs, "doc_id", "text", bits=32)
+    identical): the banded pipeline at the 64-bit DEFAULT width must return
+    the SAME pair set as an all-pairs scan of the signatures, with no
+    BroadcastNestedLoopJoin. 64-bit signatures come back as signed longs,
+    so the brute-force popcount masks to two's complement."""
+    sim = D.simhash(docs, "doc_id", "text")
     sigs = {r["doc"]: r["simhash"] for r in sim.collect()}
     ids = sorted(sigs)
+    m64 = (1 << 64) - 1
     brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
-             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+             if bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 3}
     banded_df = D.near_dup_pairs_simhash(docs, "doc_id", "text",
-                                         bits=32, max_hamming=3)
+                                         max_hamming=3)
     plan = banded_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     banded = {(r["a"], r["b"]) for r in banded_df.collect()}

@@ -58,3 +58,21 @@ def test_datasource_ragged_arrays_fail_loudly(spark, tmp_path):
           .option("urls", json.dumps({"bad": f"file://{bad}"})).load())
     with pytest.raises(Exception, match="ragged daily array"):
         df.collect()
+
+
+@pytest.mark.skipif(not HAS_DATASOURCE_API,
+                    reason="pyspark<4: no Python DataSource API")
+def test_datasource_absent_array_fails_loudly(spark, tmp_path):
+    # an entirely-missing daily array (e.g. an upstream field rename) is
+    # the same hard error as a ragged one — NOT a silent all-NULL column;
+    # only per-day nulls inside a correct-length array pass through
+    doc = _doc(["2024-01-01", "2024-01-02"], [14.2, 15.1], [8.0, 9.5],
+               [0.0, 0.1])
+    del doc["daily"]["precipitation_sum"]
+    bad = tmp_path / "absent.json"
+    bad.write_text(json.dumps(doc))
+    spark.dataSource.register(WeatherApiDataSource)
+    df = (spark.read.format("weather_api")
+          .option("urls", json.dumps({"absent": f"file://{bad}"})).load())
+    with pytest.raises(Exception, match="ragged daily array"):
+        df.collect()
