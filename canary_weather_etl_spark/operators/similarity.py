@@ -390,8 +390,12 @@ def topk_projected(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     The point at 100 TB: the candidate pass touches out_dim/in_dim of the
     bytes (4x less here, ~50x for 768->16 production widths), and the
     exact pass costs pool·q dot products instead of n·q. Composes with the
-    int8-quantized corpus (quantize_int8) for a further 4x. Recall is
-    pinned as data by q_sim_ann_recall's 'jl' row.
+    int8-quantized corpus (quantize_int8) for a further 4x — that
+    composition is `topk_projected_int8` below, with its own measured
+    recall row. Recall is pinned as data by q_sim_ann_recall's 'jl' and
+    'jl_int8' rows (unclustered worst case) and by
+    q_sim_ann_recall_clustered (the clustered regime the operator is
+    recommended for).
 
     Output: (query_id, rank, vec_id, cos_sim) — same shape as the exact
     and LSH/IVF variants, exact scores on the survivors."""
@@ -426,3 +430,35 @@ def topk_projected(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id",
                     F.col("cos").alias("cos_sim")))
+
+
+def topk_projected_int8(embeddings: DataFrame, queries: DataFrame,
+                        k: int = 10, in_dim: int = 64, out_dim: int = 16,
+                        pool: int = 30, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """The composed scale path the docstring above advertises, measured
+    end-to-end: the CORPUS resides int8-quantized (4x smaller than
+    float32, 16x than the scoring doubles — the residency win that keeps
+    a 100 TB corpus on-executor), and BOTH stages of project-then-rerank
+    run on the dequantized int8 vectors: JL candidate pass in out_dim
+    space, exact full-width cosine re-rank on the pool survivors. Queries
+    stay full-precision (there are few of them). Against the float
+    brute-force ground truth this stacks both error sources —
+    quantization noise and projection distortion — which is exactly why
+    its recall is pinned separately (q_sim_ann_recall row 'jl_int8',
+    q_sim_ann_recall_clustered row 'jl_int8').
+
+    Output: (query_id, rank, vec_id, cos_sim) — same shape as every other
+    top-k variant; cos_sim is computed on dequantized vectors."""
+    v = as_double(vec_col)
+    enc = (embeddings
+           .withColumn("__scale", quantize_scale(v))
+           .select(id_col, "__scale",
+                   quantize_int8(v, F.col("__scale")).alias("__q8")))
+    deq = enc.select(
+        id_col,
+        dequantize(F.col("__q8"), F.col("__scale")).alias(vec_col))
+    return topk_projected(deq, queries, k=k, in_dim=in_dim,
+                          out_dim=out_dim, pool=pool, id_col=id_col,
+                          vec_col=vec_col, query_id_col=query_id_col)

@@ -39,7 +39,7 @@ from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly
 _DRIVER_PRIORITY = (
     # code changed this round — must re-sample
     "q_try_functions", "q_weighted_sample", "q_dedup_simhash",
-    "q_sim_ann_recall",
+    "q_sim_ann_recall", "q_sim_ann_recall_clustered",
     # r1-stale (last hard row: CORRECTNESS_r01)
     "q_embedding_norms", "q_cosine_near_dup", "q_multimodal_meta",
     "q_sim_ann_ivf",
