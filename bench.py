@@ -25,16 +25,11 @@ from canary_weather_etl_spark.plans import REGISTRY  # noqa: E402
 from canary_weather_etl_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
-    spark = get_spark("canary-weather-etl-spark-bench")
-
-    # Warm up the JVM/executor pool, parquet reader, codegen, and
-    # shuffle/broadcast machinery outside the timed region (sf0.001 —
-    # negligible data, same code paths).
+def warm_up(spark) -> None:
+    """Warm the JVM/executor pool, parquet reader, codegen, and
+    shuffle/broadcast machinery outside the timed region (sf0.001 —
+    negligible data, same code paths). Shared with scripts/bench_repeat.py
+    so its steady-state numbers are comparable to BENCH_r{N}.json."""
     warm = "/root/testdata/sf0.001"
     spark.range(1000).selectExpr("sum(id)").collect()
     li = spark.read.parquet(f"{warm}/lineitem.parquet")
@@ -67,6 +62,15 @@ def main() -> None:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     (e.withColumn("lv", F.last("value", ignorenulls=True).over(w))
        .agg(F.sum("lv")).collect())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("canary-weather-etl-spark-bench")
+    warm_up(spark)
 
     timings: dict[str, float] = {}
     # Fixed iteration order, independent of the registry's driver-sample
