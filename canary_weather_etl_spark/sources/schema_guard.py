@@ -85,6 +85,40 @@ def check_batch_compatible(batch: DataFrame, table_schema: StructType,
                          + "; ".join(problems))
 
 
+def append_evolved(spark: SparkSession, path: str,
+                   batch: DataFrame) -> list[str]:
+    """Column-ADD upsert semantics — the general form of the reference's
+    drift defenses (README.md:1256-1276): a batch may CARRY NEW COLUMNS
+    (they evolve the table; old files simply lack them), but must still
+    pass the hard gate for everything else — a missing or type-drifted
+    existing column fails loudly before any file lands, because that is
+    corruption, not evolution.
+
+    Appends the batch and returns the sorted list of newly added column
+    names. Readers see the union schema via `read_evolved` (parquet
+    mergeSchema): rows from pre-evolution files read NULL for the new
+    columns — the standard add-a-nullable-column contract every ACID
+    table format (Iceberg/Delta ADD COLUMN) formalizes, expressed on raw
+    parquet. At 100 TB the same code holds: evolution costs one footer
+    per file at read planning, no rewrite of existing data."""
+    table_schema = spark.read.parquet(path).schema
+    check_batch_compatible(batch, table_schema, allow_new_columns=True)
+    table_names = {f.name.lower() for f in table_schema.fields}
+    added = sorted(f.name for f in batch.schema.fields
+                   if f.name.lower() not in table_names)
+    batch.write.mode("append").parquet(path)
+    return added
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose files span schema versions: mergeSchema
+    unions every file footer's schema (plain reads sample ONE footer, so
+    whether a post-evolution column appears would depend on which file
+    gets sampled — a silently nondeterministic schema). Columns absent
+    from a file read as NULL for its rows."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def ensure_table_exists(spark: SparkSession, path: str,
                         schema: StructType,
                         partition_cols: tuple[str, ...] = ()) -> bool:

@@ -91,3 +91,53 @@ def test_ensure_table_exists_bootstrap(spark, tmp_path):
     assert back.count() == 0
     assert {f.name for f in back.schema.fields} == {f.name for f in schema.fields}
     assert G.ensure_table_exists(spark, path, schema) is True  # already there
+
+
+def test_append_evolved_column_add_and_merge_read(spark, tmp_path):
+    """Schema evolution, the sanctioned direction: a batch ADDS a column
+    (appends fine, old rows read NULL under mergeSchema) while missing /
+    type-drifted existing columns still fail loudly pre-write."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, payload string")
+    v1.write.mode("overwrite").parquet(path)
+
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)],
+        "id int, payload string, quality double")
+    added = G.append_evolved(spark, path, v2)
+    assert added == ["quality"]
+
+    back = G.read_evolved(spark, path)
+    assert set(back.columns) == {"id", "payload", "quality"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert len(rows) == 4
+    # pre-evolution rows read NULL for the added column; new rows carry it
+    assert rows[1]["quality"] is None and rows[2]["quality"] is None
+    assert rows[3]["quality"] == 0.5 and rows[4]["quality"] == 0.9
+
+    # corruption directions still gated: dropped column / drifted type
+    with pytest.raises(ValueError, match="missing column: payload"):
+        G.append_evolved(spark, path, v2.drop("payload"))
+    with pytest.raises(ValueError, match="type drift on id"):
+        G.append_evolved(
+            spark, path, v2.withColumn("id", F.col("id").cast("string")))
+    # and the gate ran BEFORE any write: table still has exactly 4 rows
+    assert G.read_evolved(spark, path).count() == 4
+
+
+def test_plain_read_would_be_nondeterministic_after_evolution(spark, tmp_path):
+    """Documents WHY read_evolved exists: a plain parquet read samples one
+    footer, so post-evolution the visible schema depends on which file is
+    sampled — mergeSchema is the only deterministic contract."""
+    path = str(tmp_path / "evolving2")
+    spark.createDataFrame([(1, "a")], "id int, payload string") \
+        .write.mode("overwrite").parquet(path)
+    G.append_evolved(spark, path, spark.createDataFrame(
+        [(2, "b", 7)], "id int, payload string, extra int"))
+    plain_cols = set(spark.read.parquet(path).columns)
+    merged_cols = set(G.read_evolved(spark, path).columns)
+    assert merged_cols == {"id", "payload", "extra"}
+    # the plain read may or may not see `extra` (footer sampling) — the
+    # guarantee worth pinning is only that merged is the full union
+    assert plain_cols <= merged_cols
