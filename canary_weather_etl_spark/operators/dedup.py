@@ -345,3 +345,77 @@ def exact_jaccard_cross(sh_a: DataFrame, sh_b: DataFrame,
                     / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
     )
     return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def duplicated_span_table(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 8, min_docs: int = 2,
+                          portable_hash: bool = False) -> DataFrame:
+    """Exact substring-duplication spans, the Lee-et-al-style pass
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) re-expressed for Spark: instead of a monolithic
+    suffix array, hash every k-token shingle WITH its start position,
+    keep hashes seen in >= `min_docs` distinct documents, and merge each
+    document's hit positions into maximal spans via gaps-and-islands.
+    A span of t duplicated tokens yields t-k+1 consecutive hits, so the
+    merged island recovers the full duplicated substring regardless of
+    its length — the suffix array's answer for cross-doc duplicates of
+    length >= k, at shuffle-join cost.
+
+    Plan shape at 100 TB: one explode (rows = total tokens), one groupBy
+    on the 8-byte shingle hash (the ONLY wide exchange; keys are hashes,
+    never text), a semi-join back, then a per-doc window over hit
+    positions (partitioned by doc — bounded by the longest document, not
+    the corpus). No all-pairs anything.
+
+    `portable_hash=True` swaps xxhash64 for md5 so a SQL oracle can
+    rebuild identical hashes; the default stays xxhash64 (8-byte keys
+    shuffle ~4x less than 32-char md5 strings).
+
+    Output: (doc, span_start, span_end, n_tokens, n_shingles) — token
+    positions 0-based inclusive."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE)
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("ts"))
+    hash_fn = F.md5 if portable_hash else F.xxhash64
+    sh = (
+        base
+        .select("doc", F.explode(F.transform(
+            # start indices 0..n-k (empty sequence when n < k drops the doc)
+            F.sequence(F.lit(0), F.size("ts") - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                hash_fn(F.concat_ws(" ", F.slice("ts", i + 1, k)))
+                .alias("h")))).alias("s"))
+        .filter(F.size("ts") >= k)
+        .select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    if min_docs == 2:
+        # "seen in >=2 distinct docs" == min(doc) != max(doc): one plain
+        # aggregate (one exchange on h) instead of countDistinct's
+        # partial-distinct expansion (exchange on (h, doc) THEN on h)
+        dup = (sh.groupBy("h")
+               .agg(F.min("doc").alias("__lo"), F.max("doc").alias("__hi"))
+               .filter(F.col("__lo") != F.col("__hi"))
+               .select("h"))
+    else:
+        dup = (sh.groupBy("h")
+               .agg(F.countDistinct("doc").alias("nd"))
+               .filter(F.col("nd") >= min_docs)
+               .select("h"))
+    hits = (sh.join(dup, "h", "left_semi")
+            .withColumn("endp", F.col("pos") + (k - 1)))
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max("endp").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+         .otherwise(0))
+    islands = marked.withColumn("island", F.sum("new_island").over(w))
+    return (islands.groupBy("doc", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("endp").alias("span_end"),
+                 (F.max("endp") - F.min("pos") + 1).alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_shingles"))
+            .drop("island"))

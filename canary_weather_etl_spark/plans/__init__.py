@@ -37,7 +37,8 @@ from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly
 # registry order; the r3 remainder (q_salted_join .. q_jsonl_roundtrip,
 # 25 entries) rotates in r6 before it ages past three rounds.
 _DRIVER_PRIORITY = (
-    # code changed this round — must re-sample
+    # new or code-changed this round — must re-sample
+    "q_dedup_substring_spans",
     "q_try_functions", "q_weighted_sample", "q_dedup_simhash",
     "q_sim_ann_recall", "q_sim_ann_recall_clustered",
     # r1-stale (last hard row: CORRECTNESS_r01)

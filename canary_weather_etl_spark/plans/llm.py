@@ -386,6 +386,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     bits=64, max_hamming=3)
 
 
+@register(
+    "q_dedup_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS ts
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+               md5(array_to_string(ts[i:i+7], ' ')) AS h
+        FROM toks, UNNEST(range(1, len(ts) - 6)) AS g(i)
+    ), dup AS (
+        SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT s.doc_id, s.pos, s.pos + 7 AS endp
+        FROM sh s JOIN dup USING (h)
+    ), marked AS (
+        SELECT doc_id, pos, endp,
+               CASE WHEN pos > COALESCE(MAX(endp) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ), islands AS (
+        SELECT *, SUM(new_island) OVER (
+                     PARTITION BY doc_id ORDER BY pos) AS island
+        FROM marked
+    )
+    SELECT doc_id AS doc,
+           MIN(pos) AS span_start,
+           MAX(endp) AS span_end,
+           MAX(endp) - MIN(pos) + 1 AS n_tokens,
+           COUNT(*) AS n_shingles
+    FROM islands GROUP BY doc_id, island
+    """,
+    doc="Exact substring-duplication spans (the Lee et al. 2107.06499 "
+        "suffix-array dedup pass, Spark-shaped — "
+        "operators/dedup.duplicated_span_table): every 8-token shingle "
+        "hashed with its position, hashes kept when they occur in >=2 "
+        "distinct documents, per-doc hit positions merged to maximal "
+        "spans gaps-and-islands style — a t-token cross-doc duplicate "
+        "yields t-7 consecutive hits, so the island IS the full "
+        "duplicated substring. One wide exchange total (groupBy on the "
+        "shingle hash); the per-doc window is bounded by document "
+        "length. This registry entry runs the portable md5 hash so the "
+        "oracle rebuilds identical shingle keys; the operator default "
+        "is xxhash64 (8-byte shuffle keys) with a pytest pinning both "
+        "hashes produce identical spans.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    return D.duplicated_span_table(d, "doc_id", "text", k=8,
+                                   portable_hash=True)
+
+
 # --------------------------- similarity search ------------------------------
 
 _TOPK_SQL = """

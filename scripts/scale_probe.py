@@ -88,11 +88,24 @@ def main() -> None:
         t_simhash, n_sim = timed(
             lambda: D.near_dup_pairs_simhash(
                 docs, "doc_id", "text", bits=64, max_hamming=3).count())
+
+        # hash-sink (bench_scale discipline): a bare count could prune the
+        # span-bound aggregates; xoring every output column forces them
+        def _spans():
+            out = D.duplicated_span_table(docs, "doc_id", "text", k=8)
+            row = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("doc", "span_start", "span_end",
+                                     "n_tokens", "n_shingles")).alias("sink")
+            ).collect()[0]
+            return row["n"]
+        t_spans, n_spans = timed(_spans)
         print(json.dumps({
             "mult": mult, "n_docs": n_docs,
             "exact_dedup_sec": t_exact, "exact_groups": n_groups,
             "minhash_lsh_sec": t_minhash, "minhash_pairs": n_pairs,
             "simhash_sec": t_simhash, "simhash_pairs": n_sim,
+            "substring_spans_sec": t_spans, "substring_spans": n_spans,
         }), flush=True)
     for mult in mults:
         shutil.rmtree(f"/tmp/scale_probe_docs_x{mult}.parquet",

@@ -495,3 +495,40 @@ def test_multimodal_resize_and_embed_stubs(spark):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
     emb2 = {r.asset_id: r.embedding for r in M.embed_stub(d, dim=8).collect()}
     assert all(emb[k] == pytest.approx(emb2[k]) for k in emb)
+
+
+def test_substring_spans_xxhash_matches_portable_md5(spark, docs):
+    """The scale hash (xxhash64, 8-byte shuffle keys) and the oracle hash
+    (md5) must produce IDENTICAL span tables — the hash only supplies
+    equality, so the engine choice cannot change results (collision
+    probability at fixture scale is negligible for both)."""
+    fast = {tuple(r) for r in
+            D.duplicated_span_table(docs, "doc_id", "text", k=8).collect()}
+    portable = {tuple(r) for r in
+                D.duplicated_span_table(docs, "doc_id", "text", k=8,
+                                        portable_hash=True).collect()}
+    assert fast == portable
+    assert fast, "fixture corpus has no cross-doc 8-token duplicates?"
+
+
+def test_substring_spans_recover_planted_duplicate(spark):
+    """A 12-token run planted in two documents must come back as ONE
+    merged span of exactly 12 tokens (5 consecutive 8-shingle hits) in
+    each document, at the planted offsets; a doc sharing nothing stays
+    absent."""
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    d = spark.createDataFrame(
+        [(1, "unique one two three " + run),
+         (2, run + " tail words here now"),
+         (3, "totally different content with no shared runs at all ok")],
+        "doc_id int, text string")
+    spans = {r["doc"]: r for r in
+             D.duplicated_span_table(d, "doc_id", "text", k=8).collect()}
+    assert set(spans) == {1, 2}
+    # doc 1: run starts after 4 prefix tokens -> positions 4..15
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (4, 15)
+    # doc 2: run at the front -> positions 0..11
+    assert (spans[2]["span_start"], spans[2]["span_end"]) == (0, 11)
+    for r in spans.values():
+        assert r["n_tokens"] == 12
+        assert r["n_shingles"] == 5  # 12 - 8 + 1 consecutive hits
