@@ -110,3 +110,61 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame,
             (F.col("id") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def pagerank_fixed(edges: DataFrame, nodes: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   id_col: str = "id",
+                   iterations: int = 5,
+                   unit_scale: int = 1_000_000,
+                   damping_num: int = 17, damping_den: int = 20) -> DataFrame:
+    """Fixed-iteration PageRank in integer fixed-point arithmetic.
+
+    Every rank is held in integer "units" (``unit_scale`` units = rank
+    1.0) and every step is integer math: per-edge contribution is
+    ``units DIV out_degree`` and the damping mix is
+    ``(1-d)*scale + (d_num * Σcontrib) DIV d_den`` with d = 17/20 = 0.85.
+    Integer sums are exact and order-free, so the result is bit-identical
+    across engines, partitionings, and retries — which is what lets the
+    driver hash-compare this against an unrolled SQL oracle, and what
+    makes reruns at 100 TB reproducible. The quantization error vs float
+    PageRank is ≤ out_degree ulps of 1/unit_scale per step — irrelevant
+    for ranking use.
+
+    Scale shape: ``iterations`` rounds of (equi-join edges⨝ranks on src →
+    groupBy dst sum → left-join back to nodes). Edge list and degrees are
+    computed once and cached by the caller if reused; each round is two
+    shuffles on the same keys (AQE coalesces/skew-splits). Dangling nodes
+    (out-degree 0) keep the (1-d) floor — their mass is not redistributed,
+    matching the oracle.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    base_units = (unit_scale * (damping_den - damping_num)) // damping_den
+
+    ranks = (nodes.select(F.col(id_col).alias("node")).distinct()
+             .withColumn("units", F.lit(unit_scale).cast("long"))
+             .localCheckpoint(eager=True))
+    for _ in range(iterations):
+        # `div`, never `/`: float quotients round to nearest double and can
+        # cross an integer boundary, breaking bit-parity with the oracle's
+        # exact integer division
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(F.col("dst"),
+                    F.expr("units div out_deg").alias("c"))
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("mass"))
+        ranks = (
+            ranks.select("node")
+            .join(agg, ranks["node"] == agg["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base_units).cast("long")
+                 + F.expr(f"({damping_num} * coalesce(mass, 0L)) "
+                          f"div {damping_den}"))
+                .alias("units"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -22,6 +22,7 @@ from . import weather_ingest  # noqa: E402,F401  §2.1/2.9 ingestion differentia
 from . import curation     # noqa: E402,F401  §2.11 split/mix/vocab/contamination
 from . import formats      # noqa: E402,F401  §2.1 CSV/JSONL sink+scan round trips
 from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly-once
+from . import advanced_sql  # noqa: E402,F401  regr/LATERAL/recursive CTE/EWMA/PageRank
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
@@ -38,6 +39,8 @@ from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly
 # 25 entries) rotates in r6 before it ages past three rounds.
 _DRIVER_PRIORITY = (
     # new or code-changed this round — must re-sample
+    "q_regression_stats", "q_lateral_topk", "q_recursive_cte_depth",
+    "q_ewma_time_decay", "q_window_range_interval", "q_pagerank_purchases",
     "q_dedup_substring_spans",
     "q_try_functions", "q_weighted_sample", "q_dedup_simhash",
     "q_sim_ann_recall", "q_sim_ann_recall_clustered",

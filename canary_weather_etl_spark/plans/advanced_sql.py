@@ -1,0 +1,333 @@
+"""Advanced SQL / analytics surface, round 5: linear-regression
+aggregates, LATERAL joins, Spark 4 recursive CTEs (SPARK-24497),
+time-decay EWMA via array folds, interval RANGE window frames, and a
+fixed-point PageRank whose integer arithmetic makes an iterative graph
+algorithm hash-comparable against an unrolled SQL oracle.
+
+Reference parity: the reference (ilias-lp/canary-weather-etl README.md)
+ships group-by aggregation and window imports; these queries extend the
+same aggregate/window families to the statistical and iterative operators
+a training-data pipeline needs (trend fits over telemetry, per-entity
+decayed activity scores, influence ranking over interaction graphs).
+
+Float discipline per module docstring of `registry`: regression/corr
+aggregates carry real cross-engine reduction noise → `round_det(6)`;
+the EWMA fold is pure `*`/`+` on IEEE doubles in a defined order with
+alpha = 0.25 (exactly representable), so both engines produce bit-identical
+results with NO rounding; the interval-frame rolling sum and PageRank are
+integer-exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import round_det
+from ..operators.graph import pagerank_fixed
+from .registry import load, register
+
+
+# --- linear-regression aggregates -------------------------------------------
+
+@register(
+    "q_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           FLOOR(regr_slope(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6
+               AS slope,
+           FLOOR(regr_intercept(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6
+               AS intercept,
+           FLOOR(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5) / 1e6
+               AS r2,
+           FLOOR(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) / 1e6
+               AS corr_qty_price,
+           FLOOR(covar_samp(l_quantity, l_extendedprice) * 1e3 + 0.5) / 1e3
+               AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="OLS regression aggregates per return flag: slope/intercept/r2 of "
+        "extendedprice on quantity plus corr and sample covariance — the "
+        "ANSI regr_* family (Spark 3.4+ built-ins, single-pass partial "
+        "aggregation; no second scan, no UDF). Cross-engine float noise "
+        "handled by round_det.",
+    tags=("agg", "stats"),
+)
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).alias("n"),
+            round_det(F.regr_slope(y, x), 6).alias("slope"),
+            round_det(F.regr_intercept(y, x), 6).alias("intercept"),
+            round_det(F.regr_r2(y, x), 6).alias("r2"),
+            round_det(F.corr(x, y), 6).alias("corr_qty_price"),
+            round_det(F.covar_samp(x, y), 3).alias("covar_qty_price"),
+        )
+    )
+
+
+# --- LATERAL join ------------------------------------------------------------
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2
+    ) l
+    """,
+    doc="LATERAL correlated subquery: top-2 customers by account balance "
+        "per nation, expressed as SQL LATERAL (Spark 3.2+). Catalyst "
+        "decorrelates this into a window/rank under the hood — the "
+        "declarative form scales because no per-nation driver loop exists; "
+        "at 100 TB it is one shuffle on c_nationkey with a "
+        "WindowGroupLimit cutting each group to 2 rows early.",
+    tags=("join", "sql"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql("""
+        SELECT n.n_name, l.c_name, l.c_acctbal
+        FROM nation_lat n, LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer_lat c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+        ) l
+    """)
+
+
+# --- recursive CTE -----------------------------------------------------------
+
+@register(
+    "q_recursive_cte_depth",
+    oracle="""
+    WITH RECURSIVE walk(node, cur, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        UNION ALL
+        SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT depth AS depth_to_root, COUNT(*) AS n_nodes
+    FROM (SELECT node, MAX(depth) AS depth FROM walk GROUP BY node)
+    GROUP BY depth
+    """,
+    doc="Recursive CTE (Spark 4.0, SPARK-24497): walk each supplier key up "
+        "the implicit binary-heap hierarchy (parent = k div 2) to the root "
+        "and histogram depths. The recursion is engine-level — no driver "
+        "loop — and bounded at O(log n) steps; Spark's "
+        "cteRecursionLevelLimit (100) is never near. Integer-only, so the "
+        "oracle comparison is exact.",
+    tags=("sql", "recursive"),
+)
+def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
+    return spark.sql("""
+        WITH RECURSIVE walk(node, cur, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
+            UNION ALL
+            SELECT node, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT depth AS depth_to_root, COUNT(*) AS n_nodes
+        FROM (SELECT node, MAX(depth) AS depth FROM walk GROUP BY node)
+        GROUP BY depth
+    """)
+
+
+# --- time-decay EWMA ---------------------------------------------------------
+
+@register(
+    "q_ewma_time_decay",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS win,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    SELECT user_id, n_events,
+           list_reduce(win, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+    FROM seq WHERE rn = 1
+    """,
+    doc="Per-user exponentially weighted moving average of event value "
+        "(alpha = 0.25) over the trailing 20 events, reported at each "
+        "user's latest event. Implementation: windowed collect_list in "
+        "frame order + an array left-fold (F.aggregate) — the recurrence "
+        "e := a*x + (1-a)*e stays in the JVM with zero extra shuffles "
+        "beyond the one hash partition on user_id. alpha exactly "
+        "representable in binary → both engines fold identically, no "
+        "rounding. The 20-row clip bounds state per key, which is what "
+        "makes the operator safe on power-law user activity at 100 TB.",
+    tags=("window", "timeseries"),
+)
+def q_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_frame = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-19, 0))
+    w_all = (Window.partitionBy("user_id")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    seq = ev.select(
+        "user_id",
+        F.collect_list("value").over(w_frame).alias("win"),
+        F.row_number().over(w_last).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_events"),
+    ).filter(F.col("rn") == 1)
+    ewma = F.aggregate(
+        F.slice("win", 2, 19),
+        F.element_at("win", 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return seq.select("user_id", "n_events", ewma.alias("ewma"))
+
+
+# --- interval RANGE window frame ---------------------------------------------
+
+@register(
+    "q_window_range_interval",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS units
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(units) OVER w AS BIGINT) AS sum_units_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based (not row-based) rolling window: per-user sum and count "
+        "of purchases in the trailing hour, via a RANGE BETWEEN INTERVAL "
+        "frame on the timestamp ordering — the frame the rows-based "
+        "q_window_rolling cannot express when event spacing is irregular. "
+        "Values are scaled to integer micro-units before the windowed sum, "
+        "so the aggregate is order-free and exact cross-engine.",
+    tags=("window", "timeseries"),
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (load(spark, sf_dir, "events")
+     .filter(F.col("event_type") == "purchase")
+     .select("event_id", "user_id", "ts",
+             F.floor(F.col("value") * 1e6 + 0.5).alias("units"))
+     .createOrReplaceTempView("purchases_ri"))
+    return spark.sql("""
+        SELECT event_id, user_id, ts,
+               SUM(units) OVER w AS sum_units_1h,
+               COUNT(*) OVER w AS n_1h
+        FROM purchases_ri
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1' HOUR PRECEDING
+                     AND CURRENT ROW)
+    """)
+
+
+# --- fixed-point PageRank ----------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-iteration SQL twin of operators.graph.pagerank_fixed over
+    the bipartite customer↔supplier purchase graph. DuckDB's `//` and
+    Spark's `div` agree on positive operands; SUM(BIGINT) is HUGEINT in
+    DuckDB, hence the cast."""
+    prev = "r0"
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST(150000 + (17 * COALESCE(s.mass, 0)) // 20 AS BIGINT)
+                   AS units
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(r.units // d.out_deg) AS BIGINT) AS mass
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s
+        ON n.node = s.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    nodes AS (
+        SELECT c_custkey * 2 AS node FROM customer
+        UNION ALL
+        SELECT s_suppkey * 2 + 1 AS node FROM supplier
+    ),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS units FROM nodes),
+    {','.join(iters)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS kind,
+           node // 2 AS entity_key,
+           units AS rank_units
+    FROM {prev}
+    ORDER BY units DESC, node
+    LIMIT 15
+    """
+
+
+@register(
+    "q_pagerank_purchases",
+    oracle=_pagerank_oracle(5),
+    doc="Five-iteration PageRank (d = 0.85) over the bipartite "
+        "customer↔supplier purchase graph, in integer fixed-point "
+        "(1e6 units = rank 1.0) so an ITERATIVE graph algorithm is "
+        "bit-exact against an unrolled SQL oracle — integer sums are "
+        "order-free, so the result is also reproducible across "
+        "partitionings and retries at cluster scale. Per iteration: one "
+        "equi-join edges⨝ranks on src + one groupBy dst — two shuffles on "
+        "stable keys, lineage cut by localCheckpoint. Node ids are "
+        "parity-encoded (2k / 2k+1) to disjoin the two key spaces.",
+    tags=("graph", "iterative"),
+)
+def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select("o_custkey", "l_suppkey").distinct())
+    fwd = pairs.select((F.col("o_custkey") * 2).alias("src"),
+                       (F.col("l_suppkey") * 2 + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    nodes = (load(spark, sf_dir, "customer")
+             .select((F.col("c_custkey") * 2).alias("id"))
+             .union(load(spark, sf_dir, "supplier")
+                    .select((F.col("s_suppkey") * 2 + 1).alias("id"))))
+    ranks = pagerank_fixed(edges, nodes, iterations=5)
+    return (
+        ranks.orderBy(F.col("units").desc(), F.col("node"))
+        .limit(15)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier")).alias("kind"),
+            F.expr("node div 2").alias("entity_key"),
+            F.col("units").alias("rank_units"),
+        )
+    )
