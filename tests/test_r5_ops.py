@@ -1,0 +1,180 @@
+"""Round-5 operator tests: AQE skew-join split evidence, fixed-point
+PageRank hand-graph exactness, and triangle counting vs a naive in-memory
+count.
+
+The AQE test is the skew complement of tests/test_runtime_filter.py: both
+features are on by default but threshold-gated for production sizes, so the
+test shrinks the thresholds to fixture scale, proves the optimization
+fires, and pins result parity (the optimization must be semantically
+invisible).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.operators.graph import pagerank_fixed
+from canary_weather_etl_spark.plans import REGISTRY
+from canary_weather_etl_spark.plans.registry import load
+
+
+# --- AQE skew-join -----------------------------------------------------------
+
+@pytest.fixture()
+def skew_conf(spark):
+    """Shrink AQE's skew detection thresholds (256 MB partition floor in
+    production — right for real clusters, unreachable at fixture scale)
+    and force a shuffle join so the skewed partition actually exists."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _skewed_join(spark, sf_dir):
+    """Half of lineitem hash-collides onto join key 0 — one shuffle
+    partition carries ~50% of the bytes, the textbook hot-key shape.
+
+    Three structural conditions, each discovered by this test failing
+    without it — they are exactly what an engineer hits on a real cluster:
+    - `repartition(32)` first: AQE splits a skewed REDUCE partition into
+      ranges of MAP outputs; a single-file scan has one mapper, so there
+      is nothing to split (single-mapper inputs can't be skew-healed).
+    - the dim side is a plain scan+filter+union, NOT `distinct()`:
+      OptimizeSkewedJoin pattern-matches SMJ children as
+      Sort→ShuffleQueryStage; an aggregate sitting between join and
+      shuffle (what distinct() plans to) makes the whole join ineligible.
+    - the post-join aggregate is GLOBAL (partial+final, no required
+      distribution): splitting replicates build rows across splits, so
+      the join output is no longer hash-partitioned by key — with a keyed
+      groupBy downstream AQE declines the split rather than insert an
+      extra exchange (opt-in via adaptive.forceOptimizeSkewedJoin)."""
+    li = (load(spark, sf_dir, "lineitem").repartition(32)
+          .withColumn("k", F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+                      .otherwise(F.col("l_orderkey"))))
+    dim = (load(spark, sf_dir, "orders")
+           .select(F.col("o_orderkey").alias("k"))
+           .filter(F.col("k") % 2 == 1)
+           .union(spark.range(1).select(F.lit(0).cast("long").alias("k")))
+           .withColumn("payload", F.col("k") * 2))
+    return (li.join(dim, "k")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber, payload))")
+                 .alias("h")))  # xor: order-free and cannot overflow ANSI
+
+
+def test_aqe_splits_skewed_join_and_result_parity(spark, sf_dir, skew_conf):
+    df = _skewed_join(spark, sf_dir)
+    skewed = {tuple(r) for r in df.collect()}
+    # AQE finalizes the physical plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, (
+        f"AQE did not mark the hot-key join as skewed:\n{plan[:4000]}")
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        baseline_df = _skewed_join(spark, sf_dir)
+        baseline = {tuple(r) for r in baseline_df.collect()}
+        base_plan = baseline_df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in base_plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    assert skewed == baseline
+    assert skewed, "join produced no rows — fixture drifted"
+
+
+# --- fixed-point PageRank ----------------------------------------------------
+
+def _py_pagerank_units(edges, nodes, iterations=5, scale=1_000_000):
+    """Reference simulation with Python ints — the same integer recurrence
+    pagerank_fixed commits to, so equality is exact, not approximate."""
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    units = {n: scale for n in nodes}
+    base = (scale * 3) // 20
+    for _ in range(iterations):
+        mass = {n: 0 for n in nodes}
+        for s, d in edges:
+            mass[d] += units[s] // out_deg[s]
+        units = {n: base + (17 * mass[n]) // 20 for n in nodes}
+    return units
+
+
+def test_pagerank_star_graph_exact(spark):
+    # star: 1,2,3 -> 0; 0 -> 1  (0 accumulates, 1 gets the return flow)
+    edges = [(1, 0), (2, 0), (3, 0), (0, 1)]
+    nodes = [0, 1, 2, 3]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    n = spark.createDataFrame([(x,) for x in nodes], ["id"])
+    got = {r["node"]: r["units"]
+           for r in pagerank_fixed(e, n, iterations=5).collect()}
+    want = _py_pagerank_units(edges, nodes)
+    assert got == want
+    # sanity on the shape: hub > spoke-with-inflow > dangling spokes
+    assert got[0] > got[1] > got[2] == got[3]
+
+
+def test_pagerank_determinism_across_partitioning(spark):
+    edges = [(i, (i * 7 + 1) % 23) for i in range(23)] + \
+            [(i, (i * 5 + 2) % 23) for i in range(23)]
+    nodes = [(x,) for x in range(23)]
+    e1 = spark.createDataFrame(edges, ["src", "dst"]).repartition(1)
+    e16 = spark.createDataFrame(edges, ["src", "dst"]).repartition(16)
+    n = spark.createDataFrame(nodes, ["id"])
+    r1 = {r["node"]: r["units"]
+          for r in pagerank_fixed(e1, n, iterations=4).collect()}
+    r16 = {r["node"]: r["units"]
+           for r in pagerank_fixed(e16, n, iterations=4).collect()}
+    assert r1 == r16  # integer fixed-point: bit-equal under any partitioning
+
+
+# --- triangle counting -------------------------------------------------------
+
+def test_triangle_count_matches_naive(spark):
+    """Registry query vs a from-scratch Python triangle count at sf0.001
+    (sets + combinations) — independent of the SQL oracle twin."""
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events")
+    act = (ev.select("user_id", F.date_trunc("hour", "ts").alias("hb"))
+           .distinct().collect())
+    by_hour = {}
+    for r in act:
+        by_hour.setdefault(r["hb"], set()).add(r["user_id"])
+    shared = {}
+    for users in by_hour.values():
+        for u, v in combinations(sorted(users), 2):
+            shared[(u, v)] = shared.get((u, v), 0) + 1
+    edges = {p for p, c in shared.items() if c >= 8}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    tri_count = {}
+    for u, v in edges:
+        for w in adj.get(v, set()):
+            if w in adj.get(u, set()):
+                for m in (u, v, w):
+                    tri_count[m] = tri_count.get(m, 0) + 1
+    want = sorted(tri_count.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [(r["user_id"], r["n_triangles"])
+           for r in REGISTRY["q_triangle_count"].fn(spark, sf).collect()]
+    assert got == [(u, c) for u, c in want]
+    assert got, "no triangles at sf0.001 — threshold drifted for fixture"
