@@ -246,13 +246,16 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_triangle_count",
     oracle="""
     WITH act AS (
-        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hb FROM events
+        SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
+        FROM events
     ),
     edges AS (
         SELECT a.user_id AS u1, b.user_id AS u2
-        FROM act a JOIN act b ON a.hb = b.hb AND a.user_id < b.user_id
+        FROM act a JOIN act b
+          ON a.hb = b.hb AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
         GROUP BY 1, 2
-        HAVING COUNT(*) >= 8
+        HAVING COUNT(*) >= 3
     ),
     tri AS (
         SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
@@ -269,7 +272,10 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Per-user triangle participation over the co-activity graph "
-        "(users sharing >= 8 distinct active hours are adjacent). Edges "
+        "(users sharing >= 3 distinct (hour, event_type) active cells are "
+        "adjacent — co-keying on event_type thins each block ~|types|x, "
+        "which cut the sf0.1 edge-build from 23.7 s to seconds; measured "
+        "in SCALE.md). Edges "
         "are oriented u1 < u2 so each triangle is enumerated exactly once "
         "by the two-join compact-forward pattern — three equi-joins, no "
         "cross product. Scale notes: the co-occurrence blocking step is "
@@ -282,17 +288,19 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    act = (ev.select("user_id", F.date_trunc("hour", "ts").alias("hb"))
+    act = (ev.select("user_id", "event_type",
+                     F.date_trunc("hour", "ts").alias("hb"))
            .distinct())
     a = act.alias("a")
     b = act.alias("b")
     edges = (
         a.join(b, (F.col("a.hb") == F.col("b.hb"))
+               & (F.col("a.event_type") == F.col("b.event_type"))
                & (F.col("a.user_id") < F.col("b.user_id")))
         .groupBy(F.col("a.user_id").alias("u1"),
                  F.col("b.user_id").alias("u2"))
         .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 8)
+        .filter(F.col("shared") >= 3)
         .select("u1", "u2")
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")

@@ -102,6 +102,22 @@ def stream_dedupe(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def stream_dedupe_within_watermark(events: DataFrame, keys: list[str],
+                                   watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedupe for records whose EVENT TIME differs between
+    retries (Spark 3.5+, SPARK-42931): at-least-once senders re-stamp on
+    resend, so the same logical record arrives with a slightly different
+    ``ts`` — `dropDuplicates([*keys, "ts"])` would keep both copies, and
+    `dropDuplicates(keys)` without ts would keep state for every key
+    forever (nothing bounds it). `dropDuplicatesWithinWatermark` dedups on
+    ``keys`` alone while evicting a key's state once the watermark passes
+    its first-seen time + delta — bounded state AND jitter-tolerant
+    dedup, the right default for 100 TB ingest where exact resend
+    timestamps are not controlled."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def stream_upsert_sink(stream: DataFrame, table_path: str,
                        checkpoint: str,
                        keys: tuple[str, ...] = ("location", "date")):

@@ -105,7 +105,9 @@ def run_set(spark, sf_dir: str, reps: int, force: bool = False,
     distributed plan scales flat."""
     timings = {}
     for name, spec in REGISTRY.items():
-        if not spec.bench or (only and name not in only):
+        # --only names override the bench flag: scale probes for queries
+        # outside the headline set are run by naming them explicitly
+        if (name not in only) if only else (not spec.bench):
             continue
         best = float("inf")
         for _ in range(reps):

@@ -153,16 +153,17 @@ def test_triangle_count_matches_naive(spark):
     (sets + combinations) — independent of the SQL oracle twin."""
     sf = "/root/testdata/sf0.001"
     ev = load(spark, sf, "events")
-    act = (ev.select("user_id", F.date_trunc("hour", "ts").alias("hb"))
+    act = (ev.select("user_id", "event_type",
+                     F.date_trunc("hour", "ts").alias("hb"))
            .distinct().collect())
     by_hour = {}
     for r in act:
-        by_hour.setdefault(r["hb"], set()).add(r["user_id"])
+        by_hour.setdefault((r["hb"], r["event_type"]), set()).add(r["user_id"])
     shared = {}
     for users in by_hour.values():
         for u, v in combinations(sorted(users), 2):
             shared[(u, v)] = shared.get((u, v), 0) + 1
-    edges = {p for p, c in shared.items() if c >= 8}
+    edges = {p for p, c in shared.items() if c >= 3}
     adj = {}
     for u, v in edges:
         adj.setdefault(u, set()).add(v)
@@ -178,3 +179,38 @@ def test_triangle_count_matches_naive(spark):
            for r in REGISTRY["q_triangle_count"].fn(spark, sf).collect()]
     assert got == [(u, c) for u, c in want]
     assert got, "no triangles at sf0.001 — threshold drifted for fixture"
+
+
+# --- exchange reuse ----------------------------------------------------------
+
+def test_exchange_reuse_for_shared_aggregate(spark, sf_dir):
+    """Two consumers of the same per-key aggregate (the rows + the global
+    max over them) must share ONE shuffle: Catalyst's exchange reuse
+    (spark.sql.exchange.reuse, on by default) dedupes identical Exchange
+    subtrees, so the fact table is scanned and shuffled once, not twice.
+    At 100 TB this is the difference between one and two full-table
+    shuffles for every 'value vs group-total' comparison query."""
+    def q():
+        li = load(spark, sf_dir, "lineitem")
+        per_key = li.groupBy("l_orderkey").agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("cents"))
+        top = per_key.agg(F.max("cents").alias("max_cents"))
+        return (per_key.join(F.broadcast(top))
+                .filter(F.col("cents") * 10 >= F.col("max_cents"))
+                .agg(F.count(F.lit(1)).alias("n_near_top"),
+                     F.expr("bit_xor(xxhash64(l_orderkey, cents))")
+                     .alias("h")))
+
+    df = q()
+    rows = {tuple(r) for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, (
+        f"per-key aggregate shuffled twice:\n{plan[:3000]}")
+
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        baseline = {tuple(r) for r in q().collect()}
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    assert rows == baseline and rows

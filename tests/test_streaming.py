@@ -250,3 +250,31 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.parquet(table)
     assert out.count() == base.count()    # A exactly once + B
     assert out.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_dedupe_within_watermark_tolerates_restamped_resends(
+        spark, tmp_path):
+    """Resends re-stamped with +5 s jitter: same event_id, different
+    event time. Plain dropDuplicates over (event_id, ts) keeps both
+    copies; dropDuplicatesWithinWatermark(event_id) emits exactly one."""
+    base = load(spark, "/root/testdata/sf0.001", "events").limit(200).cache()
+    d = str(tmp_path / "jitter_dups")
+    base.write.mode("overwrite").parquet(d)
+    (base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+     .write.mode("append").parquet(d))  # restamped resend of every record
+    assert spark.read.parquet(d).count() == 400
+
+    schema = base.schema
+    stream = J.read_events_stream(spark, d, schema)
+    _run_to_memory(
+        J.stream_dedupe_within_watermark(stream, ["event_id"]),
+        "dedup_wwm", "append")
+    assert spark.sql(
+        "SELECT count(*) c FROM dedup_wwm").collect()[0]["c"] == 200
+    # the jittered twin is NOT deduped by the ts-inclusive variant —
+    # pins that the two operators differ exactly on the restamped case
+    stream2 = J.read_events_stream(spark, d, schema)
+    _run_to_memory(
+        J.stream_dedupe(stream2, ["event_id", "ts"]), "dedup_tsk", "append")
+    assert spark.sql(
+        "SELECT count(*) c FROM dedup_tsk").collect()[0]["c"] == 400
