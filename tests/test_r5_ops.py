@@ -161,6 +161,8 @@ def test_triangle_count_matches_naive(spark):
         by_hour.setdefault((r["hb"], r["event_type"]), set()).add(r["user_id"])
     shared = {}
     for users in by_hour.values():
+        if len(users) > 40:  # hot-cell cap, mirrored from the operator
+            continue
         for u, v in combinations(sorted(users), 2):
             shared[(u, v)] = shared.get((u, v), 0) + 1
     edges = {p for p, c in shared.items() if c >= 3}
