@@ -29,8 +29,9 @@ from . import advanced_sql  # noqa: E402,F401  regr/LATERAL/recursive CTE/EWMA/P
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
 # hard external correctness row. Round-5 rotation is freshness-driven (no
 # entry's latest hard row should age past ~3 rounds): front-load (a) the
-# three queries whose CODE changed this round (try_to_number added,
-# weighted-sample totality guards, SimHash 64-bit default) plus
+# seven NEW r5 queries (advanced_sql.py) and the three whose CODE changed
+# this round (try_to_number added, weighted-sample totality guards,
+# SimHash 64-bit default) plus
 # q_sim_ann_recall (new clustered/composed rows this round); (b) the four
 # r1-stale entries — the oldest evidence in the registry; (c) the full
 # r2-stale set, including the seven the r4 judge flagged as missing the
@@ -41,6 +42,7 @@ _DRIVER_PRIORITY = (
     # new or code-changed this round — must re-sample
     "q_regression_stats", "q_lateral_topk", "q_recursive_cte_depth",
     "q_ewma_time_decay", "q_window_range_interval", "q_pagerank_purchases",
+    "q_triangle_count",
     "q_dedup_substring_spans",
     "q_try_functions", "q_weighted_sample", "q_dedup_simhash",
     "q_sim_ann_recall", "q_sim_ann_recall_clustered",

@@ -53,7 +53,7 @@ from .registry import load, register
         "ANSI regr_* family (Spark 3.4+ built-ins, single-pass partial "
         "aggregation; no second scan, no UDF). Cross-engine float noise "
         "handled by round_det.",
-    tags=("agg", "stats"),
+    tags=("agg", "stats"), bench=True,
 )
 def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -91,7 +91,7 @@ def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "declarative form scales because no per-nation driver loop exists; "
         "at 100 TB it is one shuffle on c_nationkey with a "
         "WindowGroupLimit cutting each group to 2 rows early.",
-    tags=("join", "sql"),
+    tags=("join", "sql"), bench=True,
 )
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
@@ -128,7 +128,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loop — and bounded at O(log n) steps; Spark's "
         "cteRecursionLevelLimit (100) is never near. Integer-only, so the "
         "oracle comparison is exact.",
-    tags=("sql", "recursive"),
+    tags=("sql", "recursive"), bench=True,
 )
 def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
@@ -173,7 +173,7 @@ def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "representable in binary → both engines fold identically, no "
         "rounding. The 20-row clip bounds state per key, which is what "
         "makes the operator safe on power-law user activity at 100 TB.",
-    tags=("window", "timeseries"),
+    tags=("window", "timeseries"), bench=True,
 )
 def q_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -221,7 +221,7 @@ def q_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_window_rolling cannot express when event spacing is irregular. "
         "Values are scaled to integer micro-units before the windowed sum, "
         "so the aggregate is order-free and exact cross-engine.",
-    tags=("window", "timeseries"),
+    tags=("window", "timeseries"), bench=True,
 )
 def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (load(spark, sf_dir, "events")
@@ -293,7 +293,7 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skewed degree distributions wants degree-ordered orientation, "
         "which this composition expresses by swapping the u1<u2 predicate "
         "for (deg,id)-lexicographic order. Integer-only → exact oracle.",
-    tags=("graph",),
+    tags=("graph",), bench=True,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -404,7 +404,7 @@ def _pagerank_oracle(iterations: int = 5) -> str:
         "equi-join edges⨝ranks on src + one groupBy dst — two shuffles on "
         "stable keys, lineage cut by localCheckpoint. Node ids are "
         "parity-encoded (2k / 2k+1) to disjoin the two key spaces.",
-    tags=("graph", "iterative"),
+    tags=("graph", "iterative"), bench=True,
 )
 def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
