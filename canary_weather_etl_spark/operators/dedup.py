@@ -380,14 +380,19 @@ def duplicated_span_table(df: DataFrame, id_col: str, text_col: str,
     hash_fn = F.md5 if portable_hash else F.xxhash64
     sh = (
         base
+        # the short-doc filter MUST sit below the generator: sequence(0,
+        # negative) is a DESCENDING sequence in Spark (not empty), whose
+        # slice(ts, 0|negative, k) entries would throw — filtering before
+        # the explode makes that unconditionally impossible instead of
+        # relying on PushDownPredicates to reorder it
+        .filter(F.size("ts") >= k)
         .select("doc", F.explode(F.transform(
-            # start indices 0..n-k (empty sequence when n < k drops the doc)
+            # start indices 0..n-k
             F.sequence(F.lit(0), F.size("ts") - k),
             lambda i: F.struct(
                 i.alias("pos"),
                 hash_fn(F.concat_ws(" ", F.slice("ts", i + 1, k)))
                 .alias("h")))).alias("s"))
-        .filter(F.size("ts") >= k)
         .select("doc", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
     )
     if min_docs == 2:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import round_det
-from ..operators.graph import pagerank_fixed
+from ..operators.graph import enumerate_triangles, pagerank_fixed
 from .registry import load, register
 
 
@@ -158,7 +158,7 @@ def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
                    AS rn,
                COUNT(*) OVER (PARTITION BY user_id) AS n_events
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT user_id, n_events,
            list_reduce(win, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
@@ -176,7 +176,11 @@ def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "timeseries"), bench=True,
 )
 def q_ewma_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL discipline pinned up front: Spark's collect_list silently drops
+    # NULLs while DuckDB's list() keeps them, so without this filter a
+    # single NULL value would fold to different results in the two engines
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
     w_frame = (Window.partitionBy("user_id").orderBy("ts", "event_id")
                .rowsBetween(-19, 0))
     w_all = (Window.partitionBy("user_id")
@@ -321,14 +325,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 3)
         .select("u1", "u2")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.u2") == F.col("e2.u1"))
-        .join(e3, (F.col("e1.u1") == F.col("e3.u1"))
-              & (F.col("e2.u2") == F.col("e3.u2")))
-        .select(F.col("e1.u1").alias("a_id"), F.col("e1.u2").alias("b_id"),
-                F.col("e2.u2").alias("c_id"))
-    )
+    tri = enumerate_triangles(edges)
     members = tri.select(
         F.explode(F.array("a_id", "b_id", "c_id")).alias("user_id"))
     return (

@@ -101,7 +101,12 @@ def append_evolved(spark: SparkSession, path: str,
     table format (Iceberg/Delta ADD COLUMN) formalizes, expressed on raw
     parquet. At 100 TB the same code holds: evolution costs one footer
     per file at read planning, no rewrite of existing data."""
-    table_schema = spark.read.parquet(path).schema
+    # validate against the mergeSchema UNION, not a plain read: a plain
+    # read samples one footer, so after the first evolution the gate
+    # would nondeterministically miss evolved columns — letting a
+    # type-conflicting re-add land (corrupting every future read) or
+    # spuriously failing a batch that legitimately lacks only them
+    table_schema = read_evolved(spark, path).schema
     check_batch_compatible(batch, table_schema, allow_new_columns=True)
     table_names = {f.name.lower() for f in table_schema.fields}
     added = sorted(f.name for f in batch.schema.fields

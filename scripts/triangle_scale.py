@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from canary_weather_etl_spark.operators.graph import (  # noqa: E402
+    enumerate_triangles,
+)
 from canary_weather_etl_spark.session import get_spark  # noqa: E402
 
 DEGREE = 16  # neighbors per node (d/2 = 8 forward edges per node)
@@ -32,8 +35,10 @@ DEGREE = 16  # neighbors per node (d/2 = 8 forward edges per node)
 
 def circulant_edges(spark, n: int):
     """Oriented edge list (u < v) of the circulant graph C_n(1..d/2):
-    exactly n*d/2 edges, every node degree d, triangle count n*(d/2-1)
-    for this family — a known closed form to assert against."""
+    exactly n*d/2 edges, every node degree d. Triangle count for
+    C_n(1..r) with r = d/2 is n*r*(r-1)/2 (each node closes a triangle
+    with every ordered offset pair j < k <= r via the chord k-j <= r) —
+    asserted exactly in main()."""
     half = DEGREE // 2
     return (
         spark.range(n).select(F.col("id").alias("u"))
@@ -45,13 +50,9 @@ def circulant_edges(spark, n: int):
 
 
 def count_triangles(edges) -> int:
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.u2") == F.col("e2.u1"))
-        .join(e3, (F.col("e1.u1") == F.col("e3.u1"))
-              & (F.col("e2.u2") == F.col("e3.u2")))
-    )
-    return tri.count()
+    # the SAME operator q_triangle_count runs — the probe must measure
+    # the plan the query ships, not a drifting copy
+    return enumerate_triangles(edges).count()
 
 
 def main() -> None:
@@ -65,10 +66,11 @@ def main() -> None:
             t0 = time.perf_counter()
             tri = count_triangles(edges)
             best = min(best, time.perf_counter() - t0)
-        # closed form for C_n(1..r): n*r*(r-1)/2 triangles... assert the
-        # weaker linear-in-n invariant instead of the exact constant (the
-        # wrap-around boundary makes small-n counts drift); exact count is
-        # printed for the record
+        r = DEGREE // 2
+        want = n * r * (r - 1) // 2
+        assert tri == want, (
+            f"C_{n}(1..{r}) must have {want} triangles, got {tri} — "
+            "edge build or enumeration is broken; numbers not trustworthy")
         print(json.dumps({"n_nodes": n, "n_edges": edges.count(),
                           "triangles": tri, "best_s": round(best, 3)}))
 
