@@ -427,3 +427,84 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("units").alias("rank_units"),
         )
     )
+
+
+# --- ordered-set aggregates (WITHIN GROUP) -----------------------------------
+
+@register(
+    "q_percentile_within_group",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+               AS median_qty,
+           FLOOR(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                 * 1e6 + 0.5) / 1e6 AS q1_price,
+           FLOOR(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+                 * 1e6 + 0.5) / 1e6 AS q3_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="ANSI ordered-set aggregates (Spark 3.4+): percentile_disc /"
+        " percentile_cont WITHIN GROUP — the standard SQL spelling of the"
+        " exact-percentile family (q_median_exact covers the function-call"
+        " spelling). percentile_disc returns an actual data value (exact"
+        " cross-engine); percentile_cont interpolates, so round_det"
+        " discipline applies.",
+    tags=("agg", "sql"),
+)
+def q_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_wg")
+    return spark.sql("""
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                   AS median_qty,
+               FLOOR(percentile_cont(0.25)
+                     WITHIN GROUP (ORDER BY l_extendedprice)
+                     * 1e6 + 0.5) / 1e6 AS q1_price,
+               FLOOR(percentile_cont(0.75)
+                     WITHIN GROUP (ORDER BY l_extendedprice)
+                     * 1e6 + 0.5) / 1e6 AS q3_price
+        FROM lineitem_wg
+        GROUP BY l_returnflag
+    """)
+
+
+# --- null-safe equality join -------------------------------------------------
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT
+               CASE WHEN value < 10 THEN NULL
+                    ELSE user_id % 20 END AS k
+        FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+        SELECT DISTINCT
+               CASE WHEN value < 10 THEN NULL
+                    ELSE user_id % 20 END AS k
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.k AS shared_key
+    FROM e JOIN p ON e.k IS NOT DISTINCT FROM p.k
+    """,
+    doc="Null-safe equality join (Spark `<=>` / ANSI IS NOT DISTINCT "
+        "FROM): NULL keys match each other instead of vanishing — the "
+        "semantics needed when NULL is a real category (unknown bucket) "
+        "rather than absence. Planner note: <=> still hash-partitions "
+        "both sides (NULLs co-locate in one partition), so the join stays "
+        "a plain shuffled equi-join — no nested-loop fallback; a hot NULL "
+        "partition is the documented skew case for AQE.",
+    tags=("join",),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    key = (F.when(F.col("value") < 10, F.lit(None).cast("bigint"))
+           .otherwise(F.col("user_id") % 20))
+    e = (ev.filter(F.col("event_type") == "error")
+         .select(key.alias("k")).distinct())
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(key.alias("k2")).distinct())
+    return (e.join(p, F.col("k").eqNullSafe(F.col("k2")))
+            .select(F.col("k").alias("shared_key")))

@@ -153,3 +153,38 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("o_orderkey").alias("min_key"),
              F.max("o_orderkey").alias("max_key"))
     )
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_rt,
+           o_totalprice AS total_rt,
+           o_orderpriority AS priority_rt
+    FROM orders
+    """,
+    doc="XML round trip via Spark 4's built-in XML functions: each order "
+        "serialized with to_xml(struct(...)) and parsed back with "
+        "from_xml under an explicit schema — the fourth serialization "
+        "surface next to CSV/JSONL/ORC. Doubles survive exactly "
+        "(Double.toString shortest-repr → parseDouble is lossless), so "
+        "the oracle is simply the source columns: any divergence is a "
+        "round-trip defect. Both directions are row-wise JVM expressions "
+        "— no shuffle, no UDF.",
+    tags=("formats",),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    xml = F.to_xml(F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.col("o_totalprice"), F.col("o_orderpriority")))
+    parsed = F.from_xml(
+        xml,
+        "o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderpriority STRING")
+    return o.select(parsed.alias("v")).select(
+        F.col("v.o_orderkey").alias("o_orderkey"),
+        F.col("v.o_orderstatus").alias("status_rt"),
+        F.col("v.o_totalprice").alias("total_rt"),
+        F.col("v.o_orderpriority").alias("priority_rt"))
