@@ -216,3 +216,49 @@ def test_exchange_reuse_for_shared_aggregate(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
     assert rows == baseline and rows
+
+
+# --- catalog statistics / CBO ------------------------------------------------
+
+def test_analyze_table_stats_feed_the_optimizer(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE plumbing for cost-based optimization: table and
+    column stats land in the catalog and the optimizer's Statistics node
+    picks up the exact rowCount (the input CBO join-reordering and
+    broadcast decisions consume at cluster scale, where file size alone
+    misjudges highly-compressed or wide tables)."""
+    d = str(tmp_path / "cust_tbl")
+    load(spark, sf_dir, "customer").write.mode("overwrite").parquet(d)
+    spark.sql("DROP TABLE IF EXISTS cust_stats_t")
+    spark.sql(f"CREATE TABLE cust_stats_t USING parquet LOCATION '{d}'")
+    try:
+        n = spark.table("cust_stats_t").count()
+        spark.sql("ANALYZE TABLE cust_stats_t COMPUTE STATISTICS "
+                  "FOR COLUMNS c_nationkey, c_acctbal")
+
+        desc = {r["col_name"]: r["data_type"] for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED cust_stats_t").collect()}
+        assert "Statistics" in desc and f"{n} rows" in desc["Statistics"], (
+            f"catalog row count missing: {desc.get('Statistics')}")
+        col = {r["info_name"]: r["info_value"] for r in spark.sql(
+            "DESCRIBE TABLE EXTENDED cust_stats_t c_nationkey").collect()}
+        assert int(col["distinct_count"]) > 0  # NDV collected (HLL-based)
+
+        prev = spark.conf.get("spark.sql.cbo.enabled", None)
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            q = spark.table("cust_stats_t").filter("c_acctbal > 0")
+            stats = q._jdf.queryExecution().optimizedPlan().stats()
+            # relation-level rowCount must be the analyzed exact count
+            rel = spark.table("cust_stats_t")
+            rel_stats = rel._jdf.queryExecution().optimizedPlan().stats()
+            assert int(rel_stats.rowCount().get()) == n, (
+                f"optimizer sees rowCount={rel_stats.rowCount()}, want {n}")
+            # the filtered estimate must be present and <= the relation's
+            assert int(stats.sizeInBytes()) <= int(rel_stats.sizeInBytes())
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.cbo.enabled")
+            else:
+                spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cust_stats_t")
