@@ -262,3 +262,81 @@ def test_analyze_table_stats_feed_the_optimizer(spark, sf_dir, tmp_path):
                 spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS cust_stats_t")
+
+
+# --- single-pass observed metrics --------------------------------------------
+
+def test_observe_collects_metrics_in_one_pass(spark, sf_dir):
+    """Observation API: data-quality counters ride the job that produces
+    the result — no second scan. At 100 TB a separate metrics pass doubles
+    the read bill; .observe() attaches the aggregates to the same plan."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    ev = load(spark, sf_dir, "events")
+    out = (ev.observe(
+               obs,
+               F.count(F.lit(1)).alias("rows_in"),
+               F.sum(F.col("value").isNull().cast("long")).alias("null_vals"),
+               F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+           .filter(F.col("event_type") == "purchase")
+           .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    n_out = out.count()
+    m = obs.get
+    # metrics describe the PRE-filter stream the observe node saw
+    assert m["rows_in"] == ev.count()
+    assert m["null_vals"] == 0
+    assert m["min_ts"] <= m["max_ts"]
+    assert n_out > 0
+
+
+# --- AQE rebalance for output layout -----------------------------------------
+
+def test_rebalance_hint_evens_output_files(spark, sf_dir, tmp_path):
+    """The small/skewed-file problem at the write boundary: a skewed
+    repartition writes one fat file + dross, while the REBALANCE hint
+    (AQE, Spark 3.4+) re-splits shuffle output to the advisory size —
+    the declarative replacement for hand-tuned coalesce(n) compaction jobs."""
+    import glob
+    import os
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "g", F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 32))
+    skew_dir = str(tmp_path / "skewed")
+    # explicit partition count: with AQE coalescing, a bare
+    # repartition("g") at fixture scale folds to ONE partition/file
+    li.repartition(32, "g").write.mode("overwrite").parquet(skew_dir)
+    sizes = sorted(os.path.getsize(f)
+                   for f in glob.glob(f"{skew_dir}/*.parquet"))
+    assert sizes[-1] > 3 * sizes[0], "fixture not skewed; test is vacuous"
+
+    prev = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    try:
+        reb_dir = str(tmp_path / "rebalanced")
+        # multi-mapper input first: like the skew-join split, AQE
+        # re-splits a hot reduce partition by MAP-output ranges — a
+        # single-file scan has one mapper and nothing to split. The
+        # repartition must sit BELOW the column projection, not directly
+        # under the hint: CollapseRepartition elides an adjacent child
+        # repartition, silently restoring the single-mapper shape
+        li_m = (load(spark, sf_dir, "lineitem").repartition(32)
+                .withColumn("g", F.when(F.col("l_orderkey") % 4 != 0,
+                                        F.lit(0))
+                            .otherwise(F.col("l_orderkey") % 32)))
+        (li_m.hint("rebalance", "g")
+         .write.mode("overwrite").parquet(reb_dir))
+        rsizes = sorted(os.path.getsize(f)
+                        for f in glob.glob(f"{reb_dir}/*.parquet"))
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev)
+    assert len(rsizes) >= 2
+    # even layout: largest file within 3x of the median (vs >3x min above)
+    med = rsizes[len(rsizes) // 2]
+    assert rsizes[-1] <= 3 * med, f"rebalanced files still skewed: {rsizes}"
+    # parity: same rows land either way
+    a = spark.read.parquet(skew_dir).count()
+    b = spark.read.parquet(reb_dir).count()
+    assert a == b
