@@ -8,6 +8,7 @@ import json
 
 import pytest
 
+from canary_weather_etl_spark.plans.registry import load
 from canary_weather_etl_spark.sources.weather_datasource import (
     HAS_DATASOURCE_API, WeatherApiDataSource)
 
@@ -76,3 +77,61 @@ def test_datasource_absent_array_fails_loudly(spark, tmp_path):
           .option("urls", json.dumps({"absent": f"file://{bad}"})).load())
     with pytest.raises(Exception, match="ragged daily array"):
         df.collect()
+
+
+# --- manifest-committed JSONL sink (Python DataSource WRITER) ----------------
+
+def test_manifest_sink_roundtrip_and_orphan_isolation(spark, tmp_path):
+    from canary_weather_etl_spark.sources.manifest_sink import (
+        ManifestJsonlSink, read_manifest_jsonl)
+    spark.dataSource.register(ManifestJsonlSink)
+
+    src = (load(spark, "/root/testdata/sf0.001", "events")
+           .selectExpr("event_id", "user_id", "event_type",
+                       "CAST(value AS STRING) AS value_s")
+           .repartition(4))
+    d = str(tmp_path / "msink")
+    src.write.format("manifest_jsonl").mode("overwrite").save(d)
+
+    import json as _json
+    import os
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        man = _json.load(f)
+    assert man["total_rows"] == src.count()
+    assert all(e["rows"] > 0 and e["bytes"] > 0 for e in man["files"])
+
+    got = read_manifest_jsonl(
+        spark, d, "event_id BIGINT, user_id BIGINT, "
+        "event_type STRING, value_s STRING")
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in src.collect()}
+
+    # an orphan part file (torn write from a failed/concurrent job) must
+    # be invisible to manifest readers
+    with open(os.path.join(d, "part-orphan.jsonl"), "w") as f:
+        f.write('{"event_id": -1, "user_id": -1, '
+                '"event_type": "junk", "value_s": "x"}\n')
+    again = read_manifest_jsonl(
+        spark, d, "event_id BIGINT, user_id BIGINT, "
+        "event_type STRING, value_s STRING")
+    assert again.filter("event_id = -1").count() == 0
+    assert again.count() == src.count()
+
+
+def test_manifest_sink_append_unions_file_lists(spark, tmp_path):
+    from canary_weather_etl_spark.sources.manifest_sink import (
+        ManifestJsonlSink, read_manifest_jsonl)
+    spark.dataSource.register(ManifestJsonlSink)
+
+    base = (load(spark, "/root/testdata/sf0.001", "events")
+            .selectExpr("event_id", "user_id").repartition(2))
+    first = base.filter("event_id % 2 = 0")
+    second = base.filter("event_id % 2 = 1")
+    d = str(tmp_path / "msink_app")
+    first.write.format("manifest_jsonl").mode("overwrite").save(d)
+    second.write.format("manifest_jsonl").mode("append").save(d)
+
+    got = read_manifest_jsonl(spark, d, "event_id BIGINT, user_id BIGINT")
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == \
+        base.select("event_id").distinct().count()
