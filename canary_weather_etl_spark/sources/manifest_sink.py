@@ -119,6 +119,9 @@ class ManifestJsonlSink(DataSource):
     def writer(self, schema, overwrite: bool):
         return ManifestJsonlWriter(dict(self.options), overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestJsonlStreamWriter(dict(self.options))
+
 
 def read_manifest_jsonl(spark: SparkSession, path: str,
                         schema: str | None = None) -> DataFrame:
@@ -133,3 +136,71 @@ def read_manifest_jsonl(spark: SparkSession, path: str,
     if schema:
         reader = reader.schema(schema)
     return reader.json(files)
+
+
+try:
+    from pyspark.sql.datasource import DataSourceStreamWriter
+    HAS_STREAM_WRITER_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    HAS_STREAM_WRITER_API = False
+
+    class DataSourceStreamWriter:  # type: ignore[no-redef]
+        pass
+
+
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of the batch writer: per micro-batch, executors
+    write unique task files and the driver appends a batch entry to the
+    manifest in commit(messages, batchId). Exactly-once composes from two
+    pieces: the engine replays a failed batch (abort() removed its
+    partial files, so no orphans poison the dir), and the manifest append
+    is IDEMPOTENT per batchId — a replayed commit of an already-recorded
+    batch replaces that batch's entry instead of double-counting it (the
+    same sink-side dedup contract foreachBatch sinks implement by key)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl stream sink requires a path")
+
+    def write(self, iterator) -> _FileCommit:
+        return ManifestJsonlWriter({"path": self.path}, False).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [{"file": m.filename, "rows": m.n_rows, "bytes": m.n_bytes}
+                 for m in messages if m is not None and m.n_rows > 0]
+        for m in messages:  # zero-row task files carry nothing — remove
+            if m is not None and m.n_rows == 0:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        state = {"batches": {}}
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as f:
+                state = json.load(f)
+                state.setdefault("batches", {})
+        prev = state["batches"].get(str(batchId))
+        if prev:  # replayed batch: drop the superseded files, keep newest
+            for e in prev:
+                try:
+                    os.remove(os.path.join(self.path, e["file"]))
+                except OSError:
+                    pass
+        state["batches"][str(batchId)] = files
+        flat = [e for entries in state["batches"].values() for e in entries]
+        state["files"] = flat
+        state["total_rows"] = sum(e["rows"] for e in flat)
+        tmp = manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(state, f)
+        os.replace(tmp, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass

@@ -135,3 +135,53 @@ def test_manifest_sink_append_unions_file_lists(spark, tmp_path):
     assert got.count() == base.count()
     assert got.select("event_id").distinct().count() == \
         base.select("event_id").distinct().count()
+
+
+def test_manifest_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream through the Python DataSourceStreamWriter: every
+    micro-batch's files land under one manifest, totals equal the batch
+    ground truth, and a REPLAYED commit of the same batchId supersedes
+    its previous entry instead of double-counting (the sink-side half of
+    exactly-once)."""
+    from canary_weather_etl_spark.sources.manifest_sink import (
+        ManifestJsonlSink, ManifestJsonlStreamWriter, _FileCommit,
+        read_manifest_jsonl)
+    spark.dataSource.register(ManifestJsonlSink)
+
+    src_dir = str(tmp_path / "src")
+    base = (load(spark, "/root/testdata/sf0.001", "events")
+            .selectExpr("event_id", "user_id"))
+    base.write.mode("overwrite").parquet(src_dir)
+
+    sink = str(tmp_path / "stream_sink")
+    q = (spark.readStream.schema("event_id BIGINT, user_id BIGINT")
+         .parquet(src_dir)
+         .writeStream.format("manifest_jsonl")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = read_manifest_jsonl(spark, sink, "event_id BIGINT, user_id BIGINT")
+    assert got.count() == base.count()
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in base.collect()}
+
+    # replayed-batch idempotence, driver-side unit call: re-commit batch 0
+    # with a fresh file — the superseded entry must be dropped, not added
+    import json as _json
+    import os
+    w = ManifestJsonlStreamWriter({"path": sink})
+    with open(os.path.join(sink, "_MANIFEST.json")) as f:
+        before = _json.load(f)
+    replay_name = "part-replayed.jsonl"
+    with open(os.path.join(sink, replay_name), "w") as f:
+        f.write('{"event_id": 1, "user_id": 1}\n')
+    w.commit([_FileCommit(replay_name, 1, 10)], batchId=0)
+    with open(os.path.join(sink, "_MANIFEST.json")) as f:
+        after = _json.load(f)
+    assert after["batches"]["0"] == [
+        {"file": replay_name, "rows": 1, "bytes": 10}]
+    other = {k: v for k, v in before["batches"].items() if k != "0"}
+    assert {k: v for k, v in after["batches"].items() if k != "0"} == other
