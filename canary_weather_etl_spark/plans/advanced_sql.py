@@ -508,3 +508,71 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(key.alias("k2")).distinct())
     return (e.join(p, F.col("k").eqNullSafe(F.col("k2")))
             .select(F.col("k").alias("shared_key")))
+
+
+# --- correlated EXISTS / NOT EXISTS ------------------------------------------
+
+@register(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+    doc="Correlated EXISTS + NOT EXISTS in one predicate (customers with "
+        "an urgent order but no finished one) — Catalyst decorrelates to "
+        "a left-semi plus left-anti join, so there is no per-row subquery "
+        "execution; both probes share the orders scan. The SQL spelling "
+        "of the DataFrame semi/anti family in plans/joins.py.",
+    tags=("join", "sql"),
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+    """)
+
+
+# --- GROUP BY ALL / ORDER BY ALL ---------------------------------------------
+
+@register(
+    "q_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4): every non-aggregate "
+        "select item becomes a grouping/ordering key by position — the "
+        "drift-proof spelling for wide profiling queries where listing "
+        "keys twice invites mismatch. Exact-sum float discipline.",
+    tags=("agg", "sql"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

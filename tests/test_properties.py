@@ -185,3 +185,29 @@ def test_sessionize_matches_naive_gap_scan(spark, evs):
             prev = t
             assert got[i] == sess, (
                 f"id={i} key={k} t={t}: got {got[i]}, want {sess}")
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_ewma_fold_matches_pandas_ewm(spark, values):
+    """The q_ewma_time_decay fold (alpha=0.25, unadjusted) vs
+    pandas.Series.ewm — an independent reference implementation of the
+    same recurrence e := a*x + (1-a)*e. Sequences <= 20 long sit entirely
+    inside the query's 20-row clip, so the semantics coincide exactly."""
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, i, float(v)) for i, v in enumerate(values)],
+        ["u", "i", "v"])
+    arr = df.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("i", "v"))).alias("s"))
+    got = arr.select(
+        F.aggregate(
+            F.slice(F.col("s.v"), 2, 19), F.element_at(F.col("s.v"), 1),
+            lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc)
+        .alias("e")).collect()[0]["e"]
+    want = pd.Series(values).ewm(alpha=0.25, adjust=False).mean().iloc[-1]
+    assert got == pytest.approx(want, rel=1e-12, abs=1e-9)
