@@ -526,9 +526,11 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Correlated EXISTS + NOT EXISTS in one predicate (customers with "
         "an urgent order but no finished one) — Catalyst decorrelates to "
-        "a left-semi plus left-anti join, so there is no per-row subquery "
-        "execution; both probes share the orders scan. The SQL spelling "
-        "of the DataFrame semi/anti family in plans/joins.py.",
+        "a left-semi plus left-anti join (plan-verified), so there is no "
+        "per-row subquery execution; each probe scans orders with ITS OWN "
+        "predicate pushed to the parquet reader — two thin filtered scans "
+        "beat one shared wide one. The SQL spelling of the DataFrame "
+        "semi/anti family in plans/joins.py.",
     tags=("join", "sql"),
 )
 def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:

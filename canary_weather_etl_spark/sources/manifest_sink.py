@@ -204,3 +204,24 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
                     os.remove(os.path.join(self.path, m.filename))
                 except OSError:
                     pass
+
+
+def vacuum_manifest_dir(path: str) -> list[str]:
+    """Delete part files NOT referenced by the manifest — the VACUUM
+    complement to manifest isolation: orphans from crashed jobs are
+    already invisible to readers, this reclaims their storage. Safe by
+    construction: the manifest is the table state, so anything outside it
+    is garbage by definition (a concurrent in-flight job's files are
+    protected only once committed — run vacuum in a maintenance window,
+    exactly like table-format VACUUM retention rules). Returns the
+    deleted file names."""
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    with open(manifest_path, encoding="utf-8") as f:
+        live = {e["file"] for e in json.load(f)["files"]}
+    deleted = []
+    for name in os.listdir(path):
+        if (name.startswith("part-") and name.endswith(".jsonl")
+                and name not in live):
+            os.remove(os.path.join(path, name))
+            deleted.append(name)
+    return sorted(deleted)

@@ -185,3 +185,25 @@ def test_manifest_stream_sink_exactly_once(spark, tmp_path):
         {"file": replay_name, "rows": 1, "bytes": 10}]
     other = {k: v for k, v in before["batches"].items() if k != "0"}
     assert {k: v for k, v in after["batches"].items() if k != "0"} == other
+
+
+def test_manifest_vacuum_removes_only_orphans(spark, tmp_path):
+    from canary_weather_etl_spark.sources.manifest_sink import (
+        ManifestJsonlSink, read_manifest_jsonl, vacuum_manifest_dir)
+    spark.dataSource.register(ManifestJsonlSink)
+
+    src = (load(spark, "/root/testdata/sf0.001", "events")
+           .selectExpr("event_id", "user_id").repartition(3))
+    d = str(tmp_path / "vac")
+    src.write.format("manifest_jsonl").mode("overwrite").save(d)
+
+    import os
+    orphan = os.path.join(d, "part-deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"event_id": -9, "user_id": -9}\n')
+
+    deleted = vacuum_manifest_dir(d)
+    assert deleted == ["part-deadbeef.jsonl"]
+    assert not os.path.exists(orphan)
+    got = read_manifest_jsonl(spark, d, "event_id BIGINT, user_id BIGINT")
+    assert got.count() == src.count()  # live files untouched
