@@ -1,0 +1,148 @@
+"""Distributed BPE merge training — the tokenizer-induction step of an
+LLM data pipeline, as iterative DataFrame aggregation.
+
+The reference repo counts tokens with a fixed regex (README.md's
+word-level stats; plans/llm.py `n_bpe_tokens` mirrors it); THIS operator
+learns the merge table itself, byte-pair-encoding style (Sennrich et al.
+2016, public algorithm):
+
+1. collapse the corpus to a (word, count) frequency table — the corpus
+   may be 100 TB but distinct words are millions, so every later round
+   touches vocabulary-sized data, not corpus-sized;
+2. each round: explode adjacent symbol pairs weighted by word count,
+   sum per pair (one map-side-combined shuffle of pair keys), pick the
+   most frequent pair (deterministic tie-break: count desc, then pair
+   lexicographic), and merge every non-overlapping left-to-right
+   occurrence inside the symbol arrays via a JVM array fold — no Python
+   in the loop, no driver-side corpus pass;
+3. the only driver traffic per round is the single winning pair (the
+   same bounded-scalar class as connected_components' convergence count).
+
+Scale shape: `n_merges` rounds x (one pair-count shuffle over the vocab
++ one narrow map to rewrite symbol arrays), with localCheckpoint cutting
+lineage each round. The vocab table is hash-partitioned once and stays
+put; pair counting is a plain aggregate, so AQE handles skewed pairs.
+
+Determinism: counts are integer sums (order-free) and the tie-break is
+total, so the merge sequence is bit-reproducible — pinned by an
+exact-equality test against a from-scratch Python BPE at sf0.001
+(tests/test_llm_operators.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# end-of-word marker, appended as a distinct final symbol so merges can
+# learn suffixes ("ing</w>") without crossing word boundaries
+EOW = "</w>"
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, n, syms): word frequencies with each word as its
+    initial symbol array (characters + end-of-word marker)."""
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("word")).filter(F.col("word") != "")
+    return (
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "syms",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency: one explode +
+    one aggregate. zip_with over (syms, syms[1:]) builds the pair list
+    JVM-side."""
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.zip_with(
+                F.slice("syms", 1, F.size("syms") - 1),
+                F.slice("syms", 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right"))))
+        .alias("p"))
+    return (pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("pair_n")))
+
+
+def _merge_pair(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every non-overlapping left-to-right (left, right) adjacency
+    into the merged symbol, with a pure JVM array fold (greedy left scan —
+    the BPE application rule)."""
+    merged = F.concat(F.lit(left), F.lit(right))
+    new_syms = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return vocab.withColumn("syms", new_syms)
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              n_merges: int = 10, min_pair_count: int = 2) -> DataFrame:
+    """Learn `n_merges` BPE merges; returns the merge table
+    (rank, left, right, merged, pair_n) in learned order. Stops early if
+    no pair reaches `min_pair_count` (merging hapax adjacencies is
+    noise). The returned table is what a tokenizer ships."""
+    spark = docs.sparkSession
+    vocab = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    rows = []
+    for rank in range(n_merges):
+        top = (_pair_counts(vocab)
+               .orderBy(F.col("pair_n").desc(), F.col("left"),
+                        F.col("right"))
+               .limit(1).collect())
+        if not top or top[0]["pair_n"] < min_pair_count:
+            break
+        left, right, pair_n = (top[0]["left"], top[0]["right"],
+                               top[0]["pair_n"])
+        rows.append((rank, left, right, left + right, int(pair_n)))
+        vocab = _merge_pair(vocab, left, right).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING, "
+              "pair_n BIGINT")
+
+
+def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
+                   id_col: str = "doc_id", text_col: str = "text",
+                   out_col: str = "n_bpe") -> DataFrame:
+    """Apply a learned merge list and report per-document token counts —
+    the budget number sequence packing consumes. Word-level, mirroring
+    training: explode words, fold each word's symbol array through the
+    merges in learned order (each merge is one JVM array fold; the merge
+    list is a tiny broadcast closure), then sum symbols per document.
+    Returns (id_col, out_col)."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("word")).filter(F.col("word") != "")
+    col = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+
+    def _merge_step(left: str, right: str):
+        # closure factory: PySpark introspects the lambda's arity, so the
+        # merge pair must be captured, not passed as default args
+        _l, _r, _m = F.lit(left), F.lit(right), F.lit(left + right)
+
+        def step(acc, x):
+            return (
+                F.when((F.size(acc) > 0) & (F.element_at(acc, -1) == _l)
+                       & (x == _r),
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(_m)))
+                .otherwise(F.concat(acc, F.array(x))))
+        return step
+
+    for left, right in merges:
+        col = F.aggregate(col, F.array().cast("array<string>"),
+                          _merge_step(left, right))
+    return (words.select(id_col, F.size(col).alias("__w_toks"))
+            .groupBy(id_col)
+            .agg(F.sum("__w_toks").cast("bigint").alias(out_col)))

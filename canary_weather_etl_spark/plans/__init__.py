@@ -43,7 +43,7 @@ _DRIVER_PRIORITY = (
     "q_regression_stats", "q_lateral_topk", "q_recursive_cte_depth",
     "q_ewma_time_decay", "q_window_range_interval", "q_pagerank_purchases",
     "q_triangle_count", "q_percentile_within_group", "q_join_null_safe",
-    "q_xml_roundtrip", "q_subquery_exists", "q_group_by_all",
+    "q_xml_roundtrip", "q_subquery_exists", "q_group_by_all", "q_bpe_merges",
     "q_dedup_substring_spans",
     "q_try_functions", "q_weighted_sample", "q_dedup_simhash",
     "q_sim_ann_recall", "q_sim_ann_recall_clustered",

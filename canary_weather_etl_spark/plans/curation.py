@@ -282,3 +282,26 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "w",
                 round_det("k", 9).alias("sample_key"), "rk")
     )
+
+
+@register(
+    "q_bpe_merges",
+    oracle=None,  # iterative greedy algorithm — not ANSI-SQL-expressible;
+    # exactness pinned instead by tests/test_llm_operators.py's
+    # from-scratch Python BPE (bit-identical merge sequence + encode
+    # lengths) — the strongest check available for this op class
+    doc="Distributed BPE merge training (operators/bpe.bpe_train): 8 "
+        "merge rounds over the documents word-frequency table — the "
+        "tokenizer-induction step of an LLM pipeline. Corpus-sized work "
+        "happens once (word counts); every round after is vocab-sized: "
+        "one pair-count aggregate + one JVM array-fold rewrite, driver "
+        "traffic = a single winning pair per round. Deterministic "
+        "tie-break (count desc, pair lexicographic) makes the merge "
+        "sequence bit-reproducible across partitionings.",
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_par(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8, min_pair_count=2)

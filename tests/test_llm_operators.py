@@ -532,3 +532,78 @@ def test_substring_spans_recover_planted_duplicate(spark):
     for r in spans.values():
         assert r["n_tokens"] == 12
         assert r["n_shingles"] == 5  # 12 - 8 + 1 consecutive hits
+
+
+# --- BPE merge training ------------------------------------------------------
+
+def _naive_bpe(texts, n_merges, min_pair_count=2):
+    """From-scratch reference BPE (Sennrich-style, word-level): returns
+    (merge list, encode_len fn). Independent of the Spark implementation
+    in every way except the published algorithm."""
+    freq = {}
+    for t in texts:
+        for w in t.lower().strip().split():
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    vocab = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq[w]
+        if not counts:
+            break
+        top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = top
+        if c < min_pair_count:
+            break
+        merges.append((a, b, a + b, c))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:  # greedy left scan, same rule as the fold
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+
+    def encode_len(text):
+        n = 0
+        for w in text.lower().strip().split():
+            if not w:
+                continue
+            syms = list(w) + ["</w>"]
+            for a, b, _, _ in merges:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            n += len(syms)
+        return n
+
+    return merges, encode_len
+
+
+def test_bpe_train_matches_naive_exactly(spark):
+    from canary_weather_etl_spark.operators.bpe import (bpe_encode_len,
+                                                        bpe_train)
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    texts = [r["text"] for r in docs.collect()]
+
+    got = [(r["left"], r["right"], r["merged"], r["pair_n"])
+           for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()]
+    want, encode_len = _naive_bpe(texts, 8)
+    assert got == want  # bit-identical merge sequence, order included
+
+    merges = [(a, b) for a, b, _, _ in want]
+    enc = {r["doc_id"]: r["n_bpe"]
+           for r in bpe_encode_len(docs, merges).collect()}
+    rows = docs.collect()
+    assert len(enc) == len(rows)
+    for r in rows:
+        assert enc[r["doc_id"]] == encode_len(r["text"]), r["doc_id"]
