@@ -143,6 +143,12 @@ def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
     for left, right in merges:
         col = F.aggregate(col, F.array().cast("array<string>"),
                           _merge_step(left, right))
-    return (words.select(id_col, F.size(col).alias("__w_toks"))
-            .groupBy(id_col)
-            .agg(F.sum("__w_toks").cast("bigint").alias(out_col)))
+    counts = (words.select(id_col, F.size(col).alias("__w_toks"))
+              .groupBy(id_col)
+              .agg(F.sum("__w_toks").cast("bigint").alias(out_col)))
+    # left-join back so empty/whitespace-only docs report 0, not absence —
+    # a packing consumer joining budgets must see every document
+    return (docs.select(id_col).distinct()
+            .join(counts, id_col, "left")
+            .select(id_col, F.coalesce(F.col(out_col), F.lit(0))
+                    .cast("bigint").alias(out_col)))

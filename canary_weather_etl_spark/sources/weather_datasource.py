@@ -27,23 +27,9 @@ from __future__ import annotations
 import json
 from datetime import date as _date
 
-try:
-    from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                        InputPartition)
-    HAS_DATASOURCE_API = True
-except ImportError:  # pragma: no cover - pyspark < 4
-    HAS_DATASOURCE_API = False
-
-    class DataSource:  # type: ignore[no-redef]
-        def __init__(self, options=None):
-            self.options = options or {}
-
-    class DataSourceReader:  # type: ignore[no-redef]
-        pass
-
-    class InputPartition:  # type: ignore[no-redef]
-        def __init__(self, value):
-            self.value = value
+from ._datasource_compat import (HAS_DATASOURCE_API,  # noqa: F401
+                                 DataSource, DataSourceReader,
+                                 InputPartition)
 
 
 # flattened daily rows: one row per (location, day); parallel arrays from

@@ -172,7 +172,7 @@ def test_manifest_stream_sink_exactly_once(spark, tmp_path):
     # with a fresh file — the superseded entry must be dropped, not added
     import json as _json
     import os
-    w = ManifestJsonlStreamWriter({"path": sink})
+    w = ManifestJsonlStreamWriter({"path": sink}, overwrite=False)
     with open(os.path.join(sink, "_MANIFEST.json")) as f:
         before = _json.load(f)
     replay_name = "part-replayed.jsonl"
@@ -207,3 +207,78 @@ def test_manifest_vacuum_removes_only_orphans(spark, tmp_path):
     assert not os.path.exists(orphan)
     got = read_manifest_jsonl(spark, d, "event_id BIGINT, user_id BIGINT")
     assert got.count() == src.count()  # live files untouched
+
+
+def test_manifest_sink_review_fixes(spark, tmp_path):
+    """The four behaviors the round-5 review flagged, pinned:
+    (a) overwrite reclaims superseded part files, (b) batch and stream
+    commits share one manifest schema (neither drops the other's files),
+    (c) a committed EMPTY dataset reads back as an empty frame,
+    (d) a concurrent commit fails loudly instead of losing files, and
+    (e) stream overwrite=True truncates prior state (complete mode)."""
+    import json as _json
+    import os
+
+    from canary_weather_etl_spark.sources.manifest_sink import (
+        ConcurrentWriteError, ManifestJsonlSink, ManifestJsonlStreamWriter,
+        _FileCommit, _manifest_lock, read_manifest_jsonl)
+    spark.dataSource.register(ManifestJsonlSink)
+
+    base = (load(spark, "/root/testdata/sf0.001", "events")
+            .selectExpr("event_id", "user_id").repartition(2))
+    d = str(tmp_path / "fix")
+    sch = "event_id BIGINT, user_id BIGINT"
+
+    # (a) overwrite deletes the previous generation's files
+    base.write.format("manifest_jsonl").mode("overwrite").save(d)
+    gen1 = {f for f in os.listdir(d) if f.startswith("part-")}
+    base.write.format("manifest_jsonl").mode("overwrite").save(d)
+    left_on_disk = {f for f in os.listdir(d) if f.startswith("part-")}
+    assert not (gen1 & left_on_disk), "superseded files leaked"
+    assert read_manifest_jsonl(spark, d, sch).count() == base.count()
+
+    # (b) one schema across writers: a stream commit must not drop
+    # batch-committed files
+    w = ManifestJsonlStreamWriter({"path": d}, overwrite=False)
+    extra = "part-streambatch.jsonl"
+    with open(os.path.join(d, extra), "w") as f:
+        f.write('{"event_id": 900000, "user_id": 1}\n')
+    w.commit([_FileCommit(extra, 1, 30)], batchId=0)
+    got = read_manifest_jsonl(spark, d, sch)
+    assert got.count() == base.count() + 1
+    assert got.filter("event_id = 900000").count() == 1
+
+    # (e) stream overwrite (complete mode): each commit truncates
+    wo = ManifestJsonlStreamWriter({"path": d}, overwrite=True)
+    snap = "part-complete-snap.jsonl"
+    with open(os.path.join(d, snap), "w") as f:
+        f.write('{"event_id": 900001, "user_id": 2}\n')
+    wo.commit([_FileCommit(snap, 1, 30)], batchId=1)
+    got2 = read_manifest_jsonl(spark, d, sch)
+    assert got2.count() == 1  # only the latest full snapshot is live
+    assert not (set(os.listdir(d)) & gen1)
+
+    # (c) committed empty dataset reads as an empty frame
+    e = str(tmp_path / "empty")
+    base.filter("event_id < 0").write.format("manifest_jsonl") \
+        .mode("overwrite").save(e)
+    with open(os.path.join(e, "_MANIFEST.json")) as f:
+        assert _json.load(f)["total_rows"] == 0
+    assert read_manifest_jsonl(spark, e, sch).count() == 0
+
+    # (d) second committer fails loudly while the lock is held
+    with _manifest_lock(d):
+        try:
+            wo.commit([_FileCommit("part-x.jsonl", 1, 1)], batchId=2)
+            raise AssertionError("concurrent commit did not raise")
+        except ConcurrentWriteError:
+            pass
+
+
+def test_bpe_encode_len_reports_zero_for_empty_docs(spark):
+    from canary_weather_etl_spark.operators.bpe import bpe_encode_len
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, "   ")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_bpe"]
+           for r in bpe_encode_len(docs, [("l", "o"), ("lo", "w")]).collect()}
+    assert got == {1: 4, 2: 0, 3: 0}
