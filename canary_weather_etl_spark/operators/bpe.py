@@ -105,7 +105,13 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         left, right, pair_n = (top[0]["left"], top[0]["right"],
                                top[0]["pair_n"])
         rows.append((rank, left, right, left + right, int(pair_n)))
-        vocab = _merge_pair(vocab, left, right).localCheckpoint(eager=True)
+        vocab = _merge_pair(vocab, left, right)
+        # materialize every other round: two stacked array folds are
+        # optimizer-cheap, and halving the checkpoint jobs halves the
+        # scheduling floor that dominates on vocab-sized data (results
+        # unchanged — the pair-count aggregate realizes the folds anyway)
+        if rank % 2 == 1:
+            vocab = vocab.localCheckpoint(eager=True)
     return spark.createDataFrame(
         rows, "rank INT, left STRING, right STRING, merged STRING, "
               "pair_n BIGINT")
