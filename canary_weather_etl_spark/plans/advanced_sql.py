@@ -325,6 +325,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 3)
         .select("u1", "u2")
     )
+    # Materialize the edge list ONCE before the 3-way self-join: without
+    # this, each of enumerate_triangles' three aliases re-executes the
+    # whole blocking + cell-cap + pair-count pipeline (the expensive
+    # phase), so the events scan ran 12x with 50 exchanges and 0 reused.
+    # Same recompute-vs-materialize fix pagerank_fixed applies per
+    # iteration (operators/graph.py localCheckpoint cadence).
+    edges = edges.localCheckpoint(eager=True)
     tri = enumerate_triangles(edges)
     members = tri.select(
         F.explode(F.array("a_id", "b_id", "c_id")).alias("user_id"))

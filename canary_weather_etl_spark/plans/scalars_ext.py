@@ -87,7 +87,7 @@ def q_string_date_hash_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(substr(event_type, 1, 1) AS INT) AS et_first_int,
            CAST(FLOOR(value) AS BIGINT) >= 1 AS overflowed,
            CASE WHEN event_id % 2 = 0
-                THEN CAST(event_id % 10000 AS DECIMAL(4,0)) END AS amount_num
+                THEN CAST(event_id % 10000 AS BIGINT) END AS amount_num
     FROM events
     WHERE event_id % 23 = 0
     """,
@@ -129,11 +129,17 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # that parses under the '$0000' format; odd rows reuse the
         # event_type word, which fails the format -> NULL (the oracle
         # states both outcomes directly — DuckDB has no to_number).
+        # Cast the DECIMAL(4,0) result to BIGINT: the values are integral
+        # by construction, and a decimal surfaces as Decimal('0') on the
+        # Spark side but float64 0.0 through the DuckDB->pandas oracle
+        # path, so the driver's stringified value hash diverges ('0' vs
+        # '0.0') on every even row — the exact SURVEY §7.2 parity trap
+        # (the r5 red row; VERDICT r5 "What's wrong #1").
         F.try_to_number(
             F.when(F.col("event_id") % 2 == 0,
                    F.concat(F.lit("$"),
                             F.lpad((F.col("event_id") % 10000).cast("string"),
                                    4, "0")))
              .otherwise(F.col("event_type")),
-            F.lit("$0000")).alias("amount_num"),
+            F.lit("$0000")).cast("bigint").alias("amount_num"),
     )
