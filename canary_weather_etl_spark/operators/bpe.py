@@ -40,7 +40,15 @@ EOW = "</w>"
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus → (word, n, syms): word frequencies with each word as its
-    initial symbol array (characters + end-of-word marker)."""
+    initial symbol array (characters + end-of-word marker).
+
+    Tokenization rule (DOCUMENTED, shared by bpe_encode_len and the test
+    reference): lowercase, trim ASCII space, split on Java-default \\s+
+    — the ASCII class [ \\t\\n\\x0B\\f\\r]. Unicode whitespace
+    (U+00A0, U+2028, ...) is NOT a separator; corpora that need it should
+    normalize whitespace upstream (operators/text.py cleaning) rather
+    than rely on the tokenizer, so the rule stays bit-reproducible across
+    engines and the Python reference twin (re.ASCII \\s+)."""
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("word")).filter(F.col("word") != "")
@@ -119,13 +127,26 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
 
 def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
                    id_col: str = "doc_id", text_col: str = "text",
-                   out_col: str = "n_bpe") -> DataFrame:
+                   out_col: str = "n_bpe",
+                   checkpoint_every: int = 64) -> DataFrame:
     """Apply a learned merge list and report per-document token counts —
     the budget number sequence packing consumes. Word-level, mirroring
     training: explode words, fold each word's symbol array through the
-    merges in learned order (each merge is one JVM array fold; the merge
-    list is a tiny broadcast closure), then sum symbols per document.
-    Returns (id_col, out_col)."""
+    merges in learned order (each merge is one JVM array fold with the
+    pair INLINED as literals), then sum symbols per document.
+    Returns (id_col, out_col).
+
+    Plan-size bound: one nested fold per merge means the expression tree
+    grows linearly with the merge list, and Catalyst's project-collapsing
+    would re-inline intermediate projections — so every
+    ``checkpoint_every`` merges the symbol column is materialized with
+    localCheckpoint, capping codegen input at a constant per stage. That
+    keeps hundreds of merges feasible; for realistic tokenizer sizes
+    (10k+ merges) this whole-fold-per-merge shape is the wrong algorithm
+    regardless of plan size — use an Arrow-batched encoder that applies
+    the (broadcast) merge table per word in Python (rank-priority merge,
+    the standard BPE encode), which is O(len·#applied-merges) per word
+    instead of O(len·#all-merges)."""
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
@@ -146,10 +167,17 @@ def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
                 .otherwise(F.concat(acc, F.array(x))))
         return step
 
-    for left, right in merges:
+    cur = words
+    for i, (left, right) in enumerate(merges):
         col = F.aggregate(col, F.array().cast("array<string>"),
                           _merge_step(left, right))
-    counts = (words.select(id_col, F.size(col).alias("__w_toks"))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
+            # cut the expression tree: materialize the partially-merged
+            # symbol arrays, then keep folding from the stored column
+            cur = (cur.select(id_col, col.alias("__syms"))
+                   .localCheckpoint(eager=True))
+            col = F.col("__syms")
+    counts = (cur.select(id_col, F.size(col).alias("__w_toks"))
               .groupBy(id_col)
               .agg(F.sum("__w_toks").cast("bigint").alias(out_col)))
     # left-join back so empty/whitespace-only docs report 0, not absence —

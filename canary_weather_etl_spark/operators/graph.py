@@ -117,7 +117,8 @@ def pagerank_fixed(edges: DataFrame, nodes: DataFrame,
                    id_col: str = "id",
                    iterations: int = 5,
                    unit_scale: int = 1_000_000,
-                   damping_num: int = 17, damping_den: int = 20) -> DataFrame:
+                   damping_num: int = 17, damping_den: int = 20,
+                   checkpoint_every: int = 3) -> DataFrame:
     """Fixed-iteration PageRank in integer fixed-point arithmetic.
 
     Every rank is held in integer "units" (``unit_scale`` units = rank
@@ -166,13 +167,58 @@ def pagerank_fixed(edges: DataFrame, nodes: DataFrame,
                           f"div {damping_den}"))
                 .alias("units"))
         )
-        # materialize every OTHER round (and the last): a two-round
-        # lineage is still optimizer-cheap, and halving the checkpoint
-        # jobs halves the per-iteration scheduling floor that dominates
-        # wall time on small graphs (integer math → results unchanged)
-        if it % 2 == 1 or it == iterations - 1:
+        # materialize every ``checkpoint_every`` rounds (and the last):
+        # a few stacked rounds are still optimizer-cheap, and each skipped
+        # checkpoint saves one eager job's scheduling floor — which
+        # dominates wall time on small graphs. Results are integer math,
+        # hence bit-identical at ANY cadence (asserted in
+        # tests/test_r6_ops.py); the cadence knee is measured in
+        # BENCHNOTES.md (scripts/pagerank_cadence.py). Unbounded stacking
+        # is NOT free — plan size grows linearly with stacked rounds — so
+        # cadence stays a small constant rather than iterations.
+        if it % checkpoint_every == checkpoint_every - 1 \
+                or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def orient_by_degree(edges: DataFrame,
+                     u1: str = "u1", u2: str = "u2") -> DataFrame:
+    """Re-orient an undirected edge list (stored once per edge, any
+    direction) so each edge points from its (degree, id)-lexicographically
+    SMALLER endpoint to the larger — the skew lever for
+    ``enumerate_triangles`` on power-law graphs.
+
+    Why it matters: compact-forward's wedge count is Σ_v out_deg(v)². With
+    id-orientation a hub whose id happens to be small keeps its full
+    degree as OUT-degree, so one hub with degree d contributes d²/2
+    wedges. Degree-orientation points every hub edge INWARD (low-degree
+    endpoints get the out-edges), which bounds out-degrees by ~√m and the
+    total wedge count by O(m^1.5) — the classical compact-forward bound —
+    regardless of skew. Measured on a hub-and-spoke fixture in
+    scripts/triangle_scale.py --skew (wedge count and wall both collapse).
+
+    (deg, id) is a total order, hence acyclic: each triangle is still
+    enumerated exactly once. Cost: one degree aggregate + two hash joins
+    of edges against the (node, deg) table — linear, shuffles on node
+    keys; at scale the degree table is usually broadcast-size after AQE.
+    Integer-only, so downstream results stay oracle-exact.
+    """
+    e = edges.select(F.col(u1).alias("a"), F.col(u2).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    j = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias(u1),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias(u2),
+    )
 
 
 def enumerate_triangles(edges: DataFrame,

@@ -36,6 +36,18 @@ it in a maintenance window.
 
 At 100 TB the manifest stays tiny (one entry per task file) and every
 commit is one driver-side write.
+
+DEPLOYMENT NOTE — this implementation is local-filesystem only: executors
+``open()`` part files and the driver uses ``os.replace``/``os.listdir``,
+so driver, executors, and readers must share one POSIX filesystem (true
+on local[k] and on clusters with a shared mount; NOT true on plain
+object stores). The PROTOCOL (unique task files, driver-published
+manifest, lock-serialized read-modify-write commits) is the part that
+transfers to object storage; porting it means swapping the four
+filesystem touchpoints (part-file open, manifest read/replace, list,
+delete) for store calls and replacing the O_EXCL lock with the store's
+conditional-put/CAS. The docstring's object-store framing describes the
+protocol's design target, not this module's deployment surface.
 """
 
 from __future__ import annotations
@@ -256,19 +268,28 @@ def read_manifest_jsonl(spark: SparkSession, path: str,
 def vacuum_manifest_dir(path: str, force_unlock: bool = False) -> list[str]:
     """Delete part files NOT referenced by the manifest — the VACUUM
     complement to manifest isolation: orphans from crashed jobs are
-    already invisible to readers, this reclaims their storage. Run in a
-    maintenance window (a not-yet-committed concurrent job's files look
-    like orphans, exactly like table-format VACUUM retention rules).
-    force_unlock=True also clears a stale commit lock left by a crashed
-    writer. Returns the deleted file names."""
+    already invisible to readers, this reclaims their storage.
+
+    The scan+delete runs UNDER the commit lock, so vacuum cannot race a
+    concurrent committer: a job that is mid-commit holds the lock while
+    it publishes its manifest entry, and a job that has written part
+    files but not yet reached commit() will fail its commit loudly
+    (ConcurrentWriteError) rather than have a reader observe its files —
+    but those not-yet-committed files WOULD look like orphans here, so
+    the maintenance-window convention still applies to in-flight jobs
+    that haven't started committing (same retention caveat as
+    table-format VACUUM). force_unlock=True clears a stale commit lock
+    left by a crashed writer FIRST (otherwise a dead lock makes vacuum
+    fail like any other writer). Returns the deleted file names."""
     if force_unlock:
         _remove_files(path, [_LOCK])
-    with open(os.path.join(path, _MANIFEST), encoding="utf-8") as f:
-        live = {e["file"] for e in json.load(f)["files"]}
-    deleted = []
-    for name in os.listdir(path):
-        if (name.startswith("part-") and name.endswith(".jsonl")
-                and name not in live):
-            os.remove(os.path.join(path, name))
-            deleted.append(name)
+    with _manifest_lock(path):
+        with open(os.path.join(path, _MANIFEST), encoding="utf-8") as f:
+            live = {e["file"] for e in json.load(f)["files"]}
+        deleted = []
+        for name in os.listdir(path):
+            if (name.startswith("part-") and name.endswith(".jsonl")
+                    and name not in live):
+                os.remove(os.path.join(path, name))
+                deleted.append(name)
     return sorted(deleted)

@@ -12,6 +12,17 @@ q_triangle_count has two phases with different scaling laws:
 
 Usage: python scripts/triangle_scale.py [N ...]   (default: 100000 1000000)
 Prints one JSON line per N.
+
+--skew mode (VERDICT r5 item 5): hub-and-spoke fixture isolating the
+ORIENTATION lever. 10 hubs with the SMALLEST ids (0..9) form a clique and
+each of N leaves attaches to two hubs — so id-orientation (u1 < u2) gives
+every hub an out-degree of ~N/5 and the first compact-forward join builds
+Σ out_deg² ≈ 10·(N/5)² wedges (quadratic in N), while
+(deg, id)-orientation (operators.graph.orient_by_degree) points every
+leaf→hub edge out of the degree-2 leaf, collapsing the wedge count to
+~N + hub-clique wedges (linear). Triangle count is exactly N + C(10,3)
+under BOTH orientations (asserted). Prints wedge counts + wall per
+orientation: python scripts/triangle_scale.py --skew [N ...]
 """
 
 from __future__ import annotations
@@ -27,6 +38,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from canary_weather_etl_spark.operators.graph import (  # noqa: E402
     enumerate_triangles,
+    orient_by_degree,
 )
 from canary_weather_etl_spark.session import get_spark  # noqa: E402
 
@@ -55,7 +67,87 @@ def count_triangles(edges) -> int:
     return enumerate_triangles(edges).count()
 
 
+N_HUBS = 10
+
+
+def hub_spoke_edges(spark, n_leaves: int):
+    """Skewed fixture, adversarial for ID-orientation: 10 hubs sit in the
+    MIDDLE of the id range (ids n/2 .. n/2+9, complete clique among them)
+    and n leaves — half with ids below the hubs, half above — each attach
+    to two hubs. Every leaf closes exactly ONE triangle with its two hubs
+    (hubs are all adjacent), and the clique adds C(10,3)=120 — total
+    n_leaves + 120.
+
+    Why mid-range ids: compact-forward's first join builds a→b→c paths,
+    so its row count is Σ_b in_deg(b)·out_deg(b). Under u1<u2 orientation
+    a mid-id hub has ~n/10 in-edges (lower-id leaves) AND ~n/10 out-edges
+    (higher-id leaves) → ~n²/10 wedge rows total, the quadratic skew
+    failure. Degree-orientation points every spoke OUT of its degree-2
+    leaf, so hubs keep ≤9 out-edges (clique only) and the wedge count
+    collapses to O(n)."""
+    mid = n_leaves // 2
+    hub_pairs = (
+        spark.range(mid, mid + N_HUBS).select(F.col("id").alias("a"))
+        .join(spark.range(mid, mid + N_HUBS).select(F.col("id").alias("b")),
+              F.col("a") < F.col("b"))
+    )
+    leaves = (
+        spark.range(mid).select(F.col("id").alias("leaf"))
+        .unionAll(spark.range(mid + N_HUBS, n_leaves + N_HUBS)
+                  .select(F.col("id").alias("leaf")))
+    )
+    spokes = leaves.select(
+        F.col("leaf"),
+        F.explode(F.array((F.col("leaf") % N_HUBS) + mid,
+                          ((F.col("leaf") + 1) % N_HUBS) + mid)).alias("hub"))
+    spoke_edges = spokes.select(F.least("leaf", "hub").alias("a"),
+                                F.greatest("leaf", "hub").alias("b"))
+    return hub_pairs.unionAll(spoke_edges).select(
+        F.col("a").alias("u1"), F.col("b").alias("u2"))
+
+
+def wedge_count(edges) -> int:
+    """Row count of compact-forward's FIRST join (a→b ⨝ b→c on the middle
+    node) — the cost driver: Σ_b in_deg(b)·out_deg(b)."""
+    e = edges.select("u1", "u2")
+    i = e.groupBy(F.col("u2").alias("node")).agg(
+        F.count(F.lit(1)).alias("ind"))
+    o = e.groupBy(F.col("u1").alias("node")).agg(
+        F.count(F.lit(1)).alias("outd"))
+    return (i.join(o, "node")
+            .select(F.sum(F.col("ind") * F.col("outd"))).collect()[0][0])
+
+
+def skew_mode(sizes) -> None:
+    spark = get_spark("triangle-skew")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for n in sizes:
+        raw = hub_spoke_edges(spark, n).localCheckpoint(eager=True)
+        want = n + N_HUBS * (N_HUBS - 1) * (N_HUBS - 2) // 6
+        row = {"n_leaves": n, "triangles_want": want}
+        for label, oriented in (
+                ("id_order", raw),  # u1 < u2 already holds by construction
+                ("deg_order",
+                 orient_by_degree(raw).localCheckpoint(eager=True))):
+            wedges = int(wedge_count(oriented))
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                tri = enumerate_triangles(oriented).count()
+                best = min(best, time.perf_counter() - t0)
+            assert tri == want, (
+                f"{label}: expected {want} triangles, got {tri} — "
+                "orientation broke the exactly-once invariant")
+            row[f"{label}_wedges"] = wedges
+            row[f"{label}_best_s"] = round(best, 3)
+        print(json.dumps(row))
+
+
 def main() -> None:
+    if "--skew" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--skew"]
+        skew_mode([int(a) for a in args] or [100_000, 300_000])
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
     spark = get_spark("triangle-scale")
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -4,6 +4,8 @@ since the DuckDB oracle can't express engine-specific hashing."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -539,12 +541,20 @@ def test_substring_spans_recover_planted_duplicate(spark):
 def _naive_bpe(texts, n_merges, min_pair_count=2):
     """From-scratch reference BPE (Sennrich-style, word-level): returns
     (merge list, encode_len fn). Independent of the Spark implementation
-    in every way except the published algorithm."""
+    in every way except the published algorithm. Tokenization matches the
+    engine's DOCUMENTED ASCII rule (operators/bpe.py: Java-default \\s):
+    re.ASCII \\s+ is byte-for-byte the same class ([ \\t\\n\\r\\f\\x0b]),
+    where bare str.split() would also split on U+00A0/U+2028 etc. and
+    break parity on non-ASCII-spaced corpora."""
+
+    def _words(t):
+        return [w for w in re.split(r"\s+", t.lower().strip(" "),
+                                    flags=re.ASCII) if w]
+
     freq = {}
     for t in texts:
-        for w in t.lower().strip().split():
-            if w:
-                freq[w] = freq.get(w, 0) + 1
+        for w in _words(t):
+            freq[w] = freq.get(w, 0) + 1
     vocab = {w: list(w) + ["</w>"] for w in freq}
     merges = []
     for _ in range(n_merges):
@@ -570,9 +580,7 @@ def _naive_bpe(texts, n_merges, min_pair_count=2):
 
     def encode_len(text):
         n = 0
-        for w in text.lower().strip().split():
-            if not w:
-                continue
+        for w in _words(text):
             syms = list(w) + ["</w>"]
             for a, b, _, _ in merges:
                 out = []

@@ -1,0 +1,130 @@
+"""Round-6 operator tests: pagerank checkpoint-cadence bit-identity,
+degree-ordered triangle orientation, chunked BPE encode folds, and
+vacuum-under-lock."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.operators.bpe import bpe_encode_len
+from canary_weather_etl_spark.operators.graph import (
+    enumerate_triangles,
+    orient_by_degree,
+    pagerank_fixed,
+)
+
+
+def _graph(spark):
+    """Small deterministic digraph: edges i -> (i*i+1) mod 97 plus a ring,
+    every node present."""
+    nodes = spark.range(97).select(F.col("id"))
+    e1 = nodes.select(F.col("id").alias("src"),
+                      ((F.col("id") * F.col("id") + 1) % 97).alias("dst"))
+    e2 = nodes.select(F.col("id").alias("src"),
+                      ((F.col("id") + 1) % 97).alias("dst"))
+    return e1.unionAll(e2).distinct(), nodes
+
+
+def test_pagerank_cadence_bit_identical(spark):
+    """localCheckpoint is a pure materialization boundary: ANY cadence
+    must produce bit-identical integer ranks (the cadence default is a
+    measured scheduling-floor knob, never a semantics knob —
+    scripts/pagerank_cadence.py measures the knee)."""
+    edges, nodes = _graph(spark)
+    results = []
+    for k in (1, 2, 3, 5):
+        rows = (pagerank_fixed(edges, nodes, iterations=5,
+                               checkpoint_every=k)
+                .orderBy("node").collect())
+        results.append([(r["node"], r["units"]) for r in rows])
+    assert results[0] == results[1] == results[2] == results[3]
+    assert len(results[0]) == 97
+    # ranks are actual fixed-point values, not all the base floor
+    assert len({u for _, u in results[0]}) > 1
+
+
+def _undirected_fixture(spark):
+    """Skewed undirected graph with a known triangle inventory: hub 50
+    adjacent to all of 0..20, plus ring edges i—(i+1) for i in 0..19.
+    Triangles: (i, i+1, 50) for i in 0..19 → exactly 20, every one
+    containing the hub."""
+    hub = spark.range(21).select(
+        F.least(F.col("id"), F.lit(50)).alias("u1"),
+        F.greatest(F.col("id"), F.lit(50)).alias("u2"))
+    ring = spark.range(20).select(
+        F.col("id").alias("u1"), (F.col("id") + 1).alias("u2"))
+    return hub.unionAll(ring)
+
+
+def test_orient_by_degree_counts_each_triangle_once(spark):
+    edges = _undirected_fixture(spark)
+    plain = enumerate_triangles(edges).collect()
+    oriented = enumerate_triangles(orient_by_degree(edges)).collect()
+    assert len(plain) == 20 and len(oriented) == 20
+    # same triangle SET regardless of orientation (members, order-free)
+    as_sets = lambda rows: {frozenset((r[0], r[1], r[2])) for r in rows}  # noqa: E731
+    assert as_sets(plain) == as_sets(oriented)
+
+
+def test_orient_by_degree_bounds_hub_out_degree(spark):
+    """The point of the re-orientation: the hub's out-degree collapses
+    from its full degree to ~0, because every spoke points OUT of its
+    low-degree endpoint."""
+    edges = _undirected_fixture(spark)
+    out_deg = {r["u1"]: r["d"] for r in
+               orient_by_degree(edges).groupBy("u1")
+               .agg(F.count(F.lit(1)).alias("d")).collect()}
+    assert out_deg.get(50, 0) == 0  # hub has max degree -> no out-edges
+    assert max(out_deg.values()) <= 3
+
+
+def test_bpe_encode_len_chunked_fold_parity(spark):
+    """Chunking the per-merge folds with localCheckpoint (plan-size cap)
+    must not change a single count — compare checkpoint_every=2 against
+    the single-expression fold on the same merges."""
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest newest"),
+         (3, ""), (4, "low new low")],
+        "doc_id int, text string")
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+              ("n", "e"), ("ne", "w")]
+    big = {r["doc_id"]: r["n_bpe"] for r in
+           bpe_encode_len(docs, merges, checkpoint_every=10_000).collect()}
+    chunked = {r["doc_id"]: r["n_bpe"] for r in
+               bpe_encode_len(docs, merges, checkpoint_every=2).collect()}
+    assert big == chunked
+    assert big[3] == 0  # empty doc still reported
+    assert set(big) == {1, 2, 3, 4}
+
+
+def test_vacuum_requires_lock_free_dir(spark, tmp_path):
+    """vacuum_manifest_dir now scans+deletes under the commit lock: a
+    held lock must make vacuum fail loudly instead of racing the
+    committer; force_unlock clears a stale lock first."""
+    from canary_weather_etl_spark.sources.manifest_sink import (
+        ConcurrentWriteError,
+        ManifestJsonlSink,
+        vacuum_manifest_dir,
+    )
+    spark.dataSource.register(ManifestJsonlSink)
+    path = str(tmp_path / "sink")
+    df = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df.write.format("manifest_jsonl").mode("overwrite").save(path)
+    # orphan: a part file no manifest references
+    orphan = os.path.join(path, "part-orphan-000.jsonl")
+    with open(orphan, "w", encoding="utf-8") as f:
+        f.write('{"id": 99}\n')
+    # simulate an in-flight committer holding the lock
+    lock = os.path.join(path, "_MANIFEST.lock")
+    with open(lock, "x", encoding="utf-8") as f:
+        f.write("pid 0")
+    with pytest.raises(ConcurrentWriteError):
+        vacuum_manifest_dir(path)
+    assert os.path.exists(orphan)  # nothing was deleted under contention
+    deleted = vacuum_manifest_dir(path, force_unlock=True)
+    assert deleted == ["part-orphan-000.jsonl"]
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(lock)  # lock released after vacuum
