@@ -23,51 +23,44 @@ from . import curation     # noqa: E402,F401  §2.11 split/mix/vocab/contaminati
 from . import formats      # noqa: E402,F401  §2.1 CSV/JSONL sink+scan round trips
 from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly-once
 from . import advanced_sql  # noqa: E402,F401  regr/LATERAL/recursive CTE/EWMA/PageRank
+from . import r6_queries   # noqa: E402,F401  skyline/MAD/PMI/containment/k-core/nearest
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-5 rotation is freshness-driven (no
+# hard external correctness row. Round-6 rotation, freshness-driven (no
 # entry's latest hard row should age past ~3 rounds): front-load (a) the
-# seven NEW r5 queries (advanced_sql.py) and the three whose CODE changed
-# this round (try_to_number added, weighted-sample totality guards,
-# SimHash 64-bit default) plus
-# q_sim_ann_recall (new clustered/composed rows this round); (b) the four
-# r1-stale entries — the oldest evidence in the registry; (c) the full
-# r2-stale set, including the seven the r4 judge flagged as missing the
-# r4 window. The remaining ~24 slots backfill the r3-sampled block in
-# registry order; the r3 remainder (q_salted_join .. q_jsonl_roundtrip,
-# 25 entries) rotates in r6 before it ages past three rounds.
+# r5 red row q_try_functions (amount_num decimal->BIGINT fix — VERDICT r5
+# item 1) and the two iterative queries whose PLANS changed this round
+# (triangle edge materialization + degree orientation; pagerank cadence
+# 3); (b) the seven NEW r6 queries (r6_queries.py); (c) ALL 39 entries
+# whose latest hard evidence is CORRECTNESS_r03 — the entire remaining
+# stale block, leaving nothing in the registry older than r4 evidence
+# after this round; (d) one r4 backfill slot. Next rotation (r7): the 48
+# r4-sampled entries start aging — front-load roughly half of them.
 _DRIVER_PRIORITY = (
-    # new or code-changed this round — must re-sample
-    "q_regression_stats", "q_lateral_topk", "q_recursive_cte_depth",
-    "q_ewma_time_decay", "q_window_range_interval", "q_pagerank_purchases",
-    "q_triangle_count", "q_percentile_within_group", "q_join_null_safe",
-    "q_xml_roundtrip", "q_subquery_exists", "q_group_by_all", "q_bpe_merges",
-    "q_dedup_substring_spans",
-    "q_try_functions", "q_weighted_sample", "q_dedup_simhash",
-    "q_sim_ann_recall", "q_sim_ann_recall_clustered",
-    # r1-stale (last hard row: CORRECTNESS_r01)
-    "q_embedding_norms", "q_cosine_near_dup", "q_multimodal_meta",
-    "q_sim_ann_ivf",
-    # r2-stale — the seven the r4 judge named first
-    "q_scalar_date", "q_conditional_case", "q_json_extract",
-    "q_count_distinct", "q_agg_min_max_by", "q_median_exact",
-    "q_approx_count_distinct",
-    # rest of the r2-stale block
-    "q_hll_sketch_merge", "q_entity_blocking", "q_text_stats",
-    "q_text_lang_id", "q_text_fingerprint", "q_dedup_exact",
-    "q_dedup_unique_count", "q_ngram_jaccard_pairs", "q_dedup_minhash_lsh",
-    "q_sim_topk_bruteforce", "q_sim_ann_lsh",
-    # backfill: r3-sampled block, registry order (first 24)
-    "q_agg_collect", "q_star_join_revenue", "q_bitmap_semi_join",
-    "q_interval_join_batch", "q_dedup_clusters", "q_dedup_incremental",
-    "q_embedding_quantize", "q_tfidf_top_terms", "q_text_chunking",
+    # (a) red-row fix + plan-changed iterative queries — must re-sample
+    "q_try_functions", "q_triangle_count", "q_pagerank_purchases",
+    # (b) new r6 surface
+    "q_manifest_sink_read", "q_skyline_pareto", "q_anomaly_mad",
+    "q_pmi_bigrams", "q_shingle_containment", "q_kcore_peel",
+    "q_nearest_view",
+    # (c) the full r3-stale block, registry order
     "q_corpus_shuffle_shards", "q_pack_sequences", "q_pack_sequences_greedy",
     "q_text_clean_redact", "q_corpus_curation", "q_heavy_hitters",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
     "q_text_dup_lines", "q_cosine_pairs_exact", "q_lm_quality_score",
     "q_arrays_zip_explode", "q_sql_facade", "q_asof_join",
+    "q_salted_join", "q_two_phase_agg", "q_range_join", "q_time_rollup",
+    "q_percentiles", "q_stats_moments", "q_data_quality_profile",
+    "q_pivot", "q_stratified_sample", "q_gap_fill_calendar",
+    "q_events_funnel", "q_events_cohort_retention", "q_zorder_key",
+    "q_global_rank", "q_weather_flatten_om", "q_weather_flatten_vc",
+    "q_weather_clean_build", "q_weather_upsert_newwins",
+    "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
+    "q_contamination_ngrams", "q_csv_roundtrip", "q_jsonl_roundtrip",
+    # (d) r4 backfill
+    "q_projection_derived",
 )
 
 

@@ -250,6 +250,41 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- triangle counting -------------------------------------------------------
 
+def coactivity_edges(spark: SparkSession, sf_dir: str,
+                     min_shared: int = 3, cell_cap: int = 40) -> DataFrame:
+    """Co-activity user graph (shared by q_triangle_count and
+    q_kcore_peel): users adjacent iff they share >= ``min_shared``
+    distinct (hour, event_type) active cells. Returns (u1, u2), u1 < u2,
+    each undirected edge once."""
+    ev = load(spark, sf_dir, "events")
+    act0 = (ev.select("user_id", "event_type",
+                      F.date_trunc("hour", "ts").alias("hb"))
+            .distinct())
+    # hot-cell cap: a (type, hour) cell with > cell_cap actives
+    # contributes O(cell²) candidate pairs and near-zero pair signal —
+    # dropping such cells (standard blocking practice) bounds the edge
+    # build at B·cap²/2 pairs, i.e. linear in cell count at any corpus
+    # size
+    cellsz = (act0.groupBy("event_type", "hb")
+              .agg(F.count(F.lit(1)).alias("n_in_cell"))
+              .filter(F.col("n_in_cell") <= cell_cap)
+              .drop("n_in_cell"))
+    act = act0.join(cellsz, ["event_type", "hb"])
+    a = act.alias("a")
+    b = act.alias("b")
+    return (
+        a.join(b, (F.col("a.hb") == F.col("b.hb"))
+               & (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("u1"),
+                 F.col("b.user_id").alias("u2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("u1", "u2")
+    )
+
+
+
 @register(
     "q_triangle_count",
     oracle="""
@@ -305,31 +340,7 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",), bench=True,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    act0 = (ev.select("user_id", "event_type",
-                      F.date_trunc("hour", "ts").alias("hb"))
-            .distinct())
-    # hot-cell cap: a (type, hour) cell with > 40 actives contributes
-    # O(cell²) candidate pairs and near-zero pair signal — dropping such
-    # cells (standard blocking practice) bounds the edge build at
-    # B·40²/2 pairs, i.e. linear in cell count at any corpus size
-    cellsz = (act0.groupBy("event_type", "hb")
-              .agg(F.count(F.lit(1)).alias("n_in_cell"))
-              .filter(F.col("n_in_cell") <= 40)
-              .drop("n_in_cell"))
-    act = act0.join(cellsz, ["event_type", "hb"])
-    a = act.alias("a")
-    b = act.alias("b")
-    edges = (
-        a.join(b, (F.col("a.hb") == F.col("b.hb"))
-               & (F.col("a.event_type") == F.col("b.event_type"))
-               & (F.col("a.user_id") < F.col("b.user_id")))
-        .groupBy(F.col("a.user_id").alias("u1"),
-                 F.col("b.user_id").alias("u2"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= 3)
-        .select("u1", "u2")
-    )
+    edges = coactivity_edges(spark, sf_dir)
     # Materialize the edge list ONCE before the 3-way self-join: without
     # this, each of enumerate_triangles' three aliases re-executes the
     # whole blocking + cell-cap + pair-count pipeline (the expensive

@@ -1,0 +1,538 @@
+"""Round-6 query surface: manifest-sink read-back, Pareto skyline,
+MAD-based robust anomaly detection, PMI collocations, shingle
+containment, k-core peeling, and nearest-in-time join.
+
+Reference parity: the reference (ilias-lp/canary-weather-etl README.md)
+establishes the ingest → clean → aggregate analytics pipeline; these
+queries extend the engine's analytics and training-data-curation
+families with the robust-statistics, collocation-mining, asymmetric
+near-dup, and graph-core primitives a corpus pipeline runs at 100 TB —
+each expressed as declarative DataFrame plans with exact (or
+deterministically-rounded) DuckDB oracle twins.
+
+Float discipline (registry module docstring): medians/MAD and
+lift/containment ratios carry interpolation or division noise →
+round_det(6) on SURFACED values; comparisons and joins use the raw
+doubles with identical IEEE evaluation order on both sides.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import round_det
+from .advanced_sql import coactivity_edges
+from .registry import load, load_par, register
+
+
+# --- manifest sink read-back -------------------------------------------------
+
+@register(
+    "q_manifest_sink_read",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Manifest-committed sink round trip (sources/manifest_sink.py): "
+        "documents written through the Python DataSource WRITER "
+        "(format 'manifest_jsonl' — executors write unique part files, "
+        "the driver publishes _MANIFEST.json atomically), then read back "
+        "via read_manifest_jsonl, which trusts ONLY manifest-listed "
+        "files. The oracle aggregates the ORIGINAL parquet, so any row "
+        "lost, duplicated, or mangled by the write/commit/read path "
+        "breaks the hash — this gives the r5 writer surface a hard "
+        "driver-hash row on top of its pytest coverage (orphan isolation "
+        "is pytest-only: it needs a crashed job to stage).",
+    tags=("source", "sink"),
+)
+def q_manifest_sink_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.manifest_sink import ManifestJsonlSink, read_manifest_jsonl
+
+    spark.dataSource.register(ManifestJsonlSink)
+    base = tempfile.mkdtemp(prefix="canary_manifest_read_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "documents_manifest")
+    (load(spark, sf_dir, "documents")
+     .select("doc_id", "lang", "source", "n_chars")
+     .write.format("manifest_jsonl").mode("overwrite").save(path))
+    back = read_manifest_jsonl(
+        spark, path,
+        schema="doc_id bigint, lang string, source string, n_chars bigint")
+    return (
+        back.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.sum("doc_id").alias("id_sum"))
+    )
+
+
+# --- Pareto skyline ----------------------------------------------------------
+
+@register(
+    "q_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT p_brand, p_size, p_retailprice, COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2, 3
+    )
+    SELECT p_brand, p_size, p_retailprice AS price,
+           CAST(n_parts AS BIGINT) AS n_parts
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.p_brand = a.p_brand
+          AND b.p_size >= a.p_size
+          AND b.p_retailprice <= a.p_retailprice
+          AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+    """,
+    doc="Per-brand Pareto frontier (skyline): parts maximizing size while "
+        "minimizing price; a point survives iff no same-brand point "
+        "weakly dominates it with one strict improvement. The oracle is "
+        "the textbook quadratic NOT EXISTS; the Spark plan is the "
+        "SORT-BASED skyline — per-size min price, then a running min over "
+        "sizes descending (window, 1-row lookback exclusive): a point is "
+        "on the frontier iff it is its size's cheapest AND strictly "
+        "cheaper than everything larger. Two shuffles on (brand) keys, "
+        "zero self-joins — the 2-D skyline stays O(n log n) at 100 TB "
+        "where the NOT EXISTS twin is O(n²) per brand.",
+    tags=("analytics",),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    pts = (p.groupBy("p_brand", "p_size", "p_retailprice")
+           .agg(F.count(F.lit(1)).alias("n_parts")))
+    # cheapest point per (brand, size): within a size, any pricier point
+    # is dominated by this one (same size, lower price)
+    szmin = (p.groupBy("p_brand", "p_size")
+             .agg(F.min("p_retailprice").alias("size_min")))
+    # running min of size-minima over STRICTLY larger sizes (rows ...,-1
+    # over the per-size rows sorted size-desc = all larger sizes)
+    w = (Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier_sizes = (
+        szmin.withColumn("larger_min", F.min("size_min").over(w))
+        .filter(F.col("larger_min").isNull()
+                | (F.col("size_min") < F.col("larger_min")))
+        .select("p_brand", "p_size", "size_min")
+    )
+    return (
+        pts.join(frontier_sizes, ["p_brand", "p_size"])
+        .filter(F.col("p_retailprice") == F.col("size_min"))
+        .select("p_brand", "p_size", F.col("p_retailprice").alias("price"),
+                "n_parts")
+    )
+
+
+# --- MAD anomaly detection ---------------------------------------------------
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events
+        WHERE value IS NOT NULL GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ), mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           FLOOR(MAX(d.med) * 1e6 + 0.5) / 1e6 AS med,
+           FLOOR(MAX(m.mad) * 1e6 + 0.5) / 1e6 AS mad,
+           CAST(COUNT(CASE WHEN d.adev > 3 * m.mad THEN 1 END) AS BIGINT)
+               AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust anomaly detection per event type: median + MAD (median "
+        "absolute deviation), flagging |value - median| > 3·MAD — the "
+        "outlier rule that, unlike mean/stddev z-scores "
+        "(q_zscore_grouped_pandas), is not itself dragged by the "
+        "outliers it hunts. Two aggregate passes with broadcast joins of "
+        "the tiny per-type stats between them; surfaced medians are "
+        "round_det(6) but the THRESHOLD compare uses raw doubles with "
+        "identical IEEE order on both sides. Exact percentile = full "
+        "sort per group: correctness-scale; at 100 TB swap "
+        "percentile_approx into the same shape (the sketch family "
+        "q_approx_* pins that path).",
+    tags=("analytics", "stats"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             round_det(F.max("med"), 6).alias("med"),
+             round_det(F.max("mad"), 6).alias("mad"),
+             F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1))
+             .alias("n_anomalies"))
+    )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+@register(
+    "q_pmi_bigrams",
+    oracle=r"""
+    WITH docs_t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS l
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(l) AS term,
+               unnest(range(1, len(l) + 1)) AS ord
+        FROM docs_t
+    ), uni AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    n_uni AS (SELECT COUNT(*) AS n FROM toks),
+    bi AS (
+        SELECT a.term AS w1, b.term AS w2, COUNT(*) AS c_ab
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+        GROUP BY 1, 2
+    ), n_bi AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bi),
+    scored AS (
+        SELECT w1, w2, c_ab,
+               FLOOR(((CAST(c_ab AS DOUBLE) * CAST(n_uni.n AS DOUBLE))
+                       * CAST(n_uni.n AS DOUBLE))
+                     / ((CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))
+                        * CAST(n_bi.n AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS lift
+        FROM bi
+        JOIN uni ua ON bi.w1 = ua.term
+        JOIN uni ub ON bi.w2 = ub.term
+        CROSS JOIN n_uni CROSS JOIN n_bi
+        WHERE c_ab >= 10
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, lift, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2)
+                       AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 40
+    """,
+    doc="Collocation mining: top-40 word bigrams by PMI lift "
+        "P(w1,w2)/(P(w1)P(w2)) with a min-count support floor — the "
+        "phrase-detection primitive for tokenizer vocab induction and "
+        "corpus analysis. Lift is surfaced instead of log-PMI: log is "
+        "monotone, so the RANKING is identical while the score stays in "
+        "ordered IEEE multiply/divide (no cross-engine libm ulp risk; "
+        "identical parenthesization both sides, then round_det). Bigrams "
+        "built JVM-side by zipping the word array against its own tail — "
+        "no self-join; unigram/total counts ride along as broadcast "
+        "one-row aggregates. Scale: vocab-sized aggregates, corpus "
+        "touched once.",
+    tags=("llm", "text"),
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    docs_t = d.select("doc_id", words.alias("l"))
+    toks = docs_t.select("doc_id", F.explode("l").alias("term"))
+    bigrams = docs_t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice("l", 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("p"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = toks.agg(F.count(F.lit(1)).cast("double").alias("__nu"))
+    bi = (bigrams.groupBy("p.w1", "p.w2")
+          .agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= 10))
+    # n_bi over ALL bigrams (pre-support-floor), matching the oracle
+    n_bi = bigrams.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
+    ua = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(ua), "w1").join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n_uni)).crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "lift",
+            round_det(
+                ((F.col("c_ab").cast("double") * F.col("__nu"))
+                 * F.col("__nu"))
+                / ((F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                   * F.col("__nb")), 6))
+    )
+    # top-40 via sort+limit FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), then number the 40 survivors; a bare global
+    # row_number window would drag every scored bigram into one partition
+    top = scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(40)
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("w1", "w2", "c_ab", "lift", "rank")
+    )
+
+
+# --- shingle containment -----------------------------------------------------
+
+@register(
+    "q_shingle_containment",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ), keep AS (
+        SELECT shingle FROM grams GROUP BY shingle HAVING COUNT(*) <= 100
+    ), g AS (
+        SELECT grams.doc_id, grams.shingle FROM grams JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1
+    ), common AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS shared
+        FROM g l JOIN g r ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(shared AS BIGINT) AS shared,
+           FLOOR(CAST(shared AS DOUBLE) / sa.sz * 1e6 + 0.5) / 1e6
+               AS containment
+    FROM common JOIN sizes sa ON sa.doc_id = a
+    WHERE CAST(shared AS DOUBLE) / sa.sz >= 0.6
+    """,
+    doc="ASYMMETRIC near-dup: shingle containment |S(a)∩S(b)| / |S(a)| "
+        "≥ 0.6 over word-bigram shingles — catches a document CONTAINED "
+        "in a longer one, which symmetric Jaccard "
+        "(q_ngram_jaccard_pairs) misses when sizes differ widely; pairs "
+        "are ORDERED (a-in-b and b-in-a are different facts). "
+        "Document-frequency cap (shingles in > 100 docs dropped, "
+        "mirrored exactly in the oracle) is the blocking lever: it "
+        "removes the stopword-shingle hot keys that make the "
+        "shared-shingle self-join quadratic — the same max-df move "
+        "every inverted-index joiner uses. Exact integer counts → "
+        "deterministic ratio.",
+    tags=("llm", "dedup"),
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                    F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b))).alias("shingle"))
+        .distinct()
+    )
+    keep = (grams.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= 100)
+            .select("shingle"))
+    g = grams.join(keep, "shingle")
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    l = g.select(F.col("doc_id").alias("a"), "shingle")
+    r = g.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        l.join(r, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"),
+                                 F.col("sz").alias("sz_a")), "a")
+        .filter(F.col("shared").cast("double") / F.col("sz_a") >= 0.6)
+        .select("a", "b", "shared",
+                round_det(F.col("shared").cast("double") / F.col("sz_a"), 6)
+                .alias("containment"))
+    )
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+_KCORE_K = 15
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds over the co-activity graph — same
+    fixed-iteration-twin pattern as the PageRank oracle."""
+    prev = "a1"
+    rounds = ["""
+    a1 AS (SELECT a AS node FROM ed GROUP BY a HAVING COUNT(*) >= {k})
+    """.format(k=_KCORE_K)]
+    for i in range(2, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    a{i} AS (
+        SELECT e.a AS node FROM ed e
+        JOIN {prev} x ON e.a = x.node
+        JOIN {prev} y ON e.b = y.node
+        GROUP BY e.a HAVING COUNT(*) >= {_KCORE_K})
+    """)
+        prev = f"a{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS round, CAST(COUNT(*) AS BIGINT) AS n_alive FROM a{i}"
+        for i in range(1, _KCORE_ROUNDS + 1))
+    return f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
+        FROM events
+    ), cells AS (
+        SELECT event_type, hb FROM act GROUP BY 1, 2 HAVING COUNT(*) <= 40
+    ), actf AS (
+        SELECT a.user_id, a.event_type, a.hb
+        FROM act a JOIN cells c USING (event_type, hb)
+    ), e0 AS (
+        SELECT x.user_id AS u1, y.user_id AS u2
+        FROM actf x JOIN actf y
+          ON x.event_type = y.event_type AND x.hb = y.hb
+         AND x.user_id < y.user_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ), ed AS (
+        SELECT u1 AS a, u2 AS b FROM e0 UNION ALL SELECT u2, u1 FROM e0
+    ), {",".join(rounds)}
+    {selects}
+    """
+
+
+@register(
+    "q_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc=f"k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} fixed rounds) over "
+        "the co-activity graph (coactivity_edges — the q_triangle_count "
+        "graph): each round recomputes degrees over edges whose BOTH "
+        "endpoints survived and drops nodes below k; the surviving-count "
+        "sequence is the round-by-round cascade (108 → 75 → 43 → 4 at "
+        "sf0.01 — a real avalanche, chosen near the graph's degeneracy). "
+        "The dense-cohort extractor for curation and abuse graphs. "
+        "Spark: per-round one semi-join-filtered degree aggregate, alive "
+        "sets localCheckpointed (they feed BOTH the next round and their "
+        "count row — the recompute-vs-materialize lesson from "
+        "q_triangle_count r5); fixed rounds → unrolled SQL twin, exact "
+        "integer counts. At 100 TB: rounds are Θ(diameter)-bounded "
+        "passes of 2 shuffles each on stable keys, same shape as "
+        "pagerank_fixed.",
+    tags=("graph", "iterative"), bench=True,
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = coactivity_edges(spark, sf_dir)
+    ed = (e0.select(F.col("u1").alias("a"), F.col("u2").alias("b"))
+          .unionAll(e0.select(F.col("u2").alias("a"), F.col("u1").alias("b")))
+          .localCheckpoint(eager=True))
+    counts = []
+    alive = None
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        if alive is None:
+            deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        else:
+            ax = alive.select(F.col("node").alias("a"))
+            bx = alive.select(F.col("node").alias("b"))
+            deg = (ed.join(ax, "a").join(bx, "b")
+                   .groupBy("a").agg(F.count(F.lit(1)).alias("d")))
+        alive = (deg.filter(F.col("d") >= _KCORE_K)
+                 .select(F.col("a").alias("node"))
+                 .localCheckpoint(eager=True))
+        counts.append(alive.agg(
+            F.lit(rnd).alias("round"),
+            F.count(F.lit(1)).alias("n_alive")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# --- nearest-in-time join ----------------------------------------------------
+
+@register(
+    "q_nearest_view",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'view' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_view,
+               first_value(CASE WHEN event_type = 'view' THEN ts END
+                           IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_view
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN next_view IS NULL THEN prev_view
+                WHEN prev_view IS NULL THEN next_view
+                WHEN epoch_us(ts) - epoch_us(prev_view)
+                     <= epoch_us(next_view) - epoch_us(ts)
+                     THEN prev_view ELSE next_view END AS nearest_view,
+           CASE WHEN prev_view IS NULL AND next_view IS NULL THEN NULL
+                WHEN next_view IS NULL
+                     THEN epoch_us(ts) - epoch_us(prev_view)
+                WHEN prev_view IS NULL
+                     THEN epoch_us(next_view) - epoch_us(ts)
+                ELSE LEAST(epoch_us(ts) - epoch_us(prev_view),
+                           epoch_us(next_view) - epoch_us(ts)) END AS gap_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="Nearest-in-time join, BOTH directions: for every purchase, the "
+        "closest 'view' event of the same user by |Δt| (ties → earlier). "
+        "The as-of join (operators/temporal.py) answers 'latest at or "
+        "before'; attribution wants NEAREST — and the join-free plan is "
+        "one window pass: running last-view behind + first-view ahead "
+        "(IGNORE NULLS frames), pick the smaller µs gap. One shuffle on "
+        "user_id, state = two timestamps/row; no range join, no "
+        "union-of-two-asof. Integer µs arithmetic → exact oracle.",
+    tags=("temporal", "window"), bench=True,
+)
+def q_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    order = [F.col("ts"), F.col("event_id")]
+    wp = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wn = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(1, Window.unboundedFollowing))
+    prev_us = F.unix_micros(F.col("prev_view"))
+    next_us = F.unix_micros(F.col("next_view"))
+    cur_us = F.unix_micros(F.col("ts"))
+    w = (ev.select("event_id", "user_id", "ts", "event_type")
+         .withColumn("prev_view", F.last(view_ts, ignorenulls=True).over(wp))
+         .withColumn("next_view", F.first(view_ts, ignorenulls=True).over(wn)))
+    return (
+        w.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts",
+            F.when(F.col("next_view").isNull(), F.col("prev_view"))
+             .when(F.col("prev_view").isNull(), F.col("next_view"))
+             .when(cur_us - prev_us <= next_us - cur_us, F.col("prev_view"))
+             .otherwise(F.col("next_view")).alias("nearest_view"),
+            F.when(F.col("prev_view").isNull() & F.col("next_view").isNull(),
+                   F.lit(None).cast("bigint"))
+             .when(F.col("next_view").isNull(), cur_us - prev_us)
+             .when(F.col("prev_view").isNull(), next_us - cur_us)
+             .otherwise(F.least(cur_us - prev_us, next_us - cur_us))
+             .alias("gap_us"))
+    )

@@ -24,7 +24,11 @@ def _norm_cell(v):
         # canonical text form: driver hashes values; engines must agree bitwise
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # str(), NOT repr(float()): the driver stringifies post-pandas
+        # values without decimal normalization, so Decimal('0') vs float
+        # 0.0 is a RED row there (CORRECTNESS_r05 q_try_functions) — this
+        # test must flag the same mismatch, not normalize it away
+        return str(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
