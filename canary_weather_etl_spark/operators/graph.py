@@ -139,7 +139,12 @@ def pagerank_fixed(edges: DataFrame, nodes: DataFrame,
     (out-degree 0) keep the (1-d) floor — their mass is not redistributed,
     matching the oracle.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the caller's edge pipeline ONCE: `e` feeds both the
+    # degree aggregate and the join probe side below — uncached, a
+    # non-trivial edge build (join + distinct + union) would execute
+    # twice before the ed checkpoint even runs
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
     base_units = (unit_scale * (damping_den - damping_num)) // damping_den

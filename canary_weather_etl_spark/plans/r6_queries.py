@@ -437,7 +437,10 @@ def _kcore_oracle() -> str:
     tags=("graph", "iterative"), bench=True,
 )
 def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e0 = coactivity_edges(spark, sf_dir)
+    # materialize the blocking pipeline ONCE — e0 feeds BOTH union
+    # branches, so without this the whole edge build runs twice before
+    # the ed checkpoint (the q_triangle_count r5 lesson)
+    e0 = coactivity_edges(spark, sf_dir).localCheckpoint(eager=True)
     ed = (e0.select(F.col("u1").alias("a"), F.col("u2").alias("b"))
           .unionAll(e0.select(F.col("u2").alias("a"), F.col("u1").alias("b")))
           .localCheckpoint(eager=True))

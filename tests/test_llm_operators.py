@@ -195,8 +195,12 @@ def test_ann_recall_query_floors(spark, sf_dir):
     rows = {r["method"]: r["recall_at_10"]
             for r in REGISTRY["q_sim_ann_recall"].fn(spark, sf_dir).collect()}
     assert set(rows) == {"lsh", "ivf", "jl", "jl_int8"}
-    assert rows["lsh"] >= 0.7, rows
-    assert rows["ivf"] >= 0.7, rows
+    # Floors track the published driver-visible values with a regression
+    # margin (VERDICT r5 item 6): LSH measured 0.90 (sf0.001) / 0.94
+    # (sf0.01), IVF 0.82 at both — a broken hash family or probe
+    # schedule cannot clear these, unlike the old 0.7 catch-all.
+    assert rows["lsh"] >= 0.85, rows
+    assert rows["ivf"] >= 0.75, rows
     # JL floors are lower HERE ONLY because random unclustered fixtures
     # are the projection's worst case (measured 0.70 at 64->32/pool=60 on
     # sf0.01, 0.66 on sf0.001); the recommended clustered regime is pinned
