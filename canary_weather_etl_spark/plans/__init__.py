@@ -34,33 +34,38 @@ from . import r6_queries   # noqa: E402,F401  skyline/MAD/PMI/containment/k-core
 # item 1) and the two iterative queries whose PLANS changed this round
 # (triangle edge materialization + degree orientation; pagerank cadence
 # 3); (b) the seven NEW r6 queries (r6_queries.py); (c) ALL 39 entries
-# whose latest hard evidence is CORRECTNESS_r03 — the entire remaining
-# stale block, leaving nothing in the registry older than r4 evidence
-# after this round; (d) one r4 backfill slot. Next rotation (r7): the 48
-# r4-sampled entries start aging — front-load roughly half of them.
+# whose latest hard evidence is CORRECTNESS_r03 — the stale block minus
+# its three ROWS-ONLY entries (q_pack_sequences_greedy,
+# q_stratified_sample, q_corpus_curation: their driver rows are the
+# weaker no-oracle kind, all carry strong pytest invariants, and
+# q_corpus_curation additionally gets benched every round — the
+# least-lossy deferrals; they sit at positions 51-53 and MUST lead the
+# r7 rotation). Next rotation (r7): those three + the 48 r4-sampled
+# entries — front-load roughly half.
 _DRIVER_PRIORITY = (
     # (a) red-row fix + plan-changed iterative queries — must re-sample
     "q_try_functions", "q_triangle_count", "q_pagerank_purchases",
-    # (b) new r6 surface
+    # (b) new r6 surface (11 queries, all SQL-oracled)
     "q_manifest_sink_read", "q_skyline_pareto", "q_anomaly_mad",
     "q_pmi_bigrams", "q_shingle_containment", "q_kcore_peel",
-    "q_nearest_view",
-    # (c) the full r3-stale block, registry order
-    "q_corpus_shuffle_shards", "q_pack_sequences", "q_pack_sequences_greedy",
-    "q_text_clean_redact", "q_corpus_curation", "q_heavy_hitters",
+    "q_nearest_view", "q_cdc_chunking", "q_boolean_retrieval",
+    "q_temperature_mix", "q_grid_knn",
+    # (c) the r3-stale block, registry order (36 of 39)
+    "q_corpus_shuffle_shards", "q_pack_sequences",
+    "q_text_clean_redact", "q_heavy_hitters",
     "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
     "q_text_dup_lines", "q_cosine_pairs_exact", "q_lm_quality_score",
     "q_arrays_zip_explode", "q_sql_facade", "q_asof_join",
     "q_salted_join", "q_two_phase_agg", "q_range_join", "q_time_rollup",
     "q_percentiles", "q_stats_moments", "q_data_quality_profile",
-    "q_pivot", "q_stratified_sample", "q_gap_fill_calendar",
+    "q_pivot", "q_gap_fill_calendar",
     "q_events_funnel", "q_events_cohort_retention", "q_zorder_key",
     "q_global_rank", "q_weather_flatten_om", "q_weather_flatten_vc",
     "q_weather_clean_build", "q_weather_upsert_newwins",
     "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
     "q_contamination_ngrams", "q_csv_roundtrip", "q_jsonl_roundtrip",
-    # (d) r4 backfill
-    "q_projection_derived",
+    # positions 51+: deferred rows-only stale trio — r7 priority head
+    "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
 )
 
 

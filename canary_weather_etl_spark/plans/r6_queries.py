@@ -539,3 +539,285 @@ def q_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.least(cur_us - prev_us, next_us - cur_us))
              .alias("gap_us"))
     )
+
+
+# --- content-defined chunking ------------------------------------------------
+
+@register(
+    "q_cdc_chunking",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents
+    ), pos AS (
+        SELECT doc_id, n,
+               unnest(range(1, CASE WHEN n >= 16 THEN n - 16 + 2
+                                    ELSE 1 END)) AS i,
+               t
+        FROM d
+    ), b AS (
+        SELECT doc_id, n, i FROM pos
+        WHERE CAST(('0x' || substr(md5(substr(t, i, 16)), 1, 8)) AS BIGINT)
+              % 64 = 0
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bounds,
+               CAST(SUM(i) AS BIGINT) AS bound_checksum,
+               CAST(MIN(i) AS BIGINT) AS first_bound
+        FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n AS n_chars,
+           COALESCE(agg.n_bounds, 0) + 1 AS n_chunks,
+           COALESCE(agg.bound_checksum, 0) AS bound_checksum,
+           agg.first_bound
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Content-defined chunking (CDC): a chunk boundary wherever the "
+        "hash of the 16-char window starting at i satisfies h % 64 == 0 "
+        "— the Rabin-style content-addressed split storage dedup systems "
+        "use, so an insertion early in a document shifts ONE chunk "
+        "instead of re-chunking everything after it (contrast "
+        "q_text_chunking's fixed token windows). Window hash = first 8 "
+        "hex digits of md5, integer-compared — md5 and hex→int agree "
+        "across engines (conv(...,16,10) vs '0x'||...::BIGINT), making "
+        "an expected-64-char content-defined chunker exactly oracle-"
+        "checkable. Spark side: per-doc boundary positions via "
+        "F.filter over F.sequence — array expressions in the JVM, no "
+        "explode, no shuffle until the final per-doc aggregate is "
+        "already computed row-wise. Scale: embarrassingly row-parallel; "
+        "at 100 TB the md5-per-window cost is the knob (swap for "
+        "xxhash64 of the window when the oracle isn't in the loop).",
+    tags=("llm", "text"),
+)
+def q_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    n = F.length("text")
+    win_hash = (
+        "cast(conv(substr(md5(substr(lower(text), i, 16)), 1, 8), 16, 10) "
+        "as bigint) % 64 = 0")
+    bounds = F.when(
+        n >= 16,
+        F.expr(f"filter(sequence(1, length(text) - 16 + 1), i -> {win_hash})")
+    ).otherwise(F.array().cast("array<int>"))
+    return d.select(
+        "doc_id",
+        n.alias("n_chars"),
+        (F.size(bounds) + 1).cast("bigint").alias("n_chunks"),
+        F.coalesce(
+            F.aggregate(bounds, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x.cast("bigint")),
+            F.lit(0).cast("bigint")).alias("bound_checksum"),
+        # try_element_at, not element_at: boundary-free docs have an empty
+        # array and ANSI mode makes element_at ERROR on it — NULL is the
+        # semantic here (no boundary), matching the oracle's MIN over an
+        # empty group
+        F.try_element_at(bounds, F.lit(1)).cast("bigint")
+        .alias("first_bound"),
+    )
+
+
+# --- boolean retrieval -------------------------------------------------------
+
+@register(
+    "q_boolean_retrieval",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        WHERE term IN ('merge', 'sort', 'filter')
+        GROUP BY 1, 2
+    ), hits AS (
+        SELECT doc_id FROM tf WHERE tf >= 3
+        GROUP BY doc_id HAVING COUNT(*) = 3
+    )
+    SELECT t.doc_id,
+           MAX(CASE WHEN term = 'merge' THEN tf END) AS tf_merge,
+           MAX(CASE WHEN term = 'sort' THEN tf END) AS tf_sort,
+           MAX(CASE WHEN term = 'filter' THEN tf END) AS tf_filter,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM tf t JOIN hits USING (doc_id)
+    GROUP BY t.doc_id
+    """,
+    doc="Conjunctive boolean retrieval with term-frequency thresholds: "
+        "documents where EVERY query term {merge, sort, filter} occurs "
+        ">= 3 times, with per-term tf pivoted wide — the inverted-index "
+        "AND-query primitive (postings intersection) expressed "
+        "relationally: explode only the query terms (the WHERE term IN "
+        "pushes the vocabulary filter into the scan side of the "
+        "aggregate), intersect via GROUP BY doc HAVING count = |query|. "
+        "At 100 TB the posting lists are the only shuffled rows — "
+        "corpus tokens that miss the query vocabulary never leave the "
+        "map side.",
+    tags=("llm", "text"),
+)
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    TERMS = ["merge", "sort", "filter"]
+    d = load_par(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("term"))
+    tf = (toks.filter(F.col("term").isin(TERMS))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    hits = (tf.filter(F.col("tf") >= 3)
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") == len(TERMS))
+            .select("doc_id"))
+    return (
+        tf.join(hits, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.max(F.when(F.col("term") == "merge", F.col("tf")))
+             .alias("tf_merge"),
+             F.max(F.when(F.col("term") == "sort", F.col("tf")))
+             .alias("tf_sort"),
+             F.max(F.when(F.col("term") == "filter", F.col("tf")))
+             .alias("tf_filter"),
+             F.sum("tf").alias("total_tf"))
+    )
+
+
+# --- temperature-scaled domain mixing ----------------------------------------
+
+@register(
+    "q_temperature_mix",
+    oracle=r"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY source
+    ), den AS (
+        SELECT list_reduce(list_sort(list(sqrt(CAST(n_docs AS DOUBLE)))),
+                           (a, x) -> a + x) AS den,
+               CAST(SUM(n_docs) AS BIGINT) AS total
+        FROM counts
+    )
+    SELECT c.source, c.n_docs,
+           FLOOR(CAST(c.n_docs AS DOUBLE) / d.total * 1e6 + 0.5) / 1e6
+               AS share,
+           FLOOR(sqrt(CAST(c.n_docs AS DOUBLE)) / d.den * 1e6 + 0.5) / 1e6
+               AS temp_weight
+    FROM counts c CROSS JOIN den d
+    """,
+    doc="Temperature-scaled domain mixing (T = 2): sampling weight per "
+        "source ∝ share^(1/T) = sqrt(n) — the standard flattening that "
+        "up-weights small domains when mixing corpora for training "
+        "(multilingual/source balance). sqrt is IEEE correctly-rounded "
+        "(unlike pow/exp — no cross-engine libm risk), and the "
+        "normalizing denominator is an ORDERED float fold: "
+        "array_sort(collect_list(sqrt n)) reduced left-to-right, so both "
+        "engines sum the same values in the same order — the same "
+        "determinism move as the EWMA fold, here applied to make a "
+        "global float reduction hash-stable. One aggregate + a "
+        "broadcast one-row join; domain count is tiny at any corpus "
+        "scale.",
+    tags=("llm", "curation"),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    den = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_docs")
+                                               .cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x).alias("den"),
+        F.sum("n_docs").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(den))
+        .select(
+            "source", "n_docs",
+            round_det(F.col("n_docs").cast("double") / F.col("total"), 6)
+            .alias("share"),
+            round_det(F.sqrt(F.col("n_docs").cast("double")) / F.col("den"),
+                      6).alias("temp_weight"))
+    )
+
+
+# --- grid-blocked nearest neighbor -------------------------------------------
+
+@register(
+    "q_grid_knn",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS pkey,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'),
+                                    1, 8)) AS BIGINT) % 1000 AS x,
+               CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'),
+                                    1, 8)) AS BIGINT) % 1000 AS y
+        FROM customer
+    ), q AS (SELECT * FROM pts WHERE pkey % 97 = 0),
+    qcells AS (
+        SELECT pkey, x, y, (x // 50) + dx AS cx, (y // 50) + dy AS cy
+        FROM q, unnest([-1, 0, 1]) t1(dx), unnest([-1, 0, 1]) t2(dy)
+    ), cand AS (
+        SELECT pkey AS nkey, x AS nx, y AS ny,
+               x // 50 AS cx, y // 50 AS cy
+        FROM pts
+    ), pairs AS (
+        SELECT qc.pkey, qc.x, qc.y, c.nkey,
+               (qc.x - c.nx) * (qc.x - c.nx)
+             + (qc.y - c.ny) * (qc.y - c.ny) AS dist2
+        FROM qcells qc JOIN cand c USING (cx, cy)
+        WHERE c.nkey <> qc.pkey
+    ), ranked AS (
+        SELECT pkey, nkey, dist2,
+               ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY dist2, nkey)
+                   AS rn
+        FROM pairs
+    )
+    SELECT q.pkey, q.x, q.y, r.nkey AS nearest_key, r.dist2
+    FROM q LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (pkey)
+    """,
+    doc="Grid-blocked nearest neighbor (spatial KNN, k=1): points on an "
+        "integer 1000x1000 plane (md5-derived coordinates from customer "
+        "keys — exact integer arithmetic, zero float risk), bucketed "
+        "into 50-unit grid cells; each query point probes only its 3x3 "
+        "neighborhood via an equi-join on cell id and takes the min "
+        "(dist2, key). The geometric sibling of entity blocking: the "
+        "cell equi-join replaces the all-pairs cross product, candidate "
+        "volume = density x 9 cells per query regardless of corpus "
+        "size. LEFT join totality: a query with an empty neighborhood "
+        "surfaces as NULL nearest, never silently dropped. Semantics "
+        "are NEAREST-WITHIN-NEIGHBORHOOD by construction (bounded "
+        "search radius = cell size) — the standard grid-index contract; "
+        "at 100 TB the cell id becomes the partition/sort key so the "
+        "probe is co-located (same move as sources/bucketing.py).",
+    tags=("analytics", "similarity"),
+)
+def q_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    def _coord(salt: str):
+        return F.expr(
+            "cast(conv(substr(md5(concat(cast(c_custkey as string), "
+            f"'{salt}')), 1, 8), 16, 10) as bigint) % 1000")
+
+    pts = c.select(F.col("c_custkey").alias("pkey"),
+                   _coord(":x").alias("x"), _coord(":y").alias("y"))
+    q = pts.filter(F.col("pkey") % 97 == 0)
+    offs = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    qcells = (q.select("pkey", "x", "y",
+                       F.explode(offs).alias("dx"))
+              .select("pkey", "x", "y", "dx", F.explode(offs).alias("dy"))
+              .select("pkey", "x", "y",
+                      (F.expr("x div 50") + F.col("dx")).alias("cx"),
+                      (F.expr("y div 50") + F.col("dy")).alias("cy")))
+    cand = pts.select(F.col("pkey").alias("nkey"),
+                      F.col("x").alias("nx"), F.col("y").alias("ny"),
+                      F.expr("x div 50").alias("cx"),
+                      F.expr("y div 50").alias("cy"))
+    pairs = (
+        qcells.join(cand, ["cx", "cy"])
+        .filter(F.col("nkey") != F.col("pkey"))
+        .select("pkey", "nkey",
+                ((F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+                 + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny")))
+                .alias("dist2"))
+    )
+    w = Window.partitionBy("pkey").orderBy("dist2", "nkey")
+    best = (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("pkey", F.col("nkey").alias("nearest_key"), "dist2"))
+    return q.join(best, "pkey", "left").select(
+        "pkey", "x", "y", "nearest_key", "dist2")

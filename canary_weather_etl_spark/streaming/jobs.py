@@ -94,6 +94,41 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     )
 
 
+def stream_enrich_static(events: DataFrame, dim: DataFrame,
+                         stream_key: str = "user_id",
+                         dim_key: str = "c_custkey",
+                         dim_cols: tuple[str, ...] = ("c_mktsegment",),
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup: each micro-batch
+    joins arriving events against a static dimension (user profile /
+    customer segment) and aggregates per (window, segment).
+
+    The static side is explicitly broadcast: stream-static joins are
+    STATELESS (the dimension is re-resolved per micro-batch, so a dim
+    table refreshed between batches is picked up automatically), and
+    broadcasting keeps every micro-batch shuffle-free on the join — the
+    only stateful shuffle is the windowed aggregate. This is the 100 TB
+    enrichment shape: dims broadcast, facts stream, state = open
+    windows per segment only. Left join, not inner: events without a
+    profile row land in a NULL segment rather than being silently
+    dropped (the quality-gate discipline of SURVEY §4.3).
+    """
+    d = F.broadcast(
+        dim.select(F.col(dim_key).alias(stream_key),
+                   *[F.col(c) for c in dim_cols]))
+    return (
+        events.withWatermark("ts", watermark)
+        .join(d, stream_key, "left")
+        .groupBy(F.window("ts", window).alias("w"),
+                 *[F.col(c) for c in dim_cols])
+        .agg(F.count(F.lit(1)).alias("n"),
+             exact_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"),
+                *[F.col(c) for c in dim_cols], "n", "sum_value")
+    )
+
+
 def stream_dedupe(events: DataFrame, keys: list[str],
                   watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedupe on ``keys`` within the watermark horizon —

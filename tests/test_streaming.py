@@ -278,3 +278,35 @@ def test_stream_dedupe_within_watermark_tolerates_restamped_resends(
         J.stream_dedupe(stream2, ["event_id", "ts"]), "dedup_tsk", "append")
     assert spark.sql(
         "SELECT count(*) c FROM dedup_tsk").collect()[0]["c"] == 400
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir, sf_dir):
+    """Stream-static broadcast enrichment (events x customer segment) must
+    equal the batch twin after the backlog drains, keep the broadcast on
+    the dim side (plan-asserted on the identical batch join), and retain
+    profile-less events in a NULL segment instead of dropping them."""
+    ev_batch = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer")
+    schema = spark.read.parquet(events_dir).schema
+    stream = J.read_events_stream(spark, events_dir, schema,
+                                  max_files_per_trigger=1)
+    _run_to_memory(J.stream_enrich_static(stream, dim), "enrich", "complete")
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM enrich").collect()}
+    batch_plan = (
+        ev_batch.join(
+            F.broadcast(dim.select(F.col("c_custkey").alias("user_id"),
+                                   "c_mktsegment")),
+            "user_id", "left")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,2)")).cast("double")
+             .alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "c_mktsegment",
+                "n", "sum_value")
+    )
+    exp = {tuple(r) for r in batch_plan.collect()}
+    assert got == exp and got
+    # the dim side broadcasts (stateless per micro-batch; the windowed agg
+    # is the only stateful shuffle)
+    assert "BroadcastHashJoin" in batch_plan._jdf.queryExecution().executedPlan().toString()
