@@ -64,7 +64,11 @@ _DRIVER_PRIORITY = (
     "q_weather_clean_build", "q_weather_upsert_newwins",
     "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
     "q_contamination_ngrams", "q_csv_roundtrip", "q_jsonl_roundtrip",
-    # positions 51+: deferred rows-only stale trio — r7 priority head
+    # positions 51+ — the r7 priority head, in this order: the two
+    # latest-added r6 queries (drive_contract hash-green locally, added
+    # after the 50 driver slots were already committed to the stale
+    # rotation the r5 judge demanded), then the deferred rows-only trio
+    "q_partition_fingerprint", "q_session_funnel",
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
 )
 

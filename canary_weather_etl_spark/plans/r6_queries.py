@@ -821,3 +821,143 @@ def q_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pkey", F.col("nkey").alias("nearest_key"), "dist2"))
     return q.join(best, "pkey", "left").select(
         "pkey", "x", "y", "nearest_key", "dist2")
+
+
+# --- per-partition table fingerprint -----------------------------------------
+
+@register(
+    "q_partition_fingerprint",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15)) AS BIGINT)) AS fp
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Per-partition table fingerprint: month-grain row counts + an "
+        "ORDER-INSENSITIVE content checksum (bit_xor of a 60-bit "
+        "md5-derived integer per row) — the anti-entropy primitive for "
+        "reconciling table copies across regions/engines at 100 TB: "
+        "compare the tiny fingerprint table first, re-scan only months "
+        "whose fp differs. XOR is commutative/associative, so the "
+        "aggregate is partitioning- and retry-invariant (same "
+        "reproducibility argument as the integer PageRank); the row "
+        "digest uses only integer/string/date columns cast identically "
+        "in both engines (doubles excluded by design — their text forms "
+        "are not portable, the SURVEY §7.2 discipline). Partial "
+        "aggregation XORs map-side, so the exchange moves one row per "
+        "(partition, month).",
+    tags=("analytics", "quality"),
+)
+def q_partition_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    digest = F.expr(
+        "cast(conv(substr(md5(concat("
+        "cast(o_orderkey as string), '|', "
+        "cast(o_custkey as string), '|', "
+        "o_orderstatus, '|', "
+        "cast(cast(o_orderdate as date) as string), '|', "
+        "o_orderpriority)), 1, 15), 16, 10) as bigint)")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                  .alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.expr("bit_xor("
+                    "cast(conv(substr(md5(concat("
+                    "cast(o_orderkey as string), '|', "
+                    "cast(o_custkey as string), '|', "
+                    "o_orderstatus, '|', "
+                    "cast(cast(o_orderdate as date) as string), '|', "
+                    "o_orderpriority)), 1, 15), 16, 10) as bigint))")
+             .alias("fp"))
+    )
+
+
+# --- sessionized funnel ------------------------------------------------------
+
+@register(
+    "q_session_funnel",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+        FROM ordered
+    ), per_sess AS (
+        SELECT user_id, sess_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_view_then_click,
+           CAST(COUNT(CASE WHEN t_buy > t_click AND t_click > t_view
+                           THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM per_sess
+    """,
+    doc="SESSIONIZED funnel: view → click → purchase ordered within one "
+        "30-minute-gap session — the attribution-correct variant of "
+        "q_events_funnel, whose per-user lifetime first-times credit a "
+        "conversion to a view from weeks earlier. Composition of two "
+        "existing shapes: gaps-and-islands sessionization (lag + "
+        "cumulative sum of session starts) feeding the conditional-MIN "
+        "funnel aggregate; one shuffle on user_id serves both windows "
+        "AND the session aggregate (same partitioning reused across "
+        "stages — the Exchange-reuse pattern pinned in "
+        "tests/test_r5_ops.py). BOTH windows order by (ts, event_id): a "
+        "session boundary can land on the first of several equal-ts "
+        "rows, so the running session counter is ambiguous under "
+        "ts-only ordering — the tie-break makes session assignment "
+        "deterministic and engine-portable.",
+    tags=("analytics", "events"),
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    prev_ts = F.lag("ts").over(wo)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1).otherwise(0)
+    sess = (ev.select("user_id", "ts", "event_type", "event_id")
+            .withColumn("new_sess", new_sess)
+            .withColumn("sess_id", F.sum("new_sess").over(wrun)))
+    per_sess = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+             .alias("t_view"),
+             F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+             .alias("t_click"),
+             F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+             .alias("t_buy"))
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .alias("n_view_then_click"),
+        F.count(F.when((F.col("t_buy") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .alias("n_full_funnel"),
+    )
