@@ -109,11 +109,19 @@ def q_manifest_sink_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
+    # distinct-point aggregate materialized once: pts feeds the frontier
+    # join AND the per-size rollup below — output-sized (distinct
+    # (brand,size,price) triples), so the checkpoint is tiny and saves a
+    # second scan-and-aggregate of part
     pts = (p.groupBy("p_brand", "p_size", "p_retailprice")
-           .agg(F.count(F.lit(1)).alias("n_parts")))
+           .agg(F.count(F.lit(1)).alias("n_parts"))
+           .localCheckpoint(eager=True))
     # cheapest point per (brand, size): within a size, any pricier point
-    # is dominated by this one (same size, lower price)
-    szmin = (p.groupBy("p_brand", "p_size")
+    # is dominated by this one (same size, lower price). Derived from the
+    # ALREADY-AGGREGATED pts, not a second scan of part — the aggregate-
+    # of-aggregate is tiny and the shuffle on (brand,size,price) is
+    # reused for the (brand,size) rollup
+    szmin = (pts.groupBy("p_brand", "p_size")
              .agg(F.min("p_retailprice").alias("size_min")))
     # running min of size-minima over STRICTLY larger sizes (rows ...,-1
     # over the per-size rows sorted size-desc = all larger sizes)
@@ -176,8 +184,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("event_type", "value"))
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"))
+    # materialize the deviation projection: dev feeds the MAD aggregate
+    # AND the final rollup — uncached that is a third full scan of the
+    # fact. Robust stats need two passes minimum (median, then
+    # deviations); materializing the 3-narrow-column dev table trades the
+    # third scan for a compact spill, the standard choice at fact scale
     dev = (ev.join(F.broadcast(med), "event_type")
-           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+           .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+           .localCheckpoint(eager=True))
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad"))
     return (
@@ -259,12 +273,16 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
         .alias("p"))
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    n_uni = toks.agg(F.count(F.lit(1)).cast("double").alias("__nu"))
-    bi = (bigrams.groupBy("p.w1", "p.w2")
-          .agg(F.count(F.lit(1)).alias("c_ab"))
-          .filter(F.col("c_ab") >= 10))
-    # n_bi over ALL bigrams (pre-support-floor), matching the oracle
-    n_bi = bigrams.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
+    # totals DERIVED from the vocab-sized aggregates, not second passes
+    # over the exploded corpus: n_uni = Σ uni counts, n_bi = Σ bigram
+    # counts pre-support-floor — each an agg over a tiny table, so the
+    # corpus explode pipelines execute once per shape instead of twice
+    n_uni = uni.agg(F.sum("c").cast("double").alias("__nu"))
+    big = (bigrams.groupBy("p.w1", "p.w2")
+           .agg(F.count(F.lit(1)).alias("c_ab"))
+           .localCheckpoint(eager=True))  # feeds bi AND n_bi
+    bi = big.filter(F.col("c_ab") >= 10)
+    n_bi = big.agg(F.sum("c_ab").cast("double").alias("__nb"))
     ua = uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b"))
     scored = (
@@ -351,7 +369,11 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= 100)
             .select("shingle"))
-    g = grams.join(keep, "shingle")
+    # materialize the capped shingle table ONCE: g feeds sizes AND both
+    # sides of the shared-shingle self-join — uncached, the whole
+    # shingle+distinct+max-df pipeline would execute four times (the
+    # recompute-before-self-join anti-pattern q_triangle_count hit in r5)
+    g = grams.join(keep, "shingle").localCheckpoint(eager=True)
     sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     l = g.select(F.col("doc_id").alias("a"), "shingle")
     r = g.select(F.col("doc_id").alias("b"), "shingle")
@@ -659,23 +681,21 @@ def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         .alias("term"))
-    tf = (toks.filter(F.col("term").isin(TERMS))
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    hits = (tf.filter(F.col("tf") >= 3)
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("k"))
-            .filter(F.col("k") == len(TERMS))
-            .select("doc_id"))
-    return (
-        tf.join(hits, "doc_id")
-        .groupBy("doc_id")
-        .agg(F.max(F.when(F.col("term") == "merge", F.col("tf")))
-             .alias("tf_merge"),
-             F.max(F.when(F.col("term") == "sort", F.col("tf")))
-             .alias("tf_sort"),
-             F.max(F.when(F.col("term") == "filter", F.col("tf")))
-             .alias("tf_filter"),
-             F.sum("tf").alias("total_tf"))
-    )
+    # single pass: pivot the per-term tf wide in ONE aggregate, then the
+    # AND-intersection is a conjunctive filter on the wide row — no
+    # tf-vs-hits self-join, one scan, one shuffle (the tf>=3-per-term +
+    # count=|query| HAVING the oracle spells out is equivalent to
+    # "every per-term count >= 3")
+    wide = (toks.filter(F.col("term").isin(TERMS))
+            .groupBy("doc_id")
+            .agg(*[F.count(F.when(F.col("term") == t, 1))
+                   .alias(f"tf_{t}") for t in TERMS]))
+    cond = (F.col("tf_merge") >= 3) & (F.col("tf_sort") >= 3) \
+        & (F.col("tf_filter") >= 3)
+    return wide.filter(cond).select(
+        "doc_id", "tf_merge", "tf_sort", "tf_filter",
+        (F.col("tf_merge") + F.col("tf_sort") + F.col("tf_filter"))
+        .alias("total_tf"))
 
 
 # --- temperature-scaled domain mixing ----------------------------------------
