@@ -68,7 +68,7 @@ _DRIVER_PRIORITY = (
     # latest-added r6 queries (drive_contract hash-green locally, added
     # after the 50 driver slots were already committed to the stale
     # rotation the r5 judge demanded), then the deferred rows-only trio
-    "q_partition_fingerprint", "q_session_funnel",
+    "q_partition_fingerprint", "q_session_funnel", "q_jsonl_quarantine",
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
 )
 

@@ -188,3 +188,55 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.o_orderstatus").alias("status_rt"),
         F.col("v.o_totalprice").alias("total_rt"),
         F.col("v.o_orderpriority").alias("priority_rt"))
+
+
+@register(
+    "q_jsonl_quarantine",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_bad,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_good,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum_good
+    FROM documents
+    """,
+    doc="Malformed-record quarantine (sources/schema_guard."
+        "read_jsonl_quarantine): documents written as JSONL, then THREE "
+        "poison lines appended — raw garbage, truncated JSON, and a "
+        "type-conflicting field — and read back in PERMISSIVE mode with "
+        "columnNameOfCorruptRecord. Every clean row must survive into "
+        "`good` (the oracle aggregates the original parquet) and every "
+        "poison line must land in quarantine with its raw text (n_bad "
+        "pinned to the 3 planted lines): nothing silently dropped "
+        "(DROPMALFORMED) and no poison-pill job abort (FAILFAST) — the "
+        "dead-letter discipline a 100 TB ingest needs; the quarantined "
+        "raw text is the re-ingestion path.",
+    tags=("source", "quality"),
+)
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.schema_guard import read_jsonl_quarantine
+
+    base = tempfile.mkdtemp(prefix="canary_jsonl_quarantine_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "documents_jsonl")
+    (load(spark, sf_dir, "documents")
+     .select("doc_id", "text", "n_chars")
+     .write.mode("overwrite").json(path))
+    with open(os.path.join(path, "part-poison.json"), "w",
+              encoding="utf-8") as f:
+        f.write("not json at all }{\n")
+        f.write('{"doc_id": 999999, "text": "truncated",\n')
+        f.write('{"doc_id": "type-conflict", "text": "x", "n_chars": 1}\n')
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    good, bad = read_jsonl_quarantine(spark, path, schema)
+    n_bad = bad.agg(F.count(F.lit(1)).alias("n_bad"))
+    return (
+        good.agg(F.count(F.lit(1)).alias("n_good"),
+                 F.sum("n_chars").alias("chars_good"),
+                 F.sum("doc_id").alias("id_sum_good"))
+        .crossJoin(F.broadcast(n_bad))
+        .select("n_good", "n_bad", "chars_good", "id_sum_good")
+    )

@@ -981,3 +981,56 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("t_click") > F.col("t_view")), 1))
         .alias("n_full_funnel"),
     )
+
+
+# --- late-data accounting ----------------------------------------------------
+
+@register(
+    "q_watermark_late_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN epoch_us(ts)
+                         < epoch_us(high_water) - 7200000000 THEN 1 END)
+                AS BIGINT) AS n_late,
+           CAST(MAX(epoch_us(high_water) - epoch_us(ts)) AS BIGINT)
+               AS max_lag_us
+    FROM arr
+    GROUP BY event_type
+    """,
+    doc="Watermark late-data audit (the batch twin of the streaming "
+        "watermark policy in streaming/jobs.py): replay each shard's "
+        "ARRIVAL order (event_id) tracking the running event-time "
+        "high-water mark; an event is late iff its event time trails the "
+        "mark by more than the 2 h watermark — exactly the rows "
+        "`withWatermark('ts', '2 hours')` would drop. Run BEFORE "
+        "choosing a production watermark: n_late/max_lag tell you the "
+        "horizon that bounds state without silently shedding data. "
+        "Shard = event_type here (the fixture's partition key); in "
+        "production the shard key is the source partition, so the "
+        "running-max window parallelizes per shard — arrival replay is "
+        "inherently sequential WITHIN a shard, never across shards. "
+        "Integer µs arithmetic → exact oracle.",
+    tags=("streaming", "quality"),
+)
+def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    arr = ev.select(
+        "event_type", "ts",
+        F.max("ts").over(w).alias("high_water"))
+    lag_us = F.unix_micros(F.col("high_water")) - F.unix_micros(F.col("ts"))
+    return (
+        arr.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count(F.when(lag_us > 7_200_000_000, 1)).alias("n_late"),
+             F.max(lag_us).alias("max_lag_us"))
+    )

@@ -140,3 +140,43 @@ def ensure_table_exists(spark: SparkSession, path: str,
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
         return False
+
+
+def read_jsonl_quarantine(spark: SparkSession, path: str,
+                          schema: StructType):
+    """Malformed-record quarantine for JSONL scans: returns
+    ``(good, bad)`` — rows that parsed under ``schema``, and the RAW text
+    of rows that did not (unparseable JSON, or JSON whose types conflict
+    with the schema).
+
+    PERMISSIVE mode with ``columnNameOfCorruptRecord``: a bad line lands
+    with every schema column NULL and the raw line preserved in the
+    corrupt column — nothing is silently dropped (DROPMALFORMED) and one
+    poison line cannot kill a 100 TB ingest (FAILFAST). Quarantined raw
+    text is the re-ingestion path after the upstream bug is fixed — the
+    same dead-letter discipline as the manifest sink's orphan isolation.
+
+    The input is cached before splitting: Spark (2.3+) refuses a query
+    that references ONLY the internal corrupt-record column of a bare
+    JSON scan (the parser would have to re-run per query with
+    inconsistent results); materializing first is the documented
+    contract. At scale, quarantine counts are metric-sized — cache the
+    narrow projection, write `bad` to a dead-letter path, and unpersist.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    if corrupt in schema.fieldNames():
+        raise ValueError(f"schema already has a {corrupt} column")
+    aug = StructType(list(schema.fields)
+                     + [StructField(corrupt, StringType(), True)])
+    df = (spark.read.schema(aug)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt)
+          .json(path)
+          .cache())
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = (df.filter(F.col(corrupt).isNotNull())
+           .select(F.col(corrupt).alias("raw")))
+    return good, bad

@@ -128,3 +128,34 @@ def test_vacuum_requires_lock_free_dir(spark, tmp_path):
     assert deleted == ["part-orphan-000.jsonl"]
     assert not os.path.exists(orphan)
     assert not os.path.exists(lock)  # lock released after vacuum
+
+
+def test_jsonl_quarantine_split_and_failfast(spark, tmp_path):
+    """read_jsonl_quarantine: clean rows parse, each poison class lands in
+    quarantine with raw text intact; a schema already carrying the
+    corrupt column is rejected loudly."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from canary_weather_etl_spark.sources.schema_guard import (
+        read_jsonl_quarantine,
+    )
+
+    d = str(tmp_path / "jsonl")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.json"), "w", encoding="utf-8") as f:
+        f.write('{"k": 1, "s": "a"}\n')
+        f.write("garbage\n")
+        f.write('{"k": "not-a-long", "s": "b"}\n')
+        f.write('{"k": 2, "s": "c"}\n')
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    good, bad = read_jsonl_quarantine(spark, d, schema)
+    assert sorted(tuple(r) for r in good.collect()) == [(1, "a"), (2, "c")]
+    raws = sorted(r["raw"] for r in bad.collect())
+    assert raws == sorted(["garbage",
+                           '{"k": "not-a-long", "s": "b"}'])
+    with _pytest.raises(ValueError):
+        read_jsonl_quarantine(
+            spark, d, T.StructType(
+                [T.StructField("_corrupt_record", T.StringType())]))
