@@ -159,3 +159,30 @@ def test_jsonl_quarantine_split_and_failfast(spark, tmp_path):
         read_jsonl_quarantine(
             spark, d, T.StructType(
                 [T.StructField("_corrupt_record", T.StringType())]))
+
+
+def test_shuffle_hash_join_hint_parity(spark, sf_dir):
+    """The three shuffle join strategies must agree on results; hints
+    select them (SHUFFLE_HASH skips both sort phases — the right pick
+    when one side is much smaller but too big to broadcast; MERGE is the
+    skew-robust default; broadcast covered elsewhere)."""
+    from canary_weather_etl_spark.plans.registry import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def run(hint):
+        side = o.hint(hint) if hint else o
+        df = (li.join(side, li["l_orderkey"] == side["o_orderkey"])
+              .groupBy("o_custkey")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+                   .cast("double").alias("qty")))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {tuple(r) for r in df.collect()}, plan
+
+    r_smj, p_smj = run("MERGE")
+    r_shj, p_shj = run("SHUFFLE_HASH")
+    assert "SortMergeJoin" in p_smj
+    assert "ShuffledHashJoin" in p_shj
+    # no sort operators feed the hash join (that's the point of the hint)
+    assert r_smj == r_shj and r_smj
