@@ -33,7 +33,9 @@ from . import r6_queries   # noqa: E402,F401  skyline/MAD/PMI/containment/k-core
 # r5 red row q_try_functions (amount_num decimal->BIGINT fix — VERDICT r5
 # item 1) and the two iterative queries whose PLANS changed this round
 # (triangle edge materialization + degree orientation; pagerank cadence
-# 3); (b) the seven NEW r6 queries (r6_queries.py); (c) ALL 39 entries
+# 3); (b) eleven of the sixteen NEW r6 queries (r6_queries.py; the five
+# added after the 50 slots filled sit at the r7 head below, each
+# drive_contract hash-green locally); (c) the 39 entries
 # whose latest hard evidence is CORRECTNESS_r03 — the stale block minus
 # its three ROWS-ONLY entries (q_pack_sequences_greedy,
 # q_stratified_sample, q_corpus_curation: their driver rows are the

@@ -1,6 +1,10 @@
 """Round-6 query surface: manifest-sink read-back, Pareto skyline,
 MAD-based robust anomaly detection, PMI collocations, shingle
-containment, k-core peeling, and nearest-in-time join.
+containment, k-core peeling, nearest-in-time join, content-defined
+chunking, conjunctive boolean retrieval, temperature-scaled domain
+mixing, grid-blocked spatial KNN, per-partition table fingerprints,
+sessionized funnels, watermark late-data audits, and
+fingerprint-driven incremental recompute selection.
 
 Reference parity: the reference (ilias-lp/canary-weather-etl README.md)
 establishes the ingest → clean → aggregate analytics pipeline; these
