@@ -167,3 +167,152 @@ def test_session_funnel_matches_naive_scan(spark, tmp_path_factory, evs):
                     n_full += 1
     assert (row["n_sessions"], row["n_view"], row["n_view_then_click"],
             row["n_full_funnel"]) == (len(sessions), n_view, n_vc, n_full)
+
+
+# --- k-core peel -------------------------------------------------------------
+
+@given(cell_sets=st.lists(
+    # user i is active in cells[i] ⊆ {0..4}: an edge needs >= 3 shared
+    # cells, so subsets of a 5-cell universe give degrees anywhere from 0
+    # to n-1 — with ~20 users the k=15 threshold is genuinely reachable
+    # and peel cascades occur (unlike sparse random events, where a
+    # 15-core is impossible and the test would only pin the empty regime)
+    st.sets(st.integers(0, 4), max_size=5),
+    min_size=16, max_size=24))
+@settings(**SETTINGS)
+def test_kcore_peel_matches_naive_peel(spark, tmp_path_factory, cell_sets):
+    from datetime import datetime, timedelta
+
+    tmp = str(tmp_path_factory.mktemp("kcore"))
+    base = datetime(2024, 1, 1)
+    rows = [(u * 10 + h, base + timedelta(hours=h), u, "view", 1.0, "{}")
+            for u, cs in enumerate(cell_sets) for h in sorted(cs)]
+    if not rows:
+        rows = [(0, base, 0, "view", 1.0, "{}")]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {r["round"]: r["n_alive"]
+           for r in REGISTRY["q_kcore_peel"].fn(spark, tmp).collect()}
+
+    # naive: co-activity edges (>= 3 shared cells; the 40-active cell cap
+    # never binds at <= 24 users), then 4 peel rounds at k = 15
+    n = len(cell_sets)
+    adj: dict[int, set[int]] = {u: set() for u in range(n)}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if len(cell_sets[a] & cell_sets[b]) >= 3:
+                adj[a].add(b)
+                adj[b].add(a)
+    alive = {u for u in range(n) if adj[u]}
+    for rnd in range(1, 5):
+        alive = {u for u in alive if len(adj[u] & alive) >= 15}
+        assert got[rnd] == len(alive), (rnd, got, alive)
+
+
+# --- nearest view ------------------------------------------------------------
+
+@given(evs=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3600),
+              st.sampled_from(["view", "purchase"])),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_nearest_view_matches_naive_scan(spark, tmp_path_factory, evs):
+    from datetime import datetime, timedelta
+
+    tmp = str(tmp_path_factory.mktemp("nview"))
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(seconds=s), u, et, 1.0, "{}")
+            for i, (u, s, et) in enumerate(evs)]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {r["event_id"]: r["gap_us"]
+           for r in REGISTRY["q_nearest_view"].fn(spark, tmp).collect()}
+
+    for i, (u, s, et) in enumerate(evs):
+        if et != "purchase":
+            continue
+        views = [vs for (vu, vs, vet) in evs if vu == u and vet == "view"]
+        exp = min((abs(vs - s) for vs in views), default=None)
+        exp_us = exp * 1_000_000 if exp is not None else None
+        assert got[i] == exp_us, f"purchase {i}: got {got[i]}, want {exp_us}"
+
+
+# --- watermark late audit ----------------------------------------------------
+
+@given(evs=st.lists(
+    st.tuples(st.integers(0, 20000)),    # event-time seconds; arrival = index
+    min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_watermark_late_audit_matches_naive_replay(spark, tmp_path_factory,
+                                                   evs):
+    from datetime import datetime, timedelta
+
+    tmp = str(tmp_path_factory.mktemp("wlate"))
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(seconds=s), 1, "view", 1.0, "{}")
+            for i, (s,) in enumerate(evs)]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    row = {r["event_type"]: r for r in
+           REGISTRY["q_watermark_late_audit"].fn(spark, tmp).collect()}["view"]
+
+    hw, n_late, max_lag = None, 0, 0
+    for (s,) in evs:
+        hw = s if hw is None else max(hw, s)
+        lag = hw - s
+        max_lag = max(max_lag, lag)
+        if lag > 7200:
+            n_late += 1
+    assert (row["n_events"], row["n_late"], row["max_lag_us"]) == (
+        len(evs), n_late, max_lag * 1_000_000)
+
+
+# --- shingle containment -----------------------------------------------------
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_shingle_containment_matches_naive_sets(spark, tmp_path_factory,
+                                                texts):
+    tmp = str(tmp_path_factory.mktemp("cont"))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {(r["a"], r["b"]): r["shared"]
+           for r in REGISTRY["q_shingle_containment"].fn(spark, tmp)
+           .collect()}
+
+    # naive: Spark-split semantics — split('\s+') on the trimmed lowered
+    # text keeps NO empty tokens for all-space inputs after trim... but a
+    # fully-empty/whitespace text yields [''] (one empty token), giving
+    # the shingle list [] either way since bigrams need 2 tokens.
+    import re as _re
+
+    def shingles(t):
+        toks = _re.split(r"\s+", t.lower().strip(" "), flags=_re.ASCII)
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    # max-df cap (<= 100 docs) never binds at this size
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a]) >= 0.6:
+                exp[(a, b)] = inter
+    assert got == exp
