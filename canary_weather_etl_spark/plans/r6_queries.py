@@ -1100,3 +1100,89 @@ def q_incremental_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("needs_recompute"))
         .select("month", "n_rows", "needs_recompute")
     )
+
+
+# --- chunk-level dedup over CDC chunks ---------------------------------------
+
+@register(
+    "q_cdc_chunk_dedup",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents
+    ), pos AS (
+        SELECT doc_id, n, t,
+               unnest(range(1, CASE WHEN n >= 16 THEN n - 16 + 2
+                                    ELSE 1 END)) AS i
+        FROM d
+    ), b AS (
+        SELECT doc_id, i FROM pos
+        WHERE CAST(('0x' || substr(md5(substr(t, i, 16)), 1, 8)) AS BIGINT)
+              % 64 = 0
+    ), bounds AS (
+        SELECT d.doc_id, d.t, d.n, COALESCE(bl.bs, []) AS bs
+        FROM d LEFT JOIN (SELECT doc_id, list_sort(list(i)) AS bs
+                          FROM b GROUP BY doc_id) bl USING (doc_id)
+    ), ck AS (
+        SELECT doc_id, unnest(list_prepend(1, bs)) AS s,
+               unnest(list_append(bs, n + 1)) AS e, t
+        FROM bounds
+    ), chunks AS (
+        SELECT doc_id, substr(t, s, e - s) AS chunk FROM ck
+        WHERE e - s >= 16
+    )
+    SELECT substr(md5(chunk), 1, 16) AS chunk_key,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(length(any_value(chunk)) AS BIGINT) AS chunk_len
+    FROM chunks
+    GROUP BY chunk_key HAVING COUNT(*) > 1
+    ORDER BY n_occ DESC, chunk_key LIMIT 20
+    """,
+    doc="Chunk-level dedup over content-defined chunks — the reason CDC "
+        "exists: split every document at the q_cdc_chunking boundary "
+        "rule, hash each chunk, and surface the chunks shared across "
+        "documents (top-20 by occurrence). Sub-document granularity "
+        "catches the boilerplate/quote/near-dup overlap that whole-doc "
+        "hashing misses and that content-defined boundaries keep STABLE "
+        "under insertions (a fixed-width splitter would misalign every "
+        "chunk after an edit). Sub-window fragments (< 16 chars, "
+        "boundary-adjacent tails) are excluded — they are split "
+        "artifacts, not content. Spark side: boundary positions + chunk "
+        "slicing are pure array expressions per row (filter/sequence → "
+        "zip_with substrings, no explode until chunks exist); the only "
+        "shuffle is the 16-byte chunk-key aggregate — documents "
+        "themselves never shuffle. The storage-dedup / "
+        "training-corpus-decontamination primitive at sub-doc grain.",
+    tags=("llm", "dedup"),
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    win_hash = (
+        "cast(conv(substr(md5(substr(t, i, 16)), 1, 8), 16, 10) "
+        "as bigint) % 64 = 0")
+    chunks_expr = f"""
+        filter(
+            zip_with(
+                array_prepend(__bounds, 1),
+                array_append(__bounds, length(t) + 1),
+                (s, e) -> substr(t, s, e - s)),
+            c -> length(c) >= 16)
+    """
+    bounds = F.when(
+        F.length("t") >= 16,
+        F.expr(f"filter(sequence(1, length(t) - 16 + 1), i -> {win_hash})")
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        d.select("doc_id", F.lower(F.col("text")).alias("t"))
+        .withColumn("__bounds", bounds)
+        .select("doc_id", F.explode(F.expr(chunks_expr)).alias("chunk"))
+    )
+    return (
+        chunks.groupBy(F.substring(F.md5("chunk"), 1, 16).alias("chunk_key"))
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             F.length(F.any_value("chunk")).cast("bigint").alias("chunk_len"))
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), "chunk_key")
+        .limit(20)
+    )
