@@ -316,3 +316,101 @@ def test_shingle_containment_matches_naive_sets(spark, tmp_path_factory,
             if inter and inter / len(sets[a]) >= 0.6:
                 exp[(a, b)] = inter
     assert got == exp
+
+
+# --- boolean retrieval -------------------------------------------------------
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["merge", "sort", "filter", "x", "y"]),
+             max_size=15).map(" ".join),
+    min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_boolean_retrieval_matches_naive_counts(spark, tmp_path_factory,
+                                                texts):
+    tmp = str(tmp_path_factory.mktemp("bool"))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {r["doc_id"]: (r["tf_merge"], r["tf_sort"], r["tf_filter"],
+                         r["total_tf"])
+           for r in REGISTRY["q_boolean_retrieval"].fn(spark, tmp).collect()}
+
+    exp = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        tf = {w: toks.count(w) for w in ("merge", "sort", "filter")}
+        if all(tf[w] >= 3 for w in tf):
+            exp[i] = (tf["merge"], tf["sort"], tf["filter"],
+                      sum(tf.values()))
+    assert got == exp
+
+
+# --- temperature mix ---------------------------------------------------------
+
+@given(srcs=st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                     min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_temperature_mix_matches_naive_weights(spark, tmp_path_factory,
+                                               srcs):
+    import math
+
+    tmp = str(tmp_path_factory.mktemp("tmix"))
+    rows = [(i, "t", "en", s, 1) for i, s in enumerate(srcs)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {r["source"]: (r["n_docs"], r["share"], r["temp_weight"])
+           for r in REGISTRY["q_temperature_mix"].fn(spark, tmp).collect()}
+
+    counts = {s: srcs.count(s) for s in set(srcs)}
+    total = len(srcs)
+    # ordered fold: sorted sqrt values, left-to-right with 0.0 seed —
+    # exactly the engine's summation order
+    den = 0.0
+    for v in sorted(math.sqrt(float(n)) for n in counts.values()):
+        den = den + v
+
+    def rd6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    exp = {s: (n, rd6(float(n) / total), rd6(math.sqrt(float(n)) / den))
+           for s, n in counts.items()}
+    assert got == exp
+
+
+# --- partition fingerprint / incremental recompute ---------------------------
+
+@given(orders=st.lists(
+    st.tuples(st.integers(0, 3000),                     # o_orderkey
+              st.integers(0, 2),                        # month index
+              st.sampled_from(["1-URGENT", "3-MEDIUM"])),
+    min_size=1, max_size=30, unique_by=lambda t: t[0]))
+@settings(**SETTINGS)
+def test_incremental_recompute_flags_exactly_dirty_months(
+        spark, tmp_path_factory, orders):
+    from datetime import datetime
+
+    tmp = str(tmp_path_factory.mktemp("fpdiff"))
+    rows = [(k, 1, "O", 1.0, datetime(2024, m + 1, 3), p)
+            for k, m, p in orders]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+    got = {str(r["month"]): r["needs_recompute"] for r in
+           REGISTRY["q_incremental_recompute"].fn(spark, tmp).collect()}
+
+    # a month is dirty iff it contains a key % 1000 == 7 row (digest
+    # change is injective here: the priority string actually changes)
+    exp = {}
+    for k, m, p in orders:
+        month = f"2024-{m + 1:02d}-01"
+        exp[month] = exp.get(month, False) or (k % 1000 == 7)
+    assert got == exp
