@@ -1186,3 +1186,49 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "chunk_key")
         .limit(20)
     )
+
+
+# --- per-dimension embedding statistics --------------------------------------
+
+@register(
+    "q_embedding_dim_stats",
+    oracle="""
+    WITH comp AS (
+        SELECT unnest(embedding) AS x,
+               unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(AVG(CAST(x AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean,
+           CAST(MIN(x) AS DOUBLE) AS min_v,
+           CAST(MAX(x) AS DOUBLE) AS max_v
+    FROM comp GROUP BY dim
+    """,
+    doc="Per-dimension embedding corpus statistics: posexplode each "
+        "vector into (dim, component) and aggregate n/mean/min/max per "
+        "dimension — the drift/collapse diagnostic run before trusting a "
+        "similarity index (a dimension whose variance collapses or whose "
+        "range explodes flags a broken encoder or a normalization "
+        "regression; at 100 TB you run THIS before rebuilding an IVF/LSH "
+        "index on a refreshed corpus). One explode + one 64-key "
+        "aggregate — partial aggregation reduces each partition to "
+        "dim-count rows, so the exchange is KBs regardless of corpus "
+        "size. Mean carries float-reduction noise at the 1e-13 level on "
+        "~1-magnitude components → round_det(6) is seven orders of "
+        "margin; min/max are exact (float32 values widen exactly).",
+    tags=("llm", "similarity", "quality"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_par(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode("embedding").alias("pos", "x"))
+    return (
+        comp.select((F.col("pos") + 1).cast("int").alias("dim"),
+                    F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n"),
+             round_det(F.avg("x"), 6).alias("mean"),
+             F.min("x").alias("min_v"),
+             F.max("x").alias("max_v"))
+    )
