@@ -414,3 +414,84 @@ def test_incremental_recompute_flags_exactly_dirty_months(
         month = f"2024-{m + 1:02d}-01"
         exp[month] = exp.get(month, False) or (k % 1000 == 7)
     assert got == exp
+
+
+# --- CDC chunk dedup ---------------------------------------------------------
+
+@given(texts=st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=100),
+    min_size=1, max_size=8),
+    dup=st.integers(0, 7))
+@settings(**SETTINGS)
+def test_cdc_chunk_dedup_matches_naive_chunker(spark, tmp_path_factory,
+                                               texts, dup):
+    # plant a duplicate: one text appears twice so cross-doc shared
+    # chunks actually occur
+    texts = list(texts) + [texts[dup % len(texts)]]
+    tmp = str(tmp_path_factory.mktemp("cdcd"))
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {r["chunk_key"]: (r["n_occ"], r["n_docs"], r["chunk_len"])
+           for r in REGISTRY["q_cdc_chunk_dedup"].fn(spark, tmp).collect()}
+
+    occ: dict[str, list[tuple[int, str]]] = {}
+    for i, t in enumerate(texts):
+        tl = t.lower()
+        bounds = [p + 1 for p in range(max(len(tl) - 16 + 1, 0))
+                  if _md5_int(tl[p:p + 16], 8) % 64 == 0]
+        starts = [1] + bounds
+        ends = bounds + [len(tl) + 1]
+        for s, e in zip(starts, ends):
+            chunk = tl[s - 1:e - 1]
+            if len(chunk) >= 16:
+                key = hashlib.md5(chunk.encode()).hexdigest()[:16]
+                occ.setdefault(key, []).append((i, chunk))
+    exp = {k: (len(v), len({d for d, _ in v}), len(v[0][1]))
+           for k, v in occ.items() if len(v) > 1}
+    # query returns top-20; at this size the full dup set fits
+    assert got == exp
+
+
+# --- MAD anomaly -------------------------------------------------------------
+
+@given(vals=st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(-50, 50)),          # integer-valued doubles: the
+    min_size=1, max_size=30))                 # naive median is then exact
+@settings(**SETTINGS)
+def test_anomaly_mad_matches_naive_robust_stats(spark, tmp_path_factory,
+                                                vals):
+    from datetime import datetime
+
+    tmp = str(tmp_path_factory.mktemp("mad"))
+    rows = [(i, datetime(2024, 1, 1), 1, et, float(v), "{}")
+            for i, (et, v) in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {r["event_type"]: (r["n_rows"], r["med"], r["mad"],
+                             r["n_anomalies"])
+           for r in REGISTRY["q_anomaly_mad"].fn(spark, tmp).collect()}
+
+    def median(xs):
+        ys = sorted(xs)
+        m = len(ys) // 2
+        return float(ys[m]) if len(ys) % 2 else (ys[m - 1] + ys[m]) / 2.0
+
+    exp = {}
+    for et in {e for e, _ in vals}:
+        xs = [float(v) for e, v in vals if e == et]
+        med = median(xs)
+        adevs = [abs(x - med) for x in xs]
+        mad = median(adevs)
+        n_anom = sum(1 for a in adevs if a > 3 * mad)
+        import math
+        rd6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        exp[et] = (len(xs), rd6(med), rd6(mad), n_anom)
+    assert got == exp
