@@ -72,7 +72,7 @@ _DRIVER_PRIORITY = (
     # rotation the r5 judge demanded), then the deferred rows-only trio
     "q_partition_fingerprint", "q_session_funnel", "q_jsonl_quarantine",
     "q_watermark_late_audit", "q_incremental_recompute",
-    "q_cdc_chunk_dedup", "q_embedding_dim_stats",
+    "q_cdc_chunk_dedup", "q_embedding_dim_stats", "q_anomaly_mad_approx",
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
 )
 

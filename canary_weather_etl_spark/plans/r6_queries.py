@@ -1232,3 +1232,44 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("x").alias("min_v"),
              F.max("x").alias("max_v"))
     )
+
+
+# --- MAD anomaly detection, sketch path --------------------------------------
+
+@register(
+    "q_anomaly_mad_approx",
+    oracle=None,  # approx_percentile is a deterministic GK sketch, but
+                  # engine-specific — no cross-engine SQL twin exists;
+                  # agreement with the exact path is pinned in pytest
+    doc="The 100 TB path q_anomaly_mad's docstring names: same robust "
+        "median+MAD outlier rule with approx_percentile (Greenwald-"
+        "Khanna sketch, accuracy 10000 ≈ 0.01% rank error) replacing the "
+        "exact full-sort percentile. The sketch is mergeable, so each "
+        "pass stays one partial-aggregate shuffle with bounded memory "
+        "per group — no per-group sort at any scale. Deterministic for "
+        "fixed data/partitioning but engine-specific → rows-only; "
+        "tests/test_r6_ops.py pins that its anomaly counts agree with "
+        "the exact path on the fixture (rank error far below the 3-MAD "
+        "decision boundary for non-degenerate distributions).",
+    tags=("analytics", "stats", "sketch"),
+)
+def q_anomaly_mad_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value"))
+    med = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+           .localCheckpoint(eager=True))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("approx_percentile(adev, 0.5, 10000)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             round_det(F.max("med"), 6).alias("med"),
+             round_det(F.max("mad"), 6).alias("mad"),
+             F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1))
+             .alias("n_anomalies"))
+    )

@@ -186,3 +186,22 @@ def test_shuffle_hash_join_hint_parity(spark, sf_dir):
     assert "ShuffledHashJoin" in p_shj
     # no sort operators feed the hash join (that's the point of the hint)
     assert r_smj == r_shj and r_smj
+
+
+def test_anomaly_mad_approx_agrees_with_exact(spark, sf_dir):
+    """The sketch path must reach the same anomaly VERDICTS as the exact
+    path on the fixture: same row counts per type, anomaly counts within
+    the sketch's rank-error envelope (here: exactly equal — 0.01% rank
+    error cannot move the 3-MAD boundary on these distributions)."""
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+
+    exact = {r["event_type"]: r for r in
+             REGISTRY["q_anomaly_mad"].fn(spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in
+              REGISTRY["q_anomaly_mad_approx"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for et in exact:
+        assert exact[et]["n_rows"] == approx[et]["n_rows"]
+        assert abs(exact[et]["n_anomalies"]
+                   - approx[et]["n_anomalies"]) <= max(
+            1, exact[et]["n_rows"] // 500), et
