@@ -1,0 +1,143 @@
+"""Distributed k-means (Lloyd's algorithm) in integer fixed-point — the
+semantic-clustering primitive behind embedding-space corpus curation
+(semantic dedup "keep one per cluster", domain discovery, diversity
+sampling).
+
+Reference parity: the reference (ilias-lp/canary-weather-etl README.md)
+ships no clustering; this extends the engine's LLM-data-pipeline family
+(SURVEY.md §2.11) with the standard Lloyd iteration, expressed the way a
+Spark engine should run it at 100 TB:
+
+- **Centroids live on the driver, points never do.** k·dims integers are
+  collected per iteration (k=4, 64 dims → 256 longs — a bounded driver
+  scalar, same budget class as one BPE merge pair per round); the corpus
+  itself is touched only by narrow per-row expressions.
+- **Assignment is zero-shuffle.** Distances to all k centroids are
+  computed in one whole-stage-codegen expression tree
+  (``zip_with`` + ``aggregate`` integer folds over literal centroid
+  arrays) and the argmin is an ``array_min`` over (dist, cid) structs —
+  no join, no UDF, no Python in the hot path.
+- **The update is one map-side-combinable aggregate.** ``posexplode`` to
+  (cluster, dim) and ``groupBy(cluster, dim).sum`` — partial aggregation
+  reduces the shuffle to k·dims rows per input partition regardless of
+  corpus size. This is exactly MLlib's broadcast-centroid /
+  tree-aggregate shape, re-expressed declaratively.
+- **Integer fixed-point end-to-end** (1e6 units per 1.0): quantized
+  coordinates, integer squared distances, integer sums — all order-free,
+  so the result is bit-identical across partitionings and retries, and
+  hash-comparable against an unrolled SQL oracle (the same discipline as
+  operators/graph.py:pagerank_fixed). The centroid-mean division is the
+  single non-integer op: ``FLOOR(CAST(sum AS DOUBLE) / n)`` — one exact
+  integer in a double (< 2^53), one deterministic divide, one floor —
+  identical in every IEEE-754 engine.
+
+Determinism contract: init takes the first ``k`` points by id
+(vec_id < k), ties in the argmin break toward the smaller centroid id,
+and empty clusters keep their previous centroid — each rule mirrored in
+the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT_SCALE = 1_000_000
+
+
+def quantize_vectors(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     scale: int = UNIT_SCALE) -> DataFrame:
+    """(id, qvec: array<long>) — fixed-point embedding coordinates.
+
+    float32 → double is value-preserving; ``x*scale + 0.5`` then FLOOR is
+    a fixed 3-op double sequence, deterministic across engines. All
+    downstream distance math is integer.
+    """
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale))
+                              + F.lit(0.5)).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def _dist_units(cent: list[int]):
+    """Integer squared L2 distance from `qvec` to one literal centroid —
+    a zip_with/aggregate fold, fully inside whole-stage codegen."""
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    diff = F.zip_with(F.col("qvec"), carr, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def assign_clusters(qdf: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, qvec, cluster_id, dist_units): nearest centroid per point,
+    ties to the smaller cluster id. One narrow projection — no shuffle."""
+    best = F.array_min(F.array(*[
+        F.struct(_dist_units(c).alias("d"),
+                 F.lit(int(cid)).cast("int").alias("cid"))
+        for cid, c in sorted(centroids.items())
+    ]))
+    return (qdf.withColumn("_best", best)
+            .withColumn("cluster_id", F.col("_best.cid"))
+            .withColumn("dist_units", F.col("_best.d"))
+            .drop("_best"))
+
+
+def kmeans_fixed(qdf: DataFrame, k: int = 4,
+                 iterations: int = 3) -> tuple[DataFrame, dict[int, list[int]]]:
+    """Lloyd's k-means over a quantized (vec_id, qvec) frame.
+
+    Returns (final assignment frame, final centroids). ``iterations``
+    assign→update rounds, then one final assignment against the last
+    centroids (the frame the caller aggregates). Empty clusters keep
+    their previous centroid — mirrored by the oracle's LEFT JOIN +
+    COALESCE.
+    """
+    dims = None
+    # init: the first k points by id — k bounded rows to the driver
+    init_rows = (qdf.filter(F.col("vec_id") < k)
+                 .select("vec_id", "qvec").collect())
+    centroids = {int(r["vec_id"]): [int(v) for v in r["qvec"]]
+                 for r in init_rows}
+    if len(centroids) != k:
+        raise ValueError(f"init expects vec_id 0..{k-1} present, "
+                         f"got {sorted(centroids)}")
+    dims = len(next(iter(centroids.values())))
+
+    for _ in range(iterations):
+        asg = assign_clusters(qdf, centroids)
+        # one shuffle of k*dims keys, partial-aggregated map-side
+        sums = (asg.select("cluster_id",
+                           F.posexplode("qvec").alias("ord", "qv"))
+                .groupBy("cluster_id", "ord")
+                .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+                # FLOOR(double-div of exact ints): sums < 2^53, exact in
+                # double; single deterministic divide — NOT `div`, whose
+                # truncation disagrees with FLOOR on negatives
+                .withColumn("cv", F.floor(F.col("s").cast("double")
+                                          / F.col("n")).cast("long"))
+                .select("cluster_id", "ord", "cv")
+                .collect())  # bounded: k*dims longs
+        new_cent = {cid: list(vec) for cid, vec in centroids.items()}
+        got: dict[int, dict[int, int]] = {}
+        for r in sums:
+            got.setdefault(int(r["cluster_id"]), {})[int(r["ord"])] = int(r["cv"])
+        for cid, by_ord in got.items():
+            new_cent[cid] = [by_ord[i] for i in range(dims)]
+        centroids = new_cent
+
+    return assign_clusters(qdf, centroids), centroids
+
+
+def kmeans_cluster_profile(asg: DataFrame) -> DataFrame:
+    """Per-cluster summary of a final assignment: size, integer inertia,
+    and the medoid (closest member, ties to the smaller vec_id) — the
+    representative a semantic-dedup pass keeps."""
+    return (asg.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum("dist_units").alias("inertia_units"),
+                 F.min(F.struct("dist_units", "vec_id"))
+                 .getField("vec_id").alias("medoid_vec_id")))

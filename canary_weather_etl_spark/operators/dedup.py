@@ -424,3 +424,65 @@ def duplicated_span_table(df: DataFrame, id_col: str, text_col: str,
                  (F.max("endp") - F.min("pos") + 1).alias("n_tokens"),
                  F.count(F.lit(1)).alias("n_shingles"))
             .drop("island"))
+
+
+def prefix_filter_candidates(sets: DataFrame,
+                             threshold: float = 0.5) -> DataFrame:
+    """PPJoin-style prefix-filtered candidate pairs (a, b), a < b, for an
+    exact Jaccard join at threshold ``threshold``.
+
+    The all-pairs shared-shingle join (`exact_jaccard`) is quadratic in
+    per-shingle document frequency — the classic scale cliff for EXACT
+    set-similarity joins. Prefix filtering (Chaudhuri et al. 2006 /
+    Xiao et al. PPJoin, public literature) restores scale while keeping
+    exactness: order every document's shingles by a global canonical
+    order (ascending document frequency, ties lexicographic — rarest
+    first), and join only on each side's PREFIX of length
+    |s| − ⌈τ·|s|⌉ + 1. Completeness: J(a,b) ≥ τ implies
+    |A∩B| ≥ τ·max(|A|,|B|) (from c ≥ τ(|a|+|b|)/(1+τ) and c ≤ min), so
+    two qualifying sets must collide inside both prefixes under any
+    shared total order. A length filter (min ≥ τ·max) prunes further.
+
+    Rare-first ordering makes prefixes collide on LOW-frequency shingles,
+    so the candidate join's key skew is bounded by construction — the
+    hot shingles that blow up the naive join sit at the back of every
+    document and never enter the prefix. τ = 0.5 is exact in binary
+    floating point, so the length/prefix arithmetic has no rounding edge.
+    """
+    from pyspark.sql import Window
+
+    sh = sets.select("doc", "sz", F.explode("sh").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc").orderBy("dfreq", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc", "sz", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .filter(F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
+        .select(F.col("a.doc").alias("a"), F.col("b.doc").alias("b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_prefix_filter(df: DataFrame, id_col: str, text_col: str,
+                                 n: int = 2,
+                                 threshold: float = 0.5) -> DataFrame:
+    """EXACT Jaccard near-dup pairs at scale: prefix-filtered candidates,
+    then candidate-only verification. Same result set as `exact_jaccard`
+    (pytest pins the equality), but the join runs on rare-prefix shingles
+    only — the 100 TB path when exactness is required and MinHash recall
+    (< 1) is not acceptable."""
+    sets = shingle_sets(df, id_col, text_col, n=n)
+    # sets feeds prefix generation AND both verify sides — one
+    # materialization, three consumers
+    sets.persist()
+    cand = prefix_filter_candidates(sets, threshold=threshold)
+    return verify_pairs_jaccard(sets, cand, threshold=threshold)

@@ -247,3 +247,43 @@ def enumerate_triangles(edges: DataFrame,
         .select(F.col("e1.u1").alias("a_id"), F.col("e1.u2").alias("b_id"),
                 F.col("e2.u2").alias("c_id"))
     )
+
+
+def bfs_hop_levels(edges: DataFrame, max_hops: int = 4,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """Single-source BFS levels: (node, hop) = minimum hop distance from
+    the graph's smallest node id, out to ``max_hops``.
+
+    The reference (ilias-lp/canary-weather-etl README.md) ships no graph
+    surface; this completes the engine's iterative-graph family
+    (connected components, PageRank, triangles, k-core) with multi-hop
+    reachability — the primitive behind "documents within k citation
+    hops" / contamination-spread audits.
+
+    Scale shape: classic frontier expansion — per hop one equi-join
+    (frontier ⨝ edges on src: the frontier is small, Spark broadcasts it
+    when it fits, AQE decides at runtime) + one distinct + one left_anti
+    against the visited set. The visited set is localCheckpoint-ed each
+    round, so lineage stays flat and each round's anti-join probes a
+    materialized table, not a growing plan. Hop count is fixed and small
+    (the use cases above are k≤6); min-hop semantics make the result
+    independent of partitioning and join order. The source node is picked
+    by a one-row aggregate broadcast (MIN over node ids) — deterministic,
+    no driver round-trip.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    source = nodes.agg(F.min("node").alias("node"))
+    visited = (source.withColumn("hop", F.lit(0).cast("int"))
+               .localCheckpoint(eager=True))
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hop", F.lit(h).cast("int")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hop") == h)
+    return visited

@@ -462,3 +462,48 @@ def topk_projected_int8(embeddings: DataFrame, queries: DataFrame,
     return topk_projected(deq, queries, k=k, in_dim=in_dim,
                           out_dim=out_dim, pool=pool, id_col=id_col,
                           vec_col=vec_col, query_id_col=query_id_col)
+
+
+def arrow_quantized_norms(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          scale: int = 1_000_000) -> DataFrame:
+    """Per-vector integer sum-of-squares + floor(L2 norm) via
+    ``mapInArrow`` — the zero-copy Arrow-native batch path (no pandas
+    materialization at all, unlike mapInPandas: record batches go
+    Tungsten → Arrow → numpy views and back).
+
+    Fixed-point discipline (same contract as operators/clustering.py):
+    coordinates quantize to ``scale`` units with FLOOR(x*scale + 0.5),
+    the squared sum is exact int64, and norm_units = FLOOR(sqrt(ssq)) is
+    one deterministic double op on an exact integer < 2^53 — so the
+    output is bit-identical to a SQL oracle and invariant to batching.
+
+    Scale shape: embarrassingly parallel, one narrow stage, no shuffle;
+    vectorized numpy segment sums (reduceat-style via cumsum over the
+    Arrow list offsets) — no per-row Python.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    assert id_field == "bigint", f"expected bigint id, got {id_field}"
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0)
+            la = batch.column(1)
+            if isinstance(la, pa.ChunkedArray):  # defensive; batches give Arrays
+                la = la.combine_chunks()
+            off = np.asarray(la.offsets)
+            vals = np.asarray(la.values, dtype=np.float64)
+            q = np.floor(vals * float(scale) + 0.5).astype(np.int64)
+            csum = np.concatenate(([np.int64(0)], np.cumsum(q * q)))
+            ssq = csum[off[1:]] - csum[off[:-1]]
+            norm = np.floor(np.sqrt(ssq.astype(np.float64))).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(ssq, type=pa.int64()),
+                 pa.array(norm, type=pa.int64())],
+                names=["vec_id", "ssq_units", "norm_units"])
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        batches, schema="vec_id bigint, ssq_units bigint, norm_units bigint")

@@ -24,56 +24,52 @@ from . import formats      # noqa: E402,F401  §2.1 CSV/JSONL sink+scan round tr
 from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly-once
 from . import advanced_sql  # noqa: E402,F401  regr/LATERAL/recursive CTE/EWMA/PageRank
 from . import r6_queries   # noqa: E402,F401  skyline/MAD/PMI/containment/k-core/nearest
+from . import r7_queries   # noqa: E402,F401  kmeans/BFS/PPJoin/winsorize/SQL-UDF/zonemap
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-6 rotation, freshness-driven (no
+# hard external correctness row. Round-7 rotation, freshness-driven (no
 # entry's latest hard row should age past ~3 rounds): front-load (a) the
-# r5 red row q_try_functions (amount_num decimal->BIGINT fix — VERDICT r5
-# item 1) and the two iterative queries whose PLANS changed this round
-# (triangle edge materialization + degree orientation; pagerank cadence
-# 3); (b) eleven of the sixteen NEW r6 queries (r6_queries.py; the five
-# added after the 50 slots filled sit at the r7 head below, each
-# drive_contract hash-green locally); (c) the 39 entries
-# whose latest hard evidence is CORRECTNESS_r03 — the stale block minus
-# its three ROWS-ONLY entries (q_pack_sequences_greedy,
-# q_stratified_sample, q_corpus_curation: their driver rows are the
-# weaker no-oracle kind, all carry strong pytest invariants, and
-# q_corpus_curation additionally gets benched every round — the
-# least-lossy deferrals; they sit at positions 51-53 and MUST lead the
-# r7 rotation). Next rotation (r7): those three + the 48 r4-sampled
-# entries — front-load roughly half.
+# eight NEW r7 queries (r7_queries.py — never sampled, new code this
+# round); (b) the eight r6 queries added after r6's 50 slots filled
+# (never sampled; each drive_contract hash-green locally in r6 AND
+# re-verified this round); (c) the rows-only trio whose last driver rows
+# are r3 (deferred twice as the least-lossy option — all carry strong
+# pytest invariants and q_corpus_curation is benched every round; they
+# must not slip again); (d) 31 of the 48 entries whose latest hard row is
+# CORRECTNESS_r04, in registry order. The 17 r4-remainder entries sit at
+# positions 51+ and MUST lead the r8 rotation together with the oldest
+# r5-sampled block (r8 plan: 17 r4-remainder + 33 of the 47 r5-sampled).
 _DRIVER_PRIORITY = (
-    # (a) red-row fix + plan-changed iterative queries — must re-sample
-    "q_try_functions", "q_triangle_count", "q_pagerank_purchases",
-    # (b) new r6 surface (11 queries, all SQL-oracled)
-    "q_manifest_sink_read", "q_skyline_pareto", "q_anomaly_mad",
-    "q_pmi_bigrams", "q_shingle_containment", "q_kcore_peel",
-    "q_nearest_view", "q_cdc_chunking", "q_boolean_retrieval",
-    "q_temperature_mix", "q_grid_knn",
-    # (c) the r3-stale block, registry order (36 of 39)
-    "q_corpus_shuffle_shards", "q_pack_sequences",
-    "q_text_clean_redact", "q_heavy_hitters",
-    "q_zscore_grouped_pandas", "q_pandas_scalar_score", "q_text_repetition",
-    "q_text_dup_lines", "q_cosine_pairs_exact", "q_lm_quality_score",
-    "q_arrays_zip_explode", "q_sql_facade", "q_asof_join",
-    "q_salted_join", "q_two_phase_agg", "q_range_join", "q_time_rollup",
-    "q_percentiles", "q_stats_moments", "q_data_quality_profile",
-    "q_pivot", "q_gap_fill_calendar",
-    "q_events_funnel", "q_events_cohort_retention", "q_zorder_key",
-    "q_global_rank", "q_weather_flatten_om", "q_weather_flatten_vc",
-    "q_weather_clean_build", "q_weather_upsert_newwins",
-    "q_split_train_val", "q_domain_mix_weights", "q_vocab_coverage",
-    "q_contamination_ngrams", "q_csv_roundtrip", "q_jsonl_roundtrip",
-    # positions 51+ — the r7 priority head, in this order: the two
-    # latest-added r6 queries (drive_contract hash-green locally, added
-    # after the 50 driver slots were already committed to the stale
-    # rotation the r5 judge demanded), then the deferred rows-only trio
+    # (a) new r7 surface (8 queries, all SQL-oracled)
+    "q_kmeans_lloyd", "q_bfs_reach", "q_setjoin_prefix_filter",
+    "q_winsorize_robust", "q_sql_udf", "q_arrow_normalize",
+    "q_zonemap_skipping", "q_lang_balanced_sample",
+    # (b) r6 additions that missed the r6 sample window
     "q_partition_fingerprint", "q_session_funnel", "q_jsonl_quarantine",
     "q_watermark_late_audit", "q_incremental_recompute",
     "q_cdc_chunk_dedup", "q_embedding_dim_stats", "q_anomaly_mad_approx",
+    # (c) the twice-deferred rows-only trio (last driver rows: r3)
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
+    # (d) r4-sampled block, registry order (31 of 48)
+    "q1_groupby_avg", "q2_groupby2_topk", "q3_filtered_groupby_avg",
+    "q_projection_derived", "q_filter_null_empty", "q_distinct_pairs",
+    "q_topk_global", "q_scalar_string", "q_cms_heavy_hitters",
+    "q_join_inner_fact", "q_join_broadcast_dims", "q_join_left_anti",
+    "q_join_left_semi", "q_join_left_outer", "q_join_full_outer",
+    "q_cross_join", "q_union_by_name", "q_except_all",
+    "q_intersect_distinct", "q_intersect_all", "q_window_rank",
+    "q_window_rolling", "q_window_lag_delta", "q_rollup", "q_cube",
+    "q_events_tumbling", "q_events_sliding", "q_events_session",
+    "q_grouping_sets", "q_window_distribution", "q_correlated_subquery",
+    # positions 51+ — the r8 priority head: the r4-sampled remainder (17)
+    "q_multimodal_embed_topk", "q_dedup_embedding_clusters",
+    "q_random_projection", "q_array_composite", "q_events_scalar_composite",
+    "q_unpivot_bool_profile", "q_variant_json", "q_merge_intervals",
+    "q_asof_join_staleness", "q_approx_percentile", "q_sessionize",
+    "q_partition_stats", "q_histogram", "q_string_date_hash_composite",
+    "q_api_datasource_scan", "q_orc_roundtrip", "q_stream_restart_dedup",
 )
 
 

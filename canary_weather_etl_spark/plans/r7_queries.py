@@ -1,0 +1,515 @@
+"""Round-7 query surface: fixed-point k-means clustering (semantic
+dedup's clustering primitive), single-source BFS hop levels, EXACT
+prefix-filtered set-similarity join (PPJoin), winsorized robust
+statistics, Spark 4 SQL UDFs (scalar + table), an Arrow-native
+``mapInArrow`` fixed-point norm pipeline, zone-map data-skipping
+statistics, and language-balanced corpus sampling.
+
+Reference parity: the reference (ilias-lp/canary-weather-etl README.md)
+establishes the ingest → clean → aggregate pipeline; these queries
+extend the engine's training-data-curation and analytics families with
+the clustering / reachability / exact-similarity-at-scale / robust-stats
+primitives a 100 TB corpus pipeline needs, each as a declarative
+DataFrame plan with a DuckDB oracle twin.
+
+Determinism discipline (registry module docstring): everything additive
+here is integer fixed-point (order-free sums → bit-exact vs the oracle);
+the two genuinely-float surfaces (winsorized means, Jaccard ratios) are
+single-op row-wise doubles or round_det(6)-rounded aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import clustering as C
+from ..operators import dedup as D
+from ..operators import graph as G
+from ..operators import similarity as S
+from .llm import _JACCARD_SQL
+from .registry import load, load_par, register
+
+
+# --- fixed-point k-means (Lloyd) ---------------------------------------------
+
+def _kmeans_oracle(k: int = 4, iterations: int = 3,
+                   scale: int = 1_000_000) -> str:
+    """Unrolled-iteration SQL twin of operators.clustering.kmeans_fixed:
+    same quantization, same init (vec_id < k), same argmin tie-break
+    (dist, cid), same FLOOR(sum/n) centroid update, same empty-cluster
+    carry (LEFT JOIN + COALESCE)."""
+    parts = [f"""
+    q AS (
+        SELECT vec_id, u.ord AS ord,
+               CAST(FLOOR(CAST(u.val AS DOUBLE) * {scale} + 0.5) AS BIGINT)
+                   AS qv
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {{'val': x, 'ord': i}})) AS u
+              FROM embeddings)
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, ord, qv AS cv
+           FROM q WHERE vec_id < {k})"""]
+    for t in range(1, iterations + 1):
+        parts.append(f"""
+    d{t} AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+        FROM q JOIN c{t - 1} c ON q.ord = c.ord
+        GROUP BY q.vec_id, c.cid
+    ),
+    a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{t}) WHERE rn = 1
+    ),
+    c{t} AS (
+        SELECT p.cid, p.ord,
+               COALESCE(CAST(FLOOR(CAST(s.sq AS DOUBLE) / s.n) AS BIGINT),
+                        p.cv) AS cv
+        FROM c{t - 1} p LEFT JOIN (
+            SELECT a.cid, q.ord, CAST(SUM(q.qv) AS BIGINT) AS sq,
+                   COUNT(*) AS n
+            FROM a{t} a JOIN q ON q.vec_id = a.vec_id
+            GROUP BY a.cid, q.ord) s
+        ON s.cid = p.cid AND s.ord = p.ord
+    )""")
+    parts.append(f"""
+    dfin AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+        FROM q JOIN c{iterations} c ON q.ord = c.ord
+        GROUP BY q.vec_id, c.cid
+    ),
+    afin AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM dfin) WHERE rn = 1
+    ),
+    med AS (
+        SELECT cid, vec_id AS medoid_vec_id FROM (
+            SELECT cid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                                      ORDER BY dist, vec_id) AS rn
+            FROM afin) WHERE rn = 1
+    )""")
+    return f"""
+    WITH {','.join(parts)}
+    SELECT a.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia_units,
+           MIN(m.medoid_vec_id) AS medoid_vec_id
+    FROM afin a JOIN med m ON m.cid = a.cid
+    GROUP BY a.cid
+    """
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=_kmeans_oracle(k=4, iterations=3),
+    doc="Three-iteration Lloyd k-means (k=4) over the embeddings table in "
+        "integer fixed-point (1e6 units per 1.0) — the semantic-clustering "
+        "primitive behind embedding-space corpus curation (semantic dedup "
+        "keeps each cluster's medoid). An ITERATIVE ML algorithm bit-exact "
+        "against an unrolled SQL oracle, same discipline as "
+        "q_pagerank_purchases. Scale shape (operators/clustering.py): "
+        "centroids are k·dims driver-side integers re-broadcast as literal "
+        "arrays each round; assignment is a zero-shuffle codegen fold "
+        "(zip_with + aggregate + array_min over (dist,cid) structs); the "
+        "update is one posexplode + groupBy(cluster,dim) aggregate whose "
+        "map-side combine reduces the shuffle to k·dims rows per input "
+        "partition — MLlib's broadcast-centroid shape, declaratively.",
+    tags=("llm", "clustering", "iterative"), bench=True,
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_par(spark, sf_dir, "embeddings")
+    qdf = C.quantize_vectors(emb)
+    # one quantize projection feeds init + 3 iterations + final assignment
+    # (5 consumers): persist at test scale; at 100 TB you'd persist to
+    # DISK_ONLY or pre-materialize the quantized table once
+    qdf.persist()
+    asg, _cent = C.kmeans_fixed(qdf, k=4, iterations=3)
+    return C.kmeans_cluster_profile(asg)
+
+
+# --- single-source BFS hop levels ---------------------------------------------
+
+_BFS_ORACLE = """
+    WITH RECURSIVE act0 AS (
+        SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
+        FROM events
+    ),
+    cellsz AS (
+        SELECT event_type, hb FROM act0
+        GROUP BY 1, 2 HAVING COUNT(*) <= 40
+    ),
+    act AS (
+        SELECT a.user_id, a.event_type, a.hb
+        FROM act0 a JOIN cellsz c
+          ON a.event_type = c.event_type AND a.hb = c.hb
+    ),
+    e AS (
+        SELECT a.user_id AS u1, b.user_id AS u2
+        FROM act a JOIN act b
+          ON a.hb = b.hb AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    ),
+    edges AS (
+        SELECT u1 AS src, u2 AS dst FROM e
+        UNION ALL
+        SELECT u2 AS src, u1 AS dst FROM e
+    ),
+    s AS (SELECT MIN(src) AS node FROM edges),
+    walk(node, hop) AS (
+        SELECT node, 0 FROM s
+        UNION
+        SELECT ed.dst, w.hop + 1
+        FROM walk w JOIN edges ed ON ed.src = w.node
+        WHERE w.hop < 4
+    ),
+    lev AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+    SELECT hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS id_sum
+    FROM lev GROUP BY hop
+"""
+
+
+@register(
+    "q_bfs_reach",
+    oracle=_BFS_ORACLE,
+    doc="Single-source BFS hop levels (≤4 hops) over the co-activity user "
+        "graph (same edge derivation as q_triangle_count / q_kcore_peel: "
+        "users adjacent iff ≥3 shared (hour,event_type) cells), from the "
+        "smallest node id — multi-hop reachability, the primitive behind "
+        "contamination-spread and 'within k hops' audits. Spark side "
+        "(operators/graph.py:bfs_hop_levels): frontier expansion, per hop "
+        "one equi-join + distinct + left_anti vs the checkpointed visited "
+        "set; min-hop semantics are partitioning-invariant. Oracle: "
+        "recursive CTE with UNION dedup (bounded by nodes × hops).",
+    tags=("graph", "iterative"),
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .advanced_sql import coactivity_edges
+    e = coactivity_edges(spark, sf_dir)
+    both = e.select(F.col("u1").alias("src"), F.col("u2").alias("dst")).union(
+        e.select(F.col("u2").alias("src"), F.col("u1").alias("dst")))
+    lev = G.bfs_hop_levels(both, max_hops=4)
+    return (lev.groupBy("hop")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum("node").alias("id_sum")))
+
+
+# --- EXACT prefix-filtered set-similarity join (PPJoin) -----------------------
+
+@register(
+    "q_setjoin_prefix_filter",
+    oracle=_JACCARD_SQL,
+    doc="EXACT word-bigram Jaccard pairs (≥0.5) via PPJoin-style prefix "
+        "filtering (operators/dedup.py:prefix_filter_candidates): shingles "
+        "are globally ordered rarest-first (ascending document frequency), "
+        "each document joins only on its prefix of length "
+        "|s|−⌈τ·|s|⌉+1, then candidates verify with array-intersect "
+        "Jaccard. Same result set as q_ngram_jaccard_pairs (same oracle) "
+        "but WITHOUT the all-pairs shared-shingle join — the hot shingles "
+        "that make the naive join quadratic never enter any prefix, so "
+        "this is the 100 TB path when exactness is required and MinHash "
+        "recall <1 is not acceptable. Candidate-reduction and "
+        "equality-vs-exact are pinned in pytest.",
+    tags=("llm", "dedup"),
+)
+def q_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    return D.near_dup_pairs_prefix_filter(d, "doc_id", "text",
+                                          n=2, threshold=0.5)
+
+
+# --- winsorized robust statistics ---------------------------------------------
+
+_WINSOR_ORACLE = """
+    WITH p AS (
+        SELECT event_type,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           MIN(p.p05) AS p05,
+           MIN(p.p95) AS p95,
+           FLOOR(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)) * 1e6 + 0.5)
+               / 1e6 AS winsor_mean
+    FROM events e JOIN p ON e.event_type = p.event_type
+    GROUP BY e.event_type
+"""
+
+
+@register(
+    "q_winsorize_robust",
+    oracle=_WINSOR_ORACLE,
+    doc="Winsorized (5%/95%-clipped) per-group statistics — the robust "
+        "mean a quality pipeline uses when MAD (q_anomaly_mad) flags heavy "
+        "tails. percentile_disc returns actual data values (exact "
+        "cross-engine); the clip is row-wise LEAST/GREATEST; the clipped "
+        "mean is the one reduction-ordered float aggregate → round_det(6). "
+        "Plan: one exact-percentile aggregate (tiny: |groups| rows) "
+        "broadcast back onto the fact scan — two shuffles total, the "
+        "second with map-side partial aggregation.",
+    tags=("agg", "analytics"),
+)
+def q_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_w7")
+    return spark.sql("""
+        WITH p AS (
+            SELECT event_type,
+                   percentile_disc(0.05) WITHIN GROUP (ORDER BY value)
+                       AS p05,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY value)
+                       AS p95
+            FROM events_w7 GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               MIN(p.p05) AS p05,
+               MIN(p.p95) AS p95,
+               FLOOR(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)) * 1e6
+                     + 0.5) / 1e6 AS winsor_mean
+        FROM events_w7 e JOIN p ON e.event_type = p.event_type
+        GROUP BY e.event_type
+    """)
+
+
+# --- Spark 4 SQL UDFs (scalar + table) ----------------------------------------
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    GROUP BY l_returnflag, tier
+    """,
+    doc="Spark 4 SQL user-defined functions (CREATE TEMPORARY FUNCTION "
+        "... RETURNS ... RETURN expr): a scalar discount-price UDF and a "
+        "scalar CASE tier UDF applied over lineitem. SQL UDFs are inlined "
+        "by the analyzer into the calling plan — unlike Python UDFs they "
+        "cost nothing at 100 TB (full codegen, pushdown through them "
+        "works). Revenue is summed in integer cents (row-wise "
+        "FLOOR(x*100+0.5) is deterministic; integer sums are order-free) "
+        "so the hash is exact without round_det.",
+    tags=("sql", "scalar"),
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_u7")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price_cents(
+            p DOUBLE, d DOUBLE) RETURNS BIGINT
+        RETURN CAST(FLOOR(p * (1.0 - d) * 100 + 0.5) AS BIGINT)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION qty_tier(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q >= 40 THEN 'bulk'
+                    WHEN q >= 10 THEN 'mid'
+                    ELSE 'small' END
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               qty_tier(l_quantity) AS tier,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(disc_price_cents(l_extendedprice, l_discount))
+                   AS revenue_cents
+        FROM lineitem_u7
+        GROUP BY l_returnflag, tier
+    """)
+
+
+# --- Arrow-native fixed-point norms (mapInArrow) -------------------------------
+
+@register(
+    "q_arrow_normalize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS ssq_units
+        FROM (SELECT vec_id,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                                + 0.5) AS BIGINT) AS qv
+              FROM embeddings)
+        GROUP BY vec_id
+    )
+    SELECT vec_id, ssq_units,
+           CAST(FLOOR(SQRT(CAST(ssq_units AS DOUBLE))) AS BIGINT)
+               AS norm_units
+    FROM q
+    ORDER BY ssq_units DESC, vec_id
+    LIMIT 20
+    """,
+    doc="Top-20 embedding L2 norms via mapInArrow "
+        "(operators/similarity.py:arrow_quantized_norms) — the Arrow-NATIVE "
+        "batch path: record batches flow Tungsten→Arrow→numpy views with "
+        "no pandas materialization, segment sums vectorize over the Arrow "
+        "list offsets (cumsum-diff), zero per-row Python. Fixed-point "
+        "int64 sums make the result invariant to batch boundaries and "
+        "bit-exact vs the oracle — which is what makes an Arrow UDF "
+        "hash-checkable at all. One narrow stage + TakeOrdered.",
+    tags=("llm", "similarity", "arrow"),
+)
+def q_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_par(spark, sf_dir, "embeddings")
+    return (S.arrow_quantized_norms(emb)
+            .orderBy(F.col("ssq_units").desc(), "vec_id")
+            .limit(20))
+
+
+# --- zone-map data-skipping statistics ------------------------------------------
+
+_ZONEMAP_ORACLE = """
+    WITH ranked AS (
+        SELECT o_orderdate,
+               (ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+                   // 750 AS zone_date,
+               (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+                   // 750 AS zone_key
+        FROM orders
+    ),
+    layouts AS (
+        SELECT 'date_sorted' AS layout, zone_date AS zone, o_orderdate
+        FROM ranked
+        UNION ALL
+        SELECT 'key_sorted' AS layout, zone_key AS zone, o_orderdate
+        FROM ranked
+    ),
+    zones AS (
+        SELECT layout, zone,
+               MIN(o_orderdate) AS zmin, MAX(o_orderdate) AS zmax,
+               COUNT(*) AS n_rows
+        FROM layouts GROUP BY layout, zone
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+                          AND zmin < TIMESTAMP '1997-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+           CAST(SUM(CASE WHEN zmax >= TIMESTAMP '1996-01-01'
+                          AND zmin < TIMESTAMP '1997-01-01'
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned
+    FROM zones GROUP BY layout
+"""
+
+
+@register(
+    "q_zonemap_skipping",
+    oracle=_ZONEMAP_ORACLE,
+    doc="Zone-map (min/max data-skipping) effectiveness audit: orders rows "
+        "are zoned 750-per-zone under two physical layouts — sorted by "
+        "(o_orderdate, o_orderkey) vs sorted by o_orderkey — and each "
+        "zone's min/max orderdate decides whether a 1996 range predicate "
+        "could skip it. This is exactly the math behind parquet row-group "
+        "pruning and clustering keys: the date-sorted layout scans ~1/6 "
+        "of zones, the key-sorted layout scans all of them — the audit a "
+        "pipeline runs BEFORE choosing a sort key for a 100 TB table "
+        "(companion to q_zorder_key, which builds the multi-column "
+        "variant's key). Window + two aggregates; deterministic "
+        "tie-broken row_number.",
+    tags=("analytics", "layout"),
+)
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_date = Window.orderBy("o_orderdate", "o_orderkey")
+    w_key = Window.orderBy("o_orderkey")
+    ranked = o.select(
+        "o_orderdate",
+        ((F.row_number().over(w_date) - 1)
+         .cast("long") / F.lit(750)).cast("long").alias("zone_date"),
+        ((F.row_number().over(w_key) - 1)
+         .cast("long") / F.lit(750)).cast("long").alias("zone_key"),
+    )
+    layouts = ranked.select(
+        F.lit("date_sorted").alias("layout"),
+        F.col("zone_date").alias("zone"), "o_orderdate",
+    ).unionByName(ranked.select(
+        F.lit("key_sorted").alias("layout"),
+        F.col("zone_key").alias("zone"), "o_orderdate",
+    ))
+    zones = (layouts.groupBy("layout", "zone")
+             .agg(F.min("o_orderdate").alias("zmin"),
+                  F.max("o_orderdate").alias("zmax"),
+                  F.count(F.lit(1)).alias("n_rows")))
+    hit = ((F.col("zmax") >= F.lit("1996-01-01").cast("timestamp"))
+           & (F.col("zmin") < F.lit("1997-01-01").cast("timestamp")))
+    return (zones.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_zones"),
+                 F.sum(F.when(hit, 1).otherwise(0)).alias("zones_scanned"),
+                 F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                 .alias("rows_scanned")))
+
+
+# --- language-balanced corpus sampling ------------------------------------------
+
+_LANG_BALANCE_ORACLE = """
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ),
+    quota AS (
+        SELECT MIN(c) AS m FROM (
+            SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM ranked, quota
+    WHERE rn <= quota.m
+    GROUP BY lang
+"""
+
+
+@register(
+    "q_lang_balanced_sample",
+    oracle=_LANG_BALANCE_ORACLE,
+    doc="Language-balanced downsampling: every language keeps exactly "
+        "min-language-count documents, chosen by md5(doc_id) hash order "
+        "(growth-stable — adding documents never evicts previously-kept "
+        "ones ranked ahead of them, the same salt-free discipline as "
+        "q_split_train_val). The quota is a one-row aggregate broadcast "
+        "via cross join; selection is one window rank per language "
+        "partition. The curation step between q_domain_mix_weights "
+        "(choosing target proportions) and q_temperature_mix (soft "
+        "reweighting) when the policy is hard equalization.",
+    tags=("llm", "curation"),
+)
+def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    quota = counts.agg(F.min("c").alias("m"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("lang", "doc_id", "n_chars",
+                      F.row_number().over(w).alias("rn"))
+    return (ranked.crossJoin(F.broadcast(quota))
+            .filter(F.col("rn") <= F.col("m"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.sum("n_chars").alias("chars_kept")))

@@ -1,0 +1,229 @@
+"""Round-7 operator tests: fixed-point k-means (naive-numpy bit-parity,
+empty-cluster carry, tie-break), prefix-filtered exact set-similarity
+join (equality vs the all-pairs ground truth + candidate reduction), BFS
+hop levels on a hand graph, mapInArrow norm batch-invariance, zone-map
+skipping ordering, and Spark 4 SQL table UDFs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.operators import clustering as C
+from canary_weather_etl_spark.operators import dedup as D
+from canary_weather_etl_spark.operators import graph as G
+from canary_weather_etl_spark.operators import similarity as S
+
+from conftest import SF_SMALL
+
+
+# --- k-means ------------------------------------------------------------------
+
+def _naive_kmeans(vecs: dict[int, list[float]], k: int, iterations: int,
+                  scale: int = 1_000_000):
+    """From-scratch pure-Python/numpy twin of kmeans_fixed: same
+    quantization, init, argmin tie-break, FLOOR centroid update,
+    empty-cluster carry. Independent implementation — no Spark."""
+    q = {i: np.floor(np.array(v, dtype=np.float64) * scale + 0.5)
+         .astype(np.int64) for i, v in vecs.items()}
+    cent = {c: q[c].copy() for c in range(k)}
+
+    def assign():
+        out = {}
+        for i, qv in q.items():
+            best = min(((int(((qv - cv) ** 2).sum()), c)
+                        for c, cv in cent.items()))
+            out[i] = best  # (dist, cid)
+        return out
+
+    for _ in range(iterations):
+        asg = assign()
+        for c in range(k):
+            members = [q[i] for i, (_, cc) in asg.items() if cc == c]
+            if members:
+                s = np.sum(members, axis=0, dtype=np.int64)
+                cent[c] = np.floor(s.astype(np.float64)
+                                   / len(members)).astype(np.int64)
+    final = assign()
+    prof = {}
+    for i, (dist, c) in final.items():
+        n, inertia, medoid = prof.get(c, (0, 0, None))
+        best = (i if medoid is None
+                else min((medoid, i),
+                         key=lambda x: (final[x][0], x)))
+        prof[c] = (n + 1, inertia + dist, best)
+    return prof
+
+
+def test_kmeans_matches_naive_twin(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+
+    qdf = C.quantize_vectors(emb)
+    asg, cent = C.kmeans_fixed(qdf, k=4, iterations=3)
+    got = {int(r["cluster_id"]):
+           (int(r["n_members"]), int(r["inertia_units"]),
+            int(r["medoid_vec_id"]))
+           for r in C.kmeans_cluster_profile(asg).collect()}
+    want = _naive_kmeans(vecs, k=4, iterations=3)
+    assert got == want
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # init points 0..3; every non-init point sits on top of point 0, and
+    # points 1..3 are mutually distinct far-away singletons — after one
+    # update, cluster 0's centroid moves to the mass, singleton clusters
+    # keep exactly one member each and their centroid stays put
+    pts = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0]),
+           (3, [10.0, 10.0])] + [(i, [0.001, 0.001]) for i in range(4, 20)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    qdf = C.quantize_vectors(df)
+    asg, cent = C.kmeans_fixed(qdf, k=4, iterations=2)
+    sizes = {int(r["cluster_id"]): int(r["n_members"])
+             for r in C.kmeans_cluster_profile(asg).collect()}
+    assert sizes == {0: 17, 1: 1, 2: 1, 3: 1}
+    # singleton clusters converge onto their own point; they never empty
+    assert cent[1] == [10_000_000, 0]
+    assert cent[2] == [0, 10_000_000]
+    # a TRUE empty cluster: identical init centroids → the (dist, cid)
+    # tie-break sends every point to cluster 0, cluster 1 gets zero
+    # members and must CARRY its previous centroid (the oracle's
+    # LEFT JOIN + COALESCE branch)
+    pts2 = [(0, [1.0]), (1, [1.0]), (2, [2.0]), (3, [0.5])]
+    df2 = spark.createDataFrame(pts2, "vec_id long, embedding array<double>")
+    qdf2 = C.quantize_vectors(df2)
+    _, cent2 = C.kmeans_fixed(qdf2, k=2, iterations=1)
+    assert cent2[1] == [1_000_000]           # carried, not NaN/dropped
+    assert cent2[0] == [1_125_000]           # floor(mean of all 4 points)
+
+
+def test_kmeans_assignment_tiebreak_smaller_cid(spark):
+    # two identical centroids: every point must land in cluster 0
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0]), (2, [3.0]), (3, [7.0])],
+        "vec_id long, embedding array<double>")
+    qdf = C.quantize_vectors(df)
+    asg = C.assign_clusters(qdf, {0: [1_000_000], 1: [1_000_000]})
+    assert {int(r["cluster_id"]) for r in asg.collect()} == {0}
+
+
+# --- prefix-filtered exact set-similarity join ---------------------------------
+
+def test_prefix_filter_equals_exact_jaccard(spark):
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {(r["a"], r["b"]): round(r["jaccard"], 9)
+           for r in D.near_dup_pairs_prefix_filter(
+               d, "doc_id", "text", n=2, threshold=0.5).collect()}
+    sh = D.shingle_table(d, "doc_id", "text", n=2)
+    want = {(r["a"], r["b"]): round(r["jaccard"], 9)
+            for r in D.exact_jaccard(sh, threshold=0.5).collect()}
+    assert got == want
+    assert len(want) > 0  # non-trivial fixture
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sets = D.shingle_sets(d, "doc_id", "text", n=2)
+    n_prefix = D.prefix_filter_candidates(sets, threshold=0.5).count()
+    # the naive shared-shingle join's candidate space
+    sh = D.shingle_table(d, "doc_id", "text", n=2)
+    l, r = sh.alias("l"), sh.alias("r")
+    n_full = (l.join(r, (F.col("l.shingle") == F.col("r.shingle"))
+                     & (F.col("l.doc") < F.col("r.doc")))
+              .select(F.col("l.doc"), F.col("r.doc")).distinct().count())
+    assert n_prefix < n_full
+    assert n_prefix > 0
+
+
+# --- BFS hop levels -------------------------------------------------------------
+
+def test_bfs_hop_levels_hand_graph(spark):
+    # path 1-2-3-4-5-6 plus disconnected pair 10-11: source is MIN id = 1,
+    # max_hops=4 → node 6 (hop 5) and the 10-11 component are unreachable
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    got = {(int(r["node"]), int(r["hop"]))
+           for r in G.bfs_hop_levels(edges, max_hops=4).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3), (5, 4)}
+
+
+def test_bfs_cycle_takes_min_hop(spark):
+    # cycle 1-2-3-1: node 3 reachable at hop 1 (via 3←1) not hop 2
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long")
+    got = {(int(r["node"]), int(r["hop"]))
+           for r in G.bfs_hop_levels(edges, max_hops=3).collect()}
+    assert got == {(1, 0), (2, 1), (3, 1)}
+
+
+# --- mapInArrow quantized norms --------------------------------------------------
+
+def test_arrow_norms_batch_invariant(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    one = sorted(tuple(r) for r in S.arrow_quantized_norms(
+        emb.coalesce(1)).collect())
+    many = sorted(tuple(r) for r in S.arrow_quantized_norms(
+        emb.repartition(7)).collect())
+    assert one == many
+    assert len(one) == emb.count()
+
+
+def test_arrow_norms_match_sql_fold(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    got = {int(r["vec_id"]): (int(r["ssq_units"]), int(r["norm_units"]))
+           for r in S.arrow_quantized_norms(emb).collect()}
+    # independent JVM-side fold over the same quantization
+    want_df = emb.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding",
+                        lambda x: F.floor(x.cast("double") * 1e6
+                                          + F.lit(0.5)).cast("long")),
+            F.lit(0).cast("long"), lambda acc, q: acc + q * q,
+        ).alias("ssq"))
+    want = {int(r["vec_id"]):
+            (int(r["ssq"]), int(np.floor(np.sqrt(float(r["ssq"])))))
+            for r in want_df.collect()}
+    assert got == want
+
+
+# --- zone-map skipping ------------------------------------------------------------
+
+def test_zonemap_sorted_layout_skips(spark):
+    from canary_weather_etl_spark.plans import REGISTRY
+    rows = {r["layout"]: r for r in
+            REGISTRY["q_zonemap_skipping"].fn(spark, SF_SMALL).collect()}
+    assert rows["date_sorted"]["n_zones"] == rows["key_sorted"]["n_zones"]
+    # the clustering-key layout must scan strictly fewer zones AND rows
+    assert (rows["date_sorted"]["zones_scanned"]
+            < rows["key_sorted"]["zones_scanned"])
+    assert (rows["date_sorted"]["rows_scanned"]
+            <= rows["key_sorted"]["rows_scanned"])
+    assert rows["date_sorted"]["zones_scanned"] > 0
+
+
+# --- Spark 4 SQL table UDF ---------------------------------------------------------
+
+def test_sql_table_udf(spark, sf_dir):
+    """CREATE TEMPORARY FUNCTION ... RETURNS TABLE — the table-valued
+    flavor of Spark 4 SQL UDFs (the scalar flavor is driver-checked via
+    q_sql_udf). Inlined by the analyzer like a parameterized view."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("orders_tvf")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION big_orders(th DOUBLE)
+        RETURNS TABLE (o_orderkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_orderkey, o_totalprice
+               FROM orders_tvf WHERE o_totalprice > th
+    """)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM big_orders(300000.0)").collect()[0]["n"]
+    want = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_tvf WHERE o_totalprice > 300000.0"
+    ).collect()[0]["n"]
+    assert got == want
+    assert 0 < got
