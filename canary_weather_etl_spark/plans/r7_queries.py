@@ -513,3 +513,214 @@ def q_lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum("doc_id").alias("id_sum"),
                  F.sum("n_chars").alias("chars_kept")))
+
+
+# --- positional-index phrase search ---------------------------------------------
+
+_PHRASES = ("value table part", "table window table", "a a the")
+
+_PHRASE_ORACLE = f"""
+    WITH phrases(phrase) AS (
+        VALUES {', '.join(f"('{p}')" for p in _PHRASES)}
+    )
+    SELECT p.phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+    FROM phrases p
+    JOIN documents d
+      ON ' ' || lower(trim(d.text)) || ' ' LIKE '% ' || p.phrase || ' %'
+    GROUP BY p.phrase
+"""
+
+
+@register(
+    "q_phrase_search",
+    oracle=_PHRASE_ORACLE,
+    doc="Exact phrase search via a POSITIONAL inverted index — the "
+        "retrieval-side twin of q_boolean_retrieval (which is "
+        "position-free conjunctive). Build (doc, pos, token) postings "
+        "once, join phrase terms against them, normalize every hit to its "
+        "would-be phrase start (pos − term_idx), and a phrase occurs "
+        "where one (doc, start) collects ALL its term indexes — one "
+        "equi-join + one aggregate, no per-document scan, repeated terms "
+        "inside a phrase handled by distinct-index counting. This is how "
+        "phrase queries run against a 100 TB corpus (posting-list "
+        "intersection); the oracle is the semantically-equal LIKE scan "
+        "('% phrase %' over space-joined lowercase text, exactly the "
+        "single-space tokenization the fixtures have).",
+    tags=("llm", "retrieval"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("pos", "token"))
+    terms = spark.createDataFrame(
+        [(p, i, t) for p in _PHRASES
+         for i, t in enumerate(p.split(" "))],
+        "phrase string, term_idx int, token string")
+    n_terms = (terms.groupBy("phrase")
+               .agg(F.count(F.lit(1)).alias("n_t")))
+    hits = (toks.join(F.broadcast(terms), "token")
+            .select("phrase", "doc_id",
+                    (F.col("pos") - F.col("term_idx")).alias("start"),
+                    "term_idx"))
+    occ = (hits.groupBy("phrase", "doc_id", "start")
+           .agg(F.count_distinct("term_idx").alias("k"))
+           .join(F.broadcast(n_terms), "phrase")
+           .filter(F.col("k") == F.col("n_t")))
+    return (occ.select("phrase", "doc_id").distinct()
+            .groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+# --- fixed-point TF-IDF document retrieval ---------------------------------------
+
+_TFIDF_RETRIEVAL_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               CAST(FLOOR(1000000000000 /
+                          (COUNT(DISTINCT doc_id) * COUNT(DISTINCT doc_id)))
+                    AS BIGINT) AS w_units
+        FROM tf GROUP BY term
+    ),
+    qv AS (SELECT term, tf AS tf_q FROM tf WHERE doc_id = 0)
+    SELECT d.doc_id,
+           CAST(SUM(q.tf_q * d.tf * i.w_units) AS BIGINT) AS score_units
+    FROM tf d
+    JOIN qv q ON d.term = q.term
+    JOIN idf i ON d.term = i.term
+    WHERE d.doc_id <> 0
+    GROUP BY d.doc_id
+    ORDER BY score_units DESC, d.doc_id
+    LIMIT 10
+"""
+
+
+@register(
+    "q_tfidf_retrieval",
+    oracle=_TFIDF_RETRIEVAL_ORACLE,
+    doc="Query-by-document sparse retrieval: rank the corpus against "
+        "doc 0 by an inverse-df² weighted term-overlap score, entirely in "
+        "integer fixed point (w(t) = ⌊1e12/df²⌋ — the rational stand-in "
+        "for idf² that avoids cross-engine ln() libm drift; tf·tf·w sums "
+        "are order-free int64). The sparse-retrieval complement to the "
+        "dense paths (q_sim_topk_bruteforce / ANN): one broadcast of the "
+        "query vector, one equi-join on term against the tf table, one "
+        "aggregate — at 100 TB the tf/idf tables are the persisted "
+        "inverted index and the query side stays a broadcast.",
+    tags=("llm", "retrieval"),
+)
+def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds idf, the query vector, and the corpus side — materialize once
+    tf.persist()
+    idf = (tf.groupBy("term")
+           .agg(F.count_distinct("doc_id").alias("df"))
+           .select("term", (F.lit(1_000_000_000_000).cast("long")
+                            / (F.col("df") * F.col("df")))
+                   .cast("long").alias("w_units")))
+    qv = (tf.filter(F.col("doc_id") == 0)
+          .select("term", F.col("tf").alias("tf_q")))
+    return (tf.filter(F.col("doc_id") != 0)
+            .join(F.broadcast(qv), "term")
+            .join(idf, "term")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("tf_q") * F.col("tf")
+                       * F.col("w_units")).alias("score_units"))
+            .orderBy(F.col("score_units").desc(), "doc_id")
+            .limit(10))
+
+
+# --- last-touch attribution --------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, ts, value
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tagged AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_us
+        FROM ev
+    ),
+    purchases AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               epoch_us(ts) - last_click_us AS lag_us,
+               CASE WHEN last_click_us IS NOT NULL
+                     AND epoch_us(ts) - last_click_us
+                         <= 7 * 86400 * 1000000::BIGINT
+                    THEN 1 ELSE 0 END AS attributed
+        FROM tagged WHERE event_type = 'purchase'
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN attributed = 1 THEN lag_us END) AS BIGINT)
+               AS lag_us_sum,
+           CAST(SUM(CASE WHEN attributed = 1
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         END) AS BIGINT) AS attributed_cents
+    FROM purchases
+    GROUP BY day
+"""
+
+
+@register(
+    "q_attribution_last_touch",
+    oracle=_ATTRIBUTION_ORACLE,
+    doc="Last-touch attribution: each purchase attributes to the user's "
+        "most recent STRICTLY-PRIOR click within a 7-day window — the "
+        "standard marketing-analytics join, expressed as one window "
+        "aggregate (MAX of click-timestamps over ROWS UNBOUNDED PRECEDING "
+        "TO 1 PRECEDING, deterministic (ts, event_id) order) instead of "
+        "an as-of self-join: one shuffle on user_id, no join at all. "
+        "Lags are exact epoch-microsecond integers; attributed revenue "
+        "sums in integer cents.",
+    tags=("analytics", "window"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("user_id", "event_id", "event_type", "ts", "value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tagged = ev.withColumn(
+        "last_click_us",
+        F.max(F.when(F.col("event_type") == "click",
+                     F.unix_micros("ts"))).over(w))
+    lag_us = F.unix_micros("ts") - F.col("last_click_us")
+    attributed = (F.col("last_click_us").isNotNull()
+                  & (lag_us <= F.lit(7 * 86400 * 1_000_000).cast("long")))
+    purchases = (tagged.filter(F.col("event_type") == "purchase")
+                 .select(F.to_date("ts").alias("day"),
+                         "value", lag_us.alias("lag_us"),
+                         attributed.cast("int").alias("attributed")))
+    return (purchases.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("attributed").alias("n_attributed"),
+                 F.sum(F.when(F.col("attributed") == 1,
+                              F.col("lag_us"))).alias("lag_us_sum"),
+                 F.sum(F.when(F.col("attributed") == 1,
+                              F.floor(F.col("value") * 100 + F.lit(0.5))
+                              .cast("long"))).alias("attributed_cents")))
