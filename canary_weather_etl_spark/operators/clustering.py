@@ -35,6 +35,14 @@ Determinism contract: init takes the first ``k`` points by id
 (vec_id < k), ties in the argmin break toward the smaller centroid id,
 and empty clusters keep their previous centroid — each rule mirrored in
 the oracle.
+
+k-scaling limit: the literal-centroid argmin inlines k·dims integers
+into one expression tree — ideal for the small-k regimes here (k ≤ ~50;
+plan size and codegen grow linearly in k·dims). For large-k corpus
+clustering (k in the thousands), switch the assignment to a broadcast
+join against a centroid DataFrame + ``min_by`` aggregation: one extra
+shuffle of assignment rows per iteration, but constant-size plans. Same
+integer arithmetic, same oracle semantics.
 """
 
 from __future__ import annotations

@@ -212,17 +212,21 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_setjoin_prefix_filter",
     oracle=_JACCARD_SQL,
-    doc="EXACT word-bigram Jaccard pairs (≥0.5) via PPJoin-style prefix "
-        "filtering (operators/dedup.py:prefix_filter_candidates): shingles "
-        "are globally ordered rarest-first (ascending document frequency), "
-        "each document joins only on its prefix of length "
-        "|s|−⌈τ·|s|⌉+1, then candidates verify with array-intersect "
-        "Jaccard. Same result set as q_ngram_jaccard_pairs (same oracle) "
-        "but WITHOUT the all-pairs shared-shingle join — the hot shingles "
-        "that make the naive join quadratic never enter any prefix, so "
-        "this is the 100 TB path when exactness is required and MinHash "
-        "recall <1 is not acceptable. Candidate-reduction and "
-        "equality-vs-exact are pinned in pytest.",
+    doc="EXACT word-bigram Jaccard pairs (≥0.5) via PPJoin prefix+"
+        "positional filtering (operators/dedup.py:prefix_filter_candidates):"
+        " shingles globally ordered rarest-first, each document joins only "
+        "on its prefix of length |s|−⌈τ·|s|⌉+1, the positional filter "
+        "drops pairs whose shared-token ranks cap the achievable overlap "
+        "below ⌈τ/(1+τ)·(|a|+|b|)⌉, survivors verify with array-intersect "
+        "Jaccard. Same result set as q_ngram_jaccard_pairs (same oracle). "
+        "Regime (measured, scripts/setjoin_scale.py + SCALE.md): on "
+        "SKEWED token frequencies — real corpora, where boilerplate "
+        "shingles shared by every document make the count-based all-pairs "
+        "join quadratic — hot shingles never enter any prefix and this is "
+        "the exact-join scale path; on the near-uniform synthetic fixture "
+        "(no rare tokens → dense candidates) the count-based join wins "
+        "instead. Candidate-reduction and equality-vs-exact pinned in "
+        "pytest.",
     tags=("llm", "dedup"),
 )
 def q_setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,22 +435,24 @@ _ZONEMAP_ORACLE = """
     tags=("analytics", "layout"),
 )
 def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w_date = Window.orderBy("o_orderdate", "o_orderkey")
-    w_key = Window.orderBy("o_orderkey")
-    ranked = o.select(
-        "o_orderdate",
-        ((F.row_number().over(w_date) - 1)
-         .cast("long") / F.lit(750)).cast("long").alias("zone_date"),
-        ((F.row_number().over(w_key) - 1)
-         .cast("long") / F.lit(750)).cast("long").alias("zone_key"),
-    )
-    layouts = ranked.select(
+    from ..operators.ranking import global_rank
+
+    o = load(spark, sf_dir, "orders").select("o_orderdate", "o_orderkey")
+    # global row numbers via the DISTRIBUTED rank operator (range
+    # partition + per-partition offsets), NOT Window.orderBy() without
+    # partitionBy — the single-task global sort is exactly the
+    # anti-pattern this repo's global_rank exists to avoid (its 10x
+    # decade point regressed 3.3x before this change; the zone
+    # assignment itself is embarrassingly parallel)
+    rd = global_rank(o, [F.col("o_orderdate"), F.col("o_orderkey")],
+                     out_col="r")
+    rk = global_rank(o, [F.col("o_orderkey")], out_col="r")
+    layouts = rd.select(
         F.lit("date_sorted").alias("layout"),
-        F.col("zone_date").alias("zone"), "o_orderdate",
-    ).unionByName(ranked.select(
+        F.expr("r div 750").alias("zone"), "o_orderdate",
+    ).unionByName(rk.select(
         F.lit("key_sorted").alias("layout"),
-        F.col("zone_key").alias("zone"), "o_orderdate",
+        F.expr("r div 750").alias("zone"), "o_orderdate",
     ))
     zones = (layouts.groupBy("layout", "zone")
              .agg(F.min("o_orderdate").alias("zmin"),
@@ -724,3 +730,158 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("attributed") == 1,
                               F.floor(F.col("value") * 100 + F.lit(0.5))
                               .cast("long"))).alias("attributed_cents")))
+
+
+# --- incremental k-means assignment (persisted centroids) -----------------------
+
+def _kmeans_assign_oracle(k: int = 4, iterations: int = 3,
+                          batch_mod: int = 10, batch_rem: int = 7) -> str:
+    """Same unrolled training CTEs as _kmeans_oracle, but the final select
+    aggregates the assignment of the NEW-BATCH subset only."""
+    body = _kmeans_oracle(k=k, iterations=iterations)
+    head, _, _ = body.rpartition("SELECT a.cid AS cluster_id")
+    return head + f"""SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(dist) AS BIGINT) AS dist_units_sum,
+           MIN(vec_id) AS first_vec_id
+    FROM afin
+    WHERE vec_id % {batch_mod} = {batch_rem}
+    GROUP BY cid
+    """
+
+
+@register(
+    "q_kmeans_assign_incremental",
+    oracle=_kmeans_assign_oracle(k=4, iterations=3),
+    doc="Incremental corpus admission for semantic clustering: centroids "
+        "train ONCE (same 3-iteration fixed-point Lloyd as "
+        "q_kmeans_lloyd), persist to a parquet quantizer table — the same "
+        "persisted-model pattern as the IVF quantizer "
+        "(operators/similarity.py) and incremental MinHash admission "
+        "(q_dedup_incremental) — then each NEW batch (here vec_id%10==7) "
+        "assigns with ZERO shuffles: read k rows, inline as literals, one "
+        "narrow projection over the batch. At 100 TB this is the "
+        "every-day path (train weekly, assign per-arrival, O(batch) not "
+        "O(corpus)); the training cost amortizes away. The oracle "
+        "re-derives the same centroids and filters its final assignment "
+        "to the batch.",
+    tags=("llm", "clustering", "incremental"),
+)
+def q_kmeans_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_par(spark, sf_dir, "embeddings")
+    qdf = C.quantize_vectors(emb)
+    qdf.persist()
+    _, cent = C.kmeans_fixed(qdf, k=4, iterations=3)
+    # persist the model as a table (the "quantizer"), then load it back —
+    # the round trip is the point: assignment must not depend on the
+    # training lineage being alive
+    base = tempfile.mkdtemp(prefix="canary_kmeans_model_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    model_path = os.path.join(base, "centroids.parquet")
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cent.items())],
+        "cluster_id int, centroid array<long>",
+    ).write.mode("overwrite").parquet(model_path)
+    loaded = {int(r["cluster_id"]): [int(v) for v in r["centroid"]]
+              for r in spark.read.parquet(model_path).collect()}
+    batch = qdf.filter(F.col("vec_id") % 10 == 7)
+    asg = C.assign_clusters(batch, loaded)
+    return (asg.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_batch"),
+                 F.sum("dist_units").alias("dist_units_sum"),
+                 F.min("vec_id").alias("first_vec_id")))
+
+
+# --- grouping_id over GROUPING SETS ----------------------------------------------
+
+@register(
+    "q_grouping_id",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="grouping()/grouping_id() metadata over GROUPING SETS — the "
+        "marker columns that let a consumer tell a real NULL group from a "
+        "rolled-up one (q_grouping_sets covers the sets themselves; this "
+        "covers the disambiguation functions, same bit convention in "
+        "Spark and DuckDB: one bit per column, 1 = aggregated-away). "
+        "Revenue in integer cents, order-free.",
+    tags=("agg", "sql"),
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_g7")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS total_cents
+        FROM orders_g7
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+    """)
+
+
+# --- MapType operator family -------------------------------------------------------
+
+@register(
+    "q_map_functions",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, CAST(n AS BIGINT) AS n, cents
+    FROM counts
+    WHERE n >= 12
+    """,
+    doc="MapType operator family: per-user maps event_type→struct(n, "
+        "cents) built with map_from_entries(collect_list(struct(...))), "
+        "thinned with map_filter (n ≥ 12), values projected with "
+        "transform_values, then exploded back to rows. The map stays "
+        "inside one aggregate-project stage — maps are a LAYOUT choice "
+        "(one row per user with typed kv-state, e.g. for feature stores "
+        "or applyInPandasWithState payloads), not a semantics change, "
+        "which is exactly why the oracle can be plain relational: "
+        "build→filter→explode must round-trip losslessly.",
+    tags=("scalar", "map"),
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))
+                      .cast("long")).alias("cents")))
+    maps = (per.groupBy("user_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("event_type",
+                                        F.struct("n", "cents"))))
+                 .alias("m")))
+    thinned = maps.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda _, v: v["n"] >= 12),
+            lambda _, v: v).alias("m"))
+    return (thinned.select("user_id",
+                           F.explode("m").alias("event_type", "v"))
+            .select("user_id", "event_type",
+                    F.col("v.n").alias("n"), F.col("v.cents").alias("cents")))

@@ -68,24 +68,32 @@ def stream_session_agg(events: DataFrame,
 def stream_stream_join(left: DataFrame, right: DataFrame,
                        key: str = "user_id",
                        watermark: str = "2 hours",
-                       max_delay: str = "30 minutes") -> DataFrame:
-    """Watermarked stream-stream inner join: a left event joins right
-    events of the same ``key`` whose timestamp falls within
-    [l.ts − max_delay, l.ts] — the attribution shape (purchase ← clicks
-    that preceded it within the window).
+                       max_delay: str = "30 minutes",
+                       how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join: a left event joins right events of
+    the same ``key`` whose timestamp falls within [l.ts − max_delay, l.ts]
+    — the attribution shape (purchase ← clicks that preceded it within
+    the window; the batch twin is q_attribution_last_touch).
 
     Both sides carry watermarks AND the join condition bounds event-time
     distance, so Spark can evict buffered rows once the watermark passes
     ts + max_delay: state is O(events inside the horizon) per key, not
     O(stream). Without the time bound a stream-stream join would buffer
     forever — the condition is load-bearing, not a filter.
+
+    ``how='leftOuter'`` keeps unmatched left rows (purchases with NO
+    prior click — the rows last-touch attribution marks unattributed):
+    Spark emits them with a null right side only once the watermark
+    passes their eviction point, i.e. outer results arrive LATE by up to
+    (watermark + max_delay) — the test proves this with a flush event
+    that drags the watermark past the horizon.
     """
     l = left.alias("l").withWatermark("ts", watermark)
     r = right.alias("r").withWatermark("ts", watermark)
     cond = F.expr(
         f"l.{key} = r.{key} AND r.ts >= l.ts - interval {max_delay} "
         f"AND r.ts <= l.ts")
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col("l.event_id").alias("left_event_id"),
         F.col("l.ts").alias("left_ts"),

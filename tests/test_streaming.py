@@ -310,3 +310,48 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir, sf_dir):
     # the dim side broadcasts (stateless per micro-batch; the windowed agg
     # is the only stateful shuffle)
     assert "BroadcastHashJoin" in batch_plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: purchases with no prior
+    click within the interval must emit with a null right side — but only
+    after the watermark passes their eviction point, so the stream ends
+    with a far-future flush event (on both sides: multipleWatermarkPolicy
+    is min) that drags the watermark past every real row's horizon. The
+    result must equal the batch left-outer with the identical condition."""
+    import time as _time
+    from datetime import timedelta
+
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("purchase", "click")))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + timedelta(days=30)
+    d = str(tmp_path / "ev_outer")
+    ev.coalesce(2).write.mode("overwrite").parquet(d)
+    _time.sleep(1.1)  # file source orders by mtime: flush must arrive LAST
+    spark.createDataFrame(
+        [(10**9, flush_ts, -1, "purchase", 0.0, "{}"),
+         (10**9 + 1, flush_ts, -1, "click", 0.0, "{}")],
+        ev.schema).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "purchase"),
+                df.filter(F.col("event_type") == "click"))
+
+    sl, sr = split(J.read_events_stream(spark, d, schema,
+                                        max_files_per_trigger=1))
+    _run_to_memory(J.stream_stream_join(sl, sr, how="leftOuter"),
+                   "ssouter", "append")
+    got = {tuple(r) for r in spark.sql(
+        "SELECT * FROM ssouter WHERE user_id <> -1").collect()}
+
+    bl, br = split(spark.read.parquet(d).filter(F.col("user_id") != -1))
+    exp = {tuple(r) for r in
+           J.stream_stream_join(bl, br, how="leftOuter").collect()}
+    assert got == exp
+    unmatched = {t for t in exp if t[3] is None}  # null right_event_id
+    assert len(unmatched) > 0, "fixture has no unattributed purchases"
+    inner = {t for t in exp if t[3] is not None}
+    assert inner and inner < exp
