@@ -885,3 +885,234 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.explode("m").alias("event_type", "v"))
             .select("user_id", "event_type",
                     F.col("v.n").alias("n"), F.col("v.cents").alias("cents")))
+
+
+# --- linear regression via normal equations ---------------------------------------
+
+def _linreg_sql(table: str) -> str:
+    """Shared SQL text for Spark and DuckDB — the Cramer expressions must
+    be TEXTUALLY identical so both engines evaluate the same IEEE-754
+    operation tree (double arithmetic is deterministic per-op; only the
+    tree shape could differ, so it is pinned by sharing the string)."""
+    return f"""
+    WITH q AS (
+        SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+               CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS x2,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM {table}
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+        FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           FLOOR((sy * (s11 * s22 - s12 * s12)
+                  - s1 * (s1y * s22 - s12 * s2y)
+                  + s2 * (s1y * s12 - s11 * s2y))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) * 1e6 + 0.5) / 1e6
+               AS beta0,
+           FLOOR((n * (s1y * s22 - s12 * s2y)
+                  - sy * (s1 * s22 - s12 * s2)
+                  + s2 * (s1 * s2y - s1y * s2))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) * 1e6 + 0.5) / 1e6
+               AS beta1,
+           FLOOR((n * (s11 * s2y - s1y * s12)
+                  - s1 * (s1 * s2y - s1y * s2)
+                  + sy * (s1 * s12 - s11 * s2))
+                 / (n * (s11 * s22 - s12 * s12)
+                    - s1 * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s12 - s11 * s2)) * 1e6 + 0.5) / 1e6
+               AS beta2
+    FROM s
+    """
+
+
+@register(
+    "q_linreg_normal_eq",
+    oracle=_linreg_sql("lineitem"),
+    doc="Multi-feature linear regression trained distributively via the "
+        "normal equations: price_cents ~ quantity + discount over "
+        "lineitem. ONE map-side-combinable aggregate computes the nine "
+        "Gram/moment sums (XᵀX, Xᵀy) over fixed-point features — integer "
+        "products bounded (< 2^63 to ~200x sf0.1; the quantization scales "
+        "are chosen for that headroom) and order-free — then a 3x3 Cramer "
+        "solve runs on the one-row aggregate in doubles (sums < 2^53 are "
+        "exact in double; the Cramer expression TEXT is shared with the "
+        "oracle so both engines evaluate the identical IEEE tree). This "
+        "is how closed-form model fitting runs at 100 TB: the corpus pass "
+        "is a partial-aggregated scan, the solve is O(p³) on the driver "
+        "side of the plan — the third trained-model operator after BPE "
+        "and k-means. Betas are in quantized units (x1: 1e-2 qty, x2: "
+        "1e-4 discount, y: cents), rounded 6dp.",
+    tags=("agg", "ml"),
+)
+def q_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lr7")
+    return spark.sql(_linreg_sql("lineitem_lr7"))
+
+
+# --- binaryFile source scan ----------------------------------------------------------
+
+@register(
+    "q_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 40
+    """,
+    doc="Raw-bytes ingestion through Spark's `binaryFile` source — the "
+        "entry point for multimodal corpora (images/audio arrive as "
+        "opaque files; operators/multimodal.py takes over from the binary "
+        "column this source produces). The first 40 documents' text is "
+        "materialized as individual .bin files, read back as "
+        "(path, modificationTime, length, content), id recovered from "
+        "the path (the lineage-from-path discipline of the weather "
+        "ingest), and byte fidelity proven by md5: the oracle hashes the "
+        "ORIGINAL table text, so any byte lost or reordered by the "
+        "write→scan round trip breaks the hash. Fixture text is pure "
+        "ASCII, making DuckDB's VARCHAR md5 byte-equivalent.",
+    tags=("source", "multimodal"),
+)
+def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text").collect())  # bounded: 40 small rows
+    base = tempfile.mkdtemp(prefix="canary_binaryfile_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    for r in docs:
+        with open(os.path.join(base, f"doc_{int(r['doc_id']):06d}.bin"),
+                  "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    binf = spark.read.format("binaryFile").load(f"{base}/*.bin")
+    return binf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"))
+
+
+# --- Bellman-Ford weighted shortest paths --------------------------------------------
+
+def _bellman_ford_oracle(rounds: int = 4) -> str:
+    """Unrolled relaxation rounds over the weighted co-activity graph
+    (weight = 1000 // shared-cell-count: stronger ties are shorter).
+    Same iterative-oracle pattern as PageRank/k-core/k-means."""
+    iters = []
+    prev = "d0"
+    for t in range(1, rounds + 1):
+        iters.append(f"""
+    d{t} AS (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.dist + e.w AS dist
+            FROM {prev} p JOIN edges e ON e.src = p.node
+        ) GROUP BY node
+    )""")
+        prev = f"d{t}"
+    return f"""
+    WITH act0 AS (
+        SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hb
+        FROM events
+    ),
+    cellsz AS (
+        SELECT event_type, hb FROM act0
+        GROUP BY 1, 2 HAVING COUNT(*) <= 40
+    ),
+    act AS (
+        SELECT a.user_id, a.event_type, a.hb
+        FROM act0 a JOIN cellsz c
+          ON a.event_type = c.event_type AND a.hb = c.hb
+    ),
+    e0 AS (
+        SELECT a.user_id AS u1, b.user_id AS u2,
+               CAST(1000 // COUNT(*) AS BIGINT) AS w
+        FROM act a JOIN act b
+          ON a.hb = b.hb AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    ),
+    edges AS (
+        SELECT u1 AS src, u2 AS dst, w FROM e0
+        UNION ALL
+        SELECT u2 AS src, u1 AS dst, w FROM e0
+    ),
+    s AS (SELECT MIN(src) AS node FROM edges),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM s),
+    {','.join(iters)}
+    SELECT node, dist FROM {prev}
+    ORDER BY dist, node
+    LIMIT 25
+    """
+
+
+@register(
+    "q_bellman_ford",
+    oracle=_bellman_ford_oracle(4),
+    doc="Weighted single-source shortest paths: 4 Bellman-Ford relaxation "
+        "rounds over the co-activity graph with integer edge weights "
+        "(1000 div shared-cells — stronger ties are shorter), from the "
+        "smallest node. The weighted upgrade of q_bfs_reach and the "
+        "fourth iterative-algorithm family with an unrolled bit-exact SQL "
+        "oracle (PageRank, k-means, k-core before it): per round one "
+        "equi-join dist⨝edges + one MIN groupBy — two shuffles on stable "
+        "keys, lineage cut by localCheckpoint, integer distances so MIN "
+        "is order-free. Top-25 closest nodes surface.",
+    tags=("graph", "iterative"),
+)
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    act0 = (ev.select("user_id", "event_type",
+                      F.date_trunc("hour", "ts").alias("hb")).distinct())
+    cellsz = (act0.groupBy("event_type", "hb")
+              .agg(F.count(F.lit(1)).alias("n_in_cell"))
+              .filter(F.col("n_in_cell") <= 40)
+              .drop("n_in_cell"))
+    act = act0.join(cellsz, ["event_type", "hb"])
+    a, b = act.alias("a"), act.alias("b")
+    e0 = (a.join(b, (F.col("a.hb") == F.col("b.hb"))
+                 & (F.col("a.event_type") == F.col("b.event_type"))
+                 & (F.col("a.user_id") < F.col("b.user_id")))
+          .groupBy(F.col("a.user_id").alias("u1"),
+                   F.col("b.user_id").alias("u2"))
+          .agg(F.count(F.lit(1)).alias("shared"))
+          .filter(F.col("shared") >= 3)
+          .select("u1", "u2",
+                  F.expr("1000 div shared").cast("long").alias("w")))
+    edges = (e0.select(F.col("u1").alias("src"), F.col("u2").alias("dst"),
+                       "w")
+             .union(e0.select(F.col("u2").alias("src"),
+                              F.col("u1").alias("dst"), "w"))
+             # edge build feeds every relaxation round — materialize once
+             .localCheckpoint(eager=True))
+    src = (edges.agg(F.min("src").alias("node"))
+           .withColumn("dist", F.lit(0).cast("long")))
+    dist = src.localCheckpoint(eager=True)
+    for _ in range(4):
+        relaxed = (dist.join(edges, dist["node"] == edges["src"])
+                   .select(F.col("dst").alias("node"),
+                           (dist["dist"] + edges["w"]).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+    return dist.orderBy("dist", "node").limit(25)

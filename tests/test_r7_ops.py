@@ -227,3 +227,31 @@ def test_sql_table_udf(spark, sf_dir):
     ).collect()[0]["n"]
     assert got == want
     assert 0 < got
+
+
+# --- linear regression (normal equations) ------------------------------------------
+
+def test_linreg_recovers_exact_model(spark, tmp_path_factory):
+    """Plant an EXACT linear relation in quantized units —
+    y_cents = 300 + 2·x1q − 1·x2q — and the normal-equations fit must
+    recover (300, 2, −1) to the rounded 6dp surfaced by the query."""
+    from canary_weather_etl_spark.plans import REGISTRY
+
+    tmp = str(tmp_path_factory.mktemp("linreg"))
+    rows = []
+    for i, (qty, disc) in enumerate(
+            [(1.0, 0.0), (2.0, 0.01), (3.0, 0.05), (7.0, 0.02),
+             (11.0, 0.08), (4.0, 0.04), (9.0, 0.0)]):
+        x1q = round(qty * 100)
+        x2q = round(disc * 10000)
+        y_cents = 300 + 2 * x1q - 1 * x2q
+        rows.append((i, qty, disc, y_cents / 100.0))
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_quantity double, l_discount double, "
+              "l_extendedprice double"
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    out = REGISTRY["q_linreg_normal_eq"].fn(spark, tmp).collect()[0]
+    assert out["n_rows"] == len(rows)
+    assert out["beta0"] == 300.0
+    assert out["beta1"] == 2.0
+    assert out["beta2"] == -1.0
