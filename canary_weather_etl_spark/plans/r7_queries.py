@@ -1116,3 +1116,212 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=True))
     return dist.orderBy("dist", "node").limit(25)
+
+
+# --- MMR diverse top-k selection -------------------------------------------------------
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy Maximal-Marginal-Relevance selection (λ = 0.5 →
+    integer score = rel − max-sim-to-selected). Same fixed-point dot
+    products as the k-means oracle; ties break to the smaller vec_id."""
+    parts = [f"""
+    q AS (
+        SELECT vec_id, u.ord AS ord,
+               CAST(FLOOR(CAST(u.val AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   AS qv
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {{'val': x, 'ord': i}})) AS u
+              FROM embeddings)
+    ),
+    rel AS (
+        SELECT d.vec_id, CAST(SUM(d.qv * q0.qv) AS BIGINT) AS rel
+        FROM q d JOIN q q0 ON d.ord = q0.ord AND q0.vec_id = 0
+        WHERE d.vec_id <> 0
+        GROUP BY d.vec_id
+    ),
+    sel0(svid) AS (SELECT CAST(NULL AS BIGINT) WHERE FALSE)"""]
+    for t in range(1, k + 1):
+        parts.append(f"""
+    cand{t} AS (
+        SELECT r.vec_id, r.rel,
+               r.rel - COALESCE(mx.m, 0) AS score
+        FROM rel r LEFT JOIN (
+            SELECT dv, CAST(MAX(dot) AS BIGINT) AS m FROM (
+                SELECT d.vec_id AS dv, s.svid,
+                       CAST(SUM(d.qv * sq.qv) AS BIGINT) AS dot
+                FROM sel{t - 1} s
+                JOIN q sq ON sq.vec_id = s.svid
+                JOIN q d ON d.ord = sq.ord
+                GROUP BY d.vec_id, s.svid
+            ) GROUP BY dv
+        ) mx ON mx.dv = r.vec_id
+        WHERE r.vec_id NOT IN (SELECT svid FROM sel{t - 1})
+    ),
+    pick{t} AS (
+        SELECT {t} AS pick_rank, vec_id, rel, CAST(score AS BIGINT)
+                   AS mmr_score
+        FROM cand{t} ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    sel{t}(svid) AS (
+        SELECT svid FROM sel{t - 1} UNION ALL SELECT vec_id FROM pick{t}
+    )""")
+    picks = " UNION ALL ".join(
+        f"SELECT pick_rank, vec_id, rel, mmr_score FROM pick{t}"
+        for t in range(1, k + 1))
+    return f"""
+    WITH {','.join(parts)}
+    {picks}
+    """
+
+
+@register(
+    "q_mmr_diverse_topk",
+    oracle=_mmr_oracle(5),
+    doc="Greedy Maximal-Marginal-Relevance selection of 5 documents for "
+        "query vector 0 (λ = 0.5 → integer score = relevance-dot − "
+        "max-dot-to-already-selected) — the diversity-aware retrieval "
+        "step behind few-shot example selection and dedup-aware RAG "
+        "context packing; plain top-k (q_sim_topk_bruteforce) returns "
+        "near-duplicates, MMR provably spaces them out. Fifth iterative "
+        "family with an unrolled bit-exact SQL oracle: per round ONE "
+        "narrow projection (relevance precomputed once; max-sim-to-"
+        "selected is a fold over ≤k literal vectors — no join) and a "
+        "TakeOrdered(1) whose single row returns to the driver (bounded, "
+        "the BPE-pair budget class). At 100 TB the corpus pass per round "
+        "is embarrassingly parallel and k is small by definition.",
+    tags=("llm", "similarity", "iterative"),
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_par(spark, sf_dir, "embeddings")
+    qdf = C.quantize_vectors(emb)
+    qdf.persist()
+    q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["qvec"]
+
+    def dot_to(vec):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+        return F.aggregate(F.zip_with("qvec", arr, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    pool = (qdf.filter(F.col("vec_id") != 0)
+            .withColumn("rel", dot_to(q0))
+            .localCheckpoint(eager=True))
+    selected: list[tuple[int, list[int]]] = []
+    picks = []
+    for t in range(1, 6):
+        if selected:
+            dots = [dot_to(v) for _, v in selected]
+            maxsel = dots[0] if len(dots) == 1 else F.greatest(*dots)
+        else:
+            maxsel = F.lit(0).cast("long")
+        remaining = pool.filter(
+            ~F.col("vec_id").isin([i for i, _ in selected]))
+        top = (remaining.withColumn("mmr_score", F.col("rel") - maxsel)
+               .orderBy(F.col("mmr_score").desc(), "vec_id")
+               .limit(1).collect()[0])  # one row per round — bounded
+        picks.append((t, int(top["vec_id"]), int(top["rel"]),
+                      int(top["mmr_score"])))
+        selected.append((int(top["vec_id"]),
+                         [int(v) for v in top["qvec"]]))
+    return spark.createDataFrame(
+        picks, "pick_rank int, vec_id bigint, rel bigint, mmr_score bigint")
+
+
+# --- Spark 4 SQL pipe syntax + lateral column aliases ---------------------------------
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(FLOOR(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                      * 100 + 0.5) AS BIGINT))
+                      / COUNT(*)) AS BIGINT) AS avg_cents
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+    doc="Spark 4 SQL PIPE syntax (FROM … |> WHERE … |> EXTEND … |> "
+        "AGGREGATE … GROUP BY …) plus lateral column aliases (revenue "
+        "reused by the avg column in the same SELECT). Pure parser "
+        "surface — the plan is identical to the classic spelling the "
+        "oracle uses, which is the point: the pipeline-shaped SQL users "
+        "migrate toward compiles to the same Catalyst plan. Fixed-point "
+        "cents keep the hash exact; avg is FLOOR of an exact-int double "
+        "division on both sides (DuckDB's double→BIGINT CAST rounds "
+        "where Spark truncates — FLOOR removes the edge).",
+    tags=("sql",),
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_p7")
+    return spark.sql("""
+        FROM lineitem_p7
+        |> WHERE l_quantity >= 25
+        |> EXTEND CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100
+                             + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     SUM(cents) AS revenue_cents
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_items, revenue_cents,
+                  CAST(FLOOR(revenue_cents / n_items) AS BIGINT) AS avg_cents
+    """)
+
+
+# --- streaming Python DataSource reader, driver-hashed ---------------------------------
+
+@register(
+    "q_stream_datasource_read",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS n, CAST(i * i AS BIGINT) AS sq
+    FROM generate_series(0, 59) t(i)
+    """,
+    doc="Streaming Python DataSource READER end-to-end "
+        "(sources/sequence_source.py, Spark 4 SimpleDataSourceStreamReader):"
+        " the offset-cursored sequence source drains through a REAL "
+        "checkpointed parquet sink in micro-batches, then the sink is "
+        "read back and hash-compared against the closed form — any "
+        "duplicated, dropped, or mangled offset range breaks the hash. "
+        "The reader-side twin of q_manifest_sink_read (which hard-rows "
+        "the writer): with it, all four Python DataSource quadrants "
+        "(batch/stream × read/write) carry driver-visible evidence. "
+        "Bounded by construction (end=60); wall is trigger cadence, "
+        "not data.",
+    tags=("source", "streaming"),
+)
+def q_stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..sources.sequence_source import make_sequence_source
+
+    # factory-built class → cloudpickle BY VALUE: the streaming planner
+    # runs in its own Python worker that cannot import this repo when
+    # the driver session starts outside it (sequence_source docstring)
+    spark.dataSource.register(make_sequence_source())
+    base = tempfile.mkdtemp(prefix="canary_seqstream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out = os.path.join(base, "rows")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (spark.readStream.format("sequence_stream")
+              .option("end", "60").option("batch", "17").load())
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= 60:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    return spark.read.parquet(out)

@@ -255,3 +255,22 @@ def test_linreg_recovers_exact_model(spark, tmp_path_factory):
     assert out["beta0"] == 300.0
     assert out["beta1"] == 2.0
     assert out["beta2"] == -1.0
+
+
+# --- parameterized SQL -----------------------------------------------------------------
+
+def test_parameterized_sql_named_args(spark, sf_dir):
+    """spark.sql named-parameter markers (:name + args dict, Spark 3.4+):
+    literals bind at parse time — no string interpolation, no injection
+    surface. Must plan/execute identically to the inlined literal."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("orders_psql")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_psql "
+        "WHERE o_totalprice > :lo AND o_orderpriority = :prio",
+        args={"lo": 200000.0, "prio": "1-URGENT"}).collect()[0]["n"]
+    want = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_psql "
+        "WHERE o_totalprice > 200000.0 AND o_orderpriority = '1-URGENT'"
+    ).collect()[0]["n"]
+    assert got == want and got > 0

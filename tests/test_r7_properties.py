@@ -214,3 +214,46 @@ def test_attribution_property_vs_naive(spark, tmp_path_factory, evs):
     want = {d: (a[0], a[1], a[2] if a[4] else None, a[3] if a[4] else None)
             for d, a in agg.items()}
     assert got == want
+
+
+# --- Bellman-Ford ------------------------------------------------------------------
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 9))
+    .filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=16))
+@settings(**SETTINGS)
+def test_bellman_ford_property_vs_naive(spark, tmp_path_factory, edges):
+    """The registry query's relaxation core vs a naive Python
+    Bellman-Ford, on random weighted digraphs (both directions added,
+    min weight per (src,dst) to make the edge list a function of the
+    set). 4 rounds on both sides — partial distances must agree too."""
+    from pyspark.sql import functions as F
+
+    both = {}
+    for a, b, w in edges:
+        for s, d in ((a, b), (b, a)):
+            both[(s, d)] = min(both.get((s, d), 10**9), w)
+    rows = [(s, d, w) for (s, d), w in both.items()]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    e = df.localCheckpoint(eager=True)
+    src_node = min(s for s, _, _ in rows)
+    dist_df = (e.sparkSession.createDataFrame(
+        [(src_node, 0)], "node long, dist long").localCheckpoint(True))
+    for _ in range(4):
+        relaxed = (dist_df.join(e, dist_df["node"] == e["src"])
+                   .select(F.col("dst").alias("node"),
+                           (dist_df["dist"] + e["w"]).alias("dist")))
+        dist_df = (dist_df.unionByName(relaxed)
+                   .groupBy("node").agg(F.min("dist").alias("dist"))
+                   .localCheckpoint(True))
+    got = {int(r["node"]): int(r["dist"]) for r in dist_df.collect()}
+
+    want = {src_node: 0}
+    for _ in range(4):
+        nxt = dict(want)
+        for (s, d), w in both.items():
+            if s in want and want[s] + w < nxt.get(d, 10**18):
+                nxt[d] = want[s] + w
+        want = nxt
+    assert got == want

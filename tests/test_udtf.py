@@ -55,3 +55,39 @@ def test_udtf_chunker_lateral_join(spark):
     for r in short:
         assert r["chunk_idx"] == mx[r["doc_id"]]
     out.unpersist()
+
+
+def test_polymorphic_udtf_analyze_schema_from_argument(spark):
+    """Spark 4 polymorphic UDTF: `analyze()` derives the OUTPUT SCHEMA
+    from a constant argument at plan time — split_fixed(text, n) emits n
+    columns tok0..tok{n-1}. Two call sites with different n get
+    different schemas from one registration; planner-side analysis, no
+    runtime schema gymnastics."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument,
+                    n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = (text or "").split()
+            yield tuple(toks[i] if i < len(toks) else None
+                        for i in range(n))
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    out3 = spark.sql("SELECT * FROM split_fixed('alpha beta gamma', 3)")
+    assert out3.columns == ["tok0", "tok1", "tok2"]
+    assert [tuple(r) for r in out3.collect()] == [
+        ("alpha", "beta", "gamma")]
+    out5 = spark.sql("SELECT * FROM split_fixed('a b c', 5)")
+    assert out5.columns == ["tok0", "tok1", "tok2", "tok3", "tok4"]
+    assert [tuple(r) for r in out5.collect()] == [
+        ("a", "b", "c", None, None)]
