@@ -435,3 +435,52 @@ def test_sequence_stream_reader_checkpoint_restart(spark, tmp_path):
                  for r in spark.read.parquet(out).collect())
     assert got == [(n, n * n) for n in range(80)], \
         "restart must neither duplicate nor drop offset ranges"
+
+
+def test_rocksdb_state_store_dedupe(spark, tmp_path):
+    """RocksDB state store provider (built into Spark 4): the state
+    backend for 100 TB-class stateful streaming — state spills to local
+    disk instead of living on the JVM heap, so watermark-bounded state
+    can exceed executor memory. Same dropDuplicates stream as the HDFS
+    (default) provider, same result, and the checkpoint's state dir must
+    show RocksDB's zip-snapshot layout (proof the provider was active,
+    not silently defaulted)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = load(spark, "/root/testdata/sf0.001", "events").limit(150).cache()
+    d = str(tmp_path / "in")
+    base.write.mode("overwrite").parquet(d)
+    base.write.mode("append").parquet(d)  # resend → 300 rows, 150 distinct
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                         None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        schema = base.schema
+        stream = spark.readStream.schema(schema).parquet(d)
+        ckpt = str(tmp_path / "ckpt")
+        q = (stream.withWatermark("ts", "1 hour")
+             .dropDuplicates(["event_id"])
+             .writeStream.format("memory").queryName("rocksdedup")
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        n = spark.sql("SELECT COUNT(*) AS n FROM rocksdedup") \
+            .collect()[0]["n"]
+        assert n == 150
+        # RocksDB layout: versioned .zip snapshots (HDFS provider writes
+        # .delta/.snapshot files)
+        zips = [f for root, _, files in os.walk(os.path.join(ckpt, "state"))
+                for f in files if f.endswith(".zip")]
+        assert zips, "state dir shows no RocksDB zip snapshots"
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old)
