@@ -1325,3 +1325,42 @@ def q_stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination(30)
     return spark.read.parquet(out)
+
+
+# --- DataFrame stat API: crosstab ---------------------------------------------------
+
+@register(
+    "q_stat_crosstab",
+    oracle="""
+    SELECT CAST(user_id % 5 AS VARCHAR) AS ub_event_type,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id % 5
+    """,
+    doc="DataFrame statistics API: `df.stat.crosstab` — the contingency "
+        "table between a user bucket and event_type (pairwise frequency "
+        "EDA before choosing stratification or mix weights). Crosstab "
+        "pivots distinct column values into columns engine-side; the "
+        "projection pins a fixed column order and long counts so the "
+        "hash is deterministic. Oracle is the conditional-aggregation "
+        "spelling. Companion q_pivot covers the general pivot operator; "
+        "this covers the stat-API entry point.",
+    tags=("analytics", "stat"),
+)
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ct = (ev.withColumn("ub", (F.col("user_id") % 5).cast("string"))
+          .stat.crosstab("ub", "event_type"))
+    return ct.select(
+        F.col("ub_event_type"),
+        *[F.col(c).cast("long").alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")])
