@@ -250,8 +250,9 @@ _WINSOR_ORACLE = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            MIN(p.p05) AS p05,
            MIN(p.p95) AS p95,
-           FLOOR(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)) * 1e6 + 0.5)
-               / 1e6 AS winsor_mean
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95)
+                               * 100) AS BIGINT)) AS DOUBLE)
+               / 100 / COUNT(*) AS winsor_mean
     FROM events e JOIN p ON e.event_type = p.event_type
     GROUP BY e.event_type
 """
@@ -264,7 +265,9 @@ _WINSOR_ORACLE = """
         "mean a quality pipeline uses when MAD (q_anomaly_mad) flags heavy "
         "tails. percentile_disc returns actual data values (exact "
         "cross-engine); the clip is row-wise LEAST/GREATEST; the clipped "
-        "mean is the one reduction-ordered float aggregate → round_det(6). "
+        "mean uses the repo's exact-cents pattern (integer sum, "
+        "order-free — the clip of a 2-decimal value is a 2-decimal "
+        "value, so functions.exact_sum discipline applies verbatim). "
         "Plan: one exact-percentile aggregate (tiny: |groups| rows) "
         "broadcast back onto the fact scan — two shuffles total, the "
         "second with map-side partial aggregation.",
@@ -287,8 +290,9 @@ def q_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
                MIN(p.p05) AS p05,
                MIN(p.p95) AS p95,
-               FLOOR(AVG(LEAST(GREATEST(e.value, p.p05), p.p95)) * 1e6
-                     + 0.5) / 1e6 AS winsor_mean
+               CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.p05), p.p95)
+                                   * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 / COUNT(*) AS winsor_mean
         FROM events_w7 e JOIN p ON e.event_type = p.event_type
         GROUP BY e.event_type
     """)
