@@ -316,3 +316,41 @@ def test_analyze_table_statistics_feed_cbo(spark, tmp_path_factory):
             spark.conf.set("spark.sql.cbo.enabled", old)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- DataFrame stat API: freqItems / approxQuantile ------------------------------------
+
+def test_stat_freq_items_superset_of_exact(spark, sf_dir):
+    """df.stat.freqItems guarantees every item with frequency > support
+    appears (possible false positives, no false negatives) — assert the
+    contract against exact counts: superset of the exact heavy hitters."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    support = 0.15
+    got = set(ev.stat.freqItems(["event_type"], support)
+              .collect()[0]["event_type_freqItems"])
+    n = ev.count()
+    exact = {r["event_type"] for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") > support * n).collect()}
+    assert exact <= got
+    assert exact, "fixture has no heavy hitters at this support"
+
+
+def test_stat_approx_quantile_bounded_error(spark, sf_dir):
+    """df.stat.approxQuantile's relativeError contract: each returned
+    quantile's TRUE rank must lie within ±err·n of the requested rank."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value")
+    err = 0.01
+    qs = [0.1, 0.5, 0.9]
+    got = ev.stat.approxQuantile("value", qs, err)
+    vals = sorted(r["value"] for r in ev.collect())
+    n = len(vals)
+    import bisect
+    for q, v in zip(qs, got):
+        lo = bisect.bisect_left(vals, v)
+        hi = bisect.bisect_right(vals, v)
+        target = q * n
+        assert lo - err * n <= target <= hi + err * n, \
+            f"quantile {q}: value {v} rank [{lo},{hi}] vs target {target}"
