@@ -1,0 +1,198 @@
+"""Classic TPC-H queries (Q1, Q3, Q5, Q6, Q10, Q14) over the fixture
+schema — the industry-standard analytics shapes, run as close to the
+published SQL as the fixture columns allow (no l_shipmode/l_shipinstruct/
+o_shippriority/c_phone columns; those projections are dropped, predicates
+and join graphs are verbatim).
+
+Why these six: they exercise the canonical plan shapes — full-scan
+aggregate (Q1), selective filter-aggregate (Q6), mid-size 3-table join
+with top-k (Q3), 6-table snowflake with a cycle-closing n_nationkey
+equality (Q5), selective 4-table join with top-k (Q10), and a
+two-branch conditional aggregate ratio (Q14). Catalyst handles join
+ordering/broadcast selection; the point of the pack is that a user's
+existing TPC-H-shaped workload runs verbatim and hash-exact.
+
+Determinism discipline: all revenue math is the repo's exact-cents
+pattern (row-wise FLOOR(x*100+0.5) products are IEEE-deterministic;
+integer sums are order-free); quantities are integral doubles cast to
+BIGINT before summing; top-k queries add an explicit tie-break key to
+the official ORDER BY (the spec leaves ties undefined — hashes cannot).
+Dates are shifted from the spec's 1992-1998 window into the fixture's
+1995-2001 span at matching selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import load, register
+
+_CENTS = "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+def _sql_pair(name: str, spark_tables: tuple[str, ...], sql: str):
+    """Register a TPC-H query whose Spark side runs the SAME SQL text
+    over temp views — parser/optimizer parity is the point; the oracle
+    runs it over DuckDB's views. Table names are suffixed on the Spark
+    side to avoid clobbering other modules' views."""
+
+    spark_sql = sql
+    for t in spark_tables:
+        spark_sql = spark_sql.replace(f" {t}", f" {t}_tpch")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in spark_tables:
+            load(spark, sf_dir, t).createOrReplaceTempView(f"{t}_tpch")
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    return fn, sql
+
+
+_Q1_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_base_cents,
+           CAST(SUM({_CENTS}) AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                               * (1.0 + l_tax) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_charge_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3_SQL = f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                     .replace('l_discount', 'l.l_discount')}) AS BIGINT)
+               AS revenue_cents,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+_Q5_SQL = f"""
+    SELECT n.n_name,
+           CAST(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                     .replace('l_discount', 'l.l_discount')}) AS BIGINT)
+               AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+"""
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+_Q10_SQL = f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({_CENTS.replace('l_extendedprice', 'l.l_extendedprice')
+                     .replace('l_discount', 'l.l_discount')}) AS BIGINT)
+               AS revenue_cents,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+"""
+
+_Q14_SQL = """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(FLOOR(l.l_extendedprice
+                                         * (1.0 - l.l_discount) * 100
+                                         + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           FLOOR(100.0
+                 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(FLOOR(l.l_extendedprice
+                                                 * (1.0 - l.l_discount)
+                                                 * 100 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                       * (1.0 - l.l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+_PACK = (
+    ("q_tpch_q1", ("lineitem",), _Q1_SQL,
+     "TPC-H Q1 pricing summary: the canonical full-scan aggregate "
+     "(4 sums, 3 averages, count over two grouping flags). Exact-cents "
+     "sums; averages are exact-int-over-count double divisions."),
+    ("q_tpch_q3", ("customer", "orders", "lineitem"), _Q3_SQL,
+     "TPC-H Q3 shipping priority: BUILDING-segment orders placed before "
+     "and shipped after the cutoff; 3-table join, top-10 by revenue "
+     "(explicit l_orderkey tie-break added — the spec leaves ties "
+     "undefined, hashes cannot)."),
+    ("q_tpch_q5", ("customer", "orders", "lineitem", "supplier",
+                   "nation", "region"), _Q5_SQL,
+     "TPC-H Q5 local supplier volume: the 6-table snowflake whose "
+     "c_nationkey = s_nationkey equality closes a cycle in the join "
+     "graph — the classic join-order stress; Catalyst broadcasts the "
+     "dimension chain."),
+    ("q_tpch_q6", ("lineitem",), _Q6_SQL,
+     "TPC-H Q6 forecasting revenue change: the selective filter-"
+     "aggregate whose predicates (date range, discount band, quantity "
+     "cap) all push to the parquet scan."),
+    ("q_tpch_q10", ("customer", "orders", "lineitem", "nation"), _Q10_SQL,
+     "TPC-H Q10 returned item reporting: quarter of orders x returned "
+     "lineitems, revenue by customer, top-20 (explicit c_custkey "
+     "tie-break)."),
+    ("q_tpch_q14", ("lineitem", "part"), _Q14_SQL,
+     "TPC-H Q14 promotion effect: conditional-aggregate ratio over a "
+     "one-month shipdate slice joined to part; the percentage is one "
+     "double division of two exact integer sums, rounded 6dp."),
+)
+
+for _name, _tables, _sql, _doc in _PACK:
+    _fn, _oracle = _sql_pair(_name, _tables, _sql)
+    register(_name, oracle=_oracle,
+             doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
+                        "views (parser parity); the oracle runs it on "
+                        "DuckDB.",
+             tags=("tpch", "sql"))(_fn)
