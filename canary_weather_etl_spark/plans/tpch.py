@@ -1,16 +1,22 @@
-"""Classic TPC-H queries (Q1, Q3, Q5, Q6, Q10, Q14) over the fixture
+"""Classic TPC-H queries (Q1, Q3, Q5, Q6, Q7, Q10, Q13, Q14, Q15,
+Q17, Q18) over the fixture
 schema — the industry-standard analytics shapes, run as close to the
 published SQL as the fixture columns allow (no l_shipmode/l_shipinstruct/
 o_shippriority/c_phone columns; those projections are dropped, predicates
 and join graphs are verbatim).
 
-Why these six: they exercise the canonical plan shapes — full-scan
+Why these: they exercise the canonical plan shapes — full-scan
 aggregate (Q1), selective filter-aggregate (Q6), mid-size 3-table join
 with top-k (Q3), 6-table snowflake with a cycle-closing n_nationkey
 equality (Q5), selective 4-table join with top-k (Q10), and a
-two-branch conditional aggregate ratio (Q14). Catalyst handles join
-ordering/broadcast selection; the point of the pack is that a user's
-existing TPC-H-shaped workload runs verbatim and hash-exact.
+two-branch conditional aggregate ratio (Q14); pack 2 adds the
+double-role dimension (Q7), the outer-join-with-ON-filter distribution
+(Q13), the reused CTE + MAX scalar subquery (Q15), the correlated
+scalar subquery (Q17), and the HAVING'd IN-subquery re-join (Q18).
+Catalyst handles join ordering/broadcast selection; the point of the
+pack is that a user's existing TPC-H-shaped workload runs verbatim and
+hash-exact. The omitted queries need columns the fixtures lack
+(partsupp table, l_shipmode/commitdate/receiptdate, comments, phones).
 
 Determinism discipline: all revenue math is the repo's exact-cents
 pattern (row-wise FLOOR(x*100+0.5) products are IEEE-deterministic;
@@ -36,9 +42,13 @@ def _sql_pair(name: str, spark_tables: tuple[str, ...], sql: str):
     runs it over DuckDB's views. Table names are suffixed on the Spark
     side to avoid clobbering other modules' views."""
 
+    import re
+
     spark_sql = sql
     for t in spark_tables:
-        spark_sql = spark_sql.replace(f" {t}", f" {t}_tpch")
+        # \b-bounded: must not rewrite identifiers that merely CONTAIN a
+        # table name ("supplier_no" ⊃ "supplier" — observed, Q15)
+        spark_sql = re.sub(rf"\b{t}\b", f"{t}_tpch", spark_sql)
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in spark_tables:
@@ -195,4 +205,130 @@ for _name, _tables, _sql, _doc in _PACK:
              doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
                         "views (parser parity); the oracle runs it on "
                         "DuckDB.",
+             tags=("tpch", "sql"))(_fn)
+
+
+# --- pack 2: Q7, Q13, Q15, Q17, Q18 -------------------------------------------------
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS volume_cents
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                               AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_Q13_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+"""
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS small_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           FLOOR(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 100 / 7.0 * 1e6
+                 + 0.5) / 1e6 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
+      AND l.l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                        / COUNT(*))
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 20
+"""
+
+_PACK2 = (
+    ("q_tpch_q7", ("supplier", "lineitem", "orders", "customer",
+                   "nation"), _Q7_SQL,
+     "TPC-H Q7 volume shipping: bilateral trade between two nations by "
+     "ship year — the double-role nation dimension (n1 supplier-side, "
+     "n2 customer-side) with a symmetric OR predicate."),
+    ("q_tpch_q13", ("customer", "orders"), _Q13_SQL,
+     "TPC-H Q13 customer distribution: LEFT OUTER JOIN with the filter "
+     "ON THE JOIN (not WHERE — customers with zero qualifying orders "
+     "must survive as c_count=0), then the distribution of counts. The "
+     "o_orderpriority filter stands in for the spec's o_comment NOT "
+     "LIKE (no comment column in the fixtures)."),
+    ("q_tpch_q15", ("supplier", "lineitem"), _Q15_SQL,
+     "TPC-H Q15 top supplier: quarterly revenue CTE consumed twice "
+     "(join probe + MAX scalar subquery) — the view-reuse shape; exact "
+     "integer cents make the MAX-equality tie-safe."),
+    ("q_tpch_q17", ("lineitem", "part"), _Q17_SQL,
+     "TPC-H Q17 small-quantity-order revenue: the correlated scalar "
+     "subquery (per-part 20%-of-average quantity threshold) Catalyst "
+     "rewrites to an aggregate + self-join; the brand parameter is "
+     "derived (MIN brand) instead of a spec constant. avg_yearly is "
+     "one double division of an exact cents sum, 6dp."),
+    ("q_tpch_q18", ("customer", "orders", "lineitem"), _Q18_SQL,
+     "TPC-H Q18 large-volume customers: HAVING-filtered IN subquery "
+     "over the same fact table, re-joined for reporting, top-20 with "
+     "explicit (o_orderdate, o_orderkey) tie-breaks after the spec's "
+     "o_totalprice ordering."),
+)
+
+for _name, _tables, _sql, _doc in _PACK2:
+    _fn, _oracle = _sql_pair(_name, _tables, _sql)
+    register(_name, oracle=_oracle,
+             doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
+                        "views; the oracle runs it on DuckDB.",
              tags=("tpch", "sql"))(_fn)
