@@ -1,5 +1,6 @@
-"""Classic TPC-H queries (Q1, Q3, Q5, Q6, Q7, Q10, Q13, Q14, Q15,
-Q17, Q18) over the fixture
+"""Classic TPC-H queries (Q1, Q3, Q4, Q5, Q6, Q7, Q8, Q9, Q10, Q13,
+Q14, Q15, Q17, Q18, Q19, Q21, Q22 — 17 of 22; the remaining five need
+the partsupp table) over the fixture
 schema — the industry-standard analytics shapes, run as close to the
 published SQL as the fixture columns allow (no l_shipmode/l_shipinstruct/
 o_shippriority/c_phone columns; those projections are dropped, predicates
@@ -199,13 +200,18 @@ _PACK = (
      "double division of two exact integer sums, rounded 6dp."),
 )
 
+# Bench headliners: the full-scan aggregate, the 6-table snowflake, and
+# the IN-subquery re-join — the three classic plan shapes worth tracking
+# per-round in BENCH_r{N}.json.
+_BENCH = {"q_tpch_q1", "q_tpch_q5", "q_tpch_q18"}
+
 for _name, _tables, _sql, _doc in _PACK:
     _fn, _oracle = _sql_pair(_name, _tables, _sql)
     register(_name, oracle=_oracle,
              doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
                         "views (parser parity); the oracle runs it on "
                         "DuckDB.",
-             tags=("tpch", "sql"))(_fn)
+             tags=("tpch", "sql"), bench=_name in _BENCH)(_fn)
 
 
 # --- pack 2: Q7, Q13, Q15, Q17, Q18 -------------------------------------------------
@@ -331,4 +337,204 @@ for _name, _tables, _sql, _doc in _PACK2:
     register(_name, oracle=_oracle,
              doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
                         "views; the oracle runs it on DuckDB.",
-             tags=("tpch", "sql"))(_fn)
+             tags=("tpch", "sql"), bench=_name in _BENCH)(_fn)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3'
+                         THEN volume_cents ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+           CAST(SUM(volume_cents) AS BIGINT) AS total_cents,
+           FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                               THEN volume_cents ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume_cents) AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS mkt_share
+    FROM (
+        SELECT YEAR(o.o_orderdate) AS o_year,
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS volume_cents,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                AND TIMESTAMP '1997-12-31'
+          AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+_fn8, _oracle8 = _sql_pair(
+    "q_tpch_q8",
+    ("part", "lineitem", "supplier", "orders", "customer", "nation",
+     "region"), _Q8_SQL)
+register(
+    "q_tpch_q8", oracle=_oracle8,
+    doc="TPC-H Q8 national market share: the 8-way join (nation twice — "
+        "customer-side restricts the market region, supplier-side labels "
+        "the competitor) feeding a conditional-aggregate share ratio per "
+        "order year; the largest join graph in the pack. Share is one "
+        "double division of exact integer cents, 6dp. Spark runs the "
+        "IDENTICAL SQL text over temp views; the oracle runs it on "
+        "DuckDB.",
+    tags=("tpch", "sql"))(_fn8)
+
+
+# --- pack 3: Q4, Q9, Q19, Q21, Q22 ---------------------------------------
+# The fixture lacks l_commitdate/l_receiptdate (Q4, Q21's lateness test),
+# partsupp (Q9's supply cost), p_container + l_shipmode/l_shipinstruct
+# (Q19's extra conjuncts), and c_phone (Q22's country code). Each query
+# below keeps the published join graph, subquery structure, and aggregate
+# shape, substituting the nearest fixture-expressible predicate and
+# documenting the substitution. Everything else is verbatim.
+
+_Q4_SQL = """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT * FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+    GROUP BY o.o_orderpriority
+"""
+
+_Q9_SQL = """
+    SELECT supp_nation, o_year,
+           CAST(SUM(amount_cents) AS BIGINT) AS profit_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+        SELECT n.n_name AS supp_nation,
+               YEAR(o.o_orderdate) AS o_year,
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100
+                          + 0.5) AS BIGINT) AS amount_cents
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY supp_nation, o_year
+"""
+
+_Q19_SQL = """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+_Q21_SQL = """
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN flagged l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (
+          SELECT * FROM flagged l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT * FROM flagged l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+"""
+
+_Q22_SQL = """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(acctbal_cents) AS BIGINT) AS totacctbal_cents
+    FROM (
+        SELECT CAST(c.c_nationkey AS INT) AS cntrycode,
+               CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                   AS acctbal_cents
+        FROM customer c
+        WHERE c.c_nationkey IN (2, 3, 7, 11, 15, 19, 23)
+          AND CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) > (
+              SELECT CAST(SUM(CAST(FLOOR(c2.c_acctbal * 100 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / COUNT(*)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND c2.c_nationkey IN (2, 3, 7, 11, 15, 19, 23))
+          AND NOT EXISTS (
+              SELECT * FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    ) custsale
+    GROUP BY cntrycode
+"""
+
+_PACK3 = (
+    ("q_tpch_q4", ("orders", "lineitem"), _Q4_SQL,
+     "TPC-H Q4 order priority checking: the quarter-sliced EXISTS "
+     "semi-join counting orders by priority. The spec's lateness test "
+     "(l_commitdate < l_receiptdate — columns absent) is substituted "
+     "with ship-lag > 60 days, which keeps the correlated-EXISTS-into-"
+     "semi-join plan shape; the correlation binds BOTH the join key and "
+     "the outer o_orderdate in the comparison."),
+    ("q_tpch_q9", ("part", "lineitem", "supplier", "orders", "nation"),
+     _Q9_SQL,
+     "TPC-H Q9 product type profit: the 5-way join grouped by supplier "
+     "nation x order year with a LIKE filter on part name. The spec's "
+     "profit subtracts ps_supplycost*l_quantity (partsupp absent); the "
+     "adaptation keeps the join graph and grouping and reports exact "
+     "revenue cents."),
+    ("q_tpch_q19", ("lineitem", "part"), _Q19_SQL,
+     "TPC-H Q19 discounted revenue: the three-branch OR-of-ANDs join "
+     "predicate over brand x size-band x quantity-band — the classic "
+     "CNF-conversion stress where the common p_partkey equality must "
+     "still drive a hash join and the disjunction becomes a post-join "
+     "filter. Spec conjuncts on absent columns (p_container, "
+     "l_shipmode, l_shipinstruct) are dropped; size bands stand in for "
+     "container classes."),
+    ("q_tpch_q21", ("supplier", "lineitem", "orders"), _Q21_SQL,
+     "TPC-H Q21 suppliers who kept orders waiting: EXISTS (another "
+     "supplier on the order) + NOT EXISTS (another LATE supplier) over "
+     "the same flagged fact — the double-anti-self-join shape. Lateness "
+     "is ship-lag > 60 days via a shared CTE (commit/receipt dates "
+     "absent), which also keeps each subquery single-level correlated. "
+     "Top-20 with explicit s_name tie-break."),
+    ("q_tpch_q22", ("customer", "orders"), _Q22_SQL,
+     "TPC-H Q22 global sales opportunity: positive-balance average as "
+     "an uncorrelated scalar subquery, balance-above-average customers "
+     "with a NOT EXISTS anti-join on orders, grouped by country code. "
+     "c_nationkey stands in for the spec's phone-prefix country code "
+     "(no c_phone column), and the anti-join tests dormancy (no order "
+     "since 1999) because every fixture customer has SOME order; the "
+     "average threshold is computed in exact integer cents over a "
+     "double division so both engines compare identical values."),
+)
+
+for _name, _tables, _sql, _doc in _PACK3:
+    _fn, _oracle = _sql_pair(_name, _tables, _sql)
+    register(_name, oracle=_oracle,
+             doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
+                        "views; the oracle runs it on DuckDB.",
+             tags=("tpch", "sql"), bench=_name in _BENCH)(_fn)
