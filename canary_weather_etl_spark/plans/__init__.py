@@ -26,25 +26,30 @@ from . import advanced_sql  # noqa: E402,F401  regr/LATERAL/recursive CTE/EWMA/P
 from . import r6_queries   # noqa: E402,F401  skyline/MAD/PMI/containment/k-core/nearest
 from . import r7_queries   # noqa: E402,F401  kmeans/BFS/PPJoin/winsorize/SQL-UDF/zonemap
 from . import tpch          # noqa: E402,F401  classic TPC-H pack (17 of 22)
+from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalization
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
 # hard external correctness row. Round-7 rotation, freshness-driven (no
 # entry's latest hard row should age past ~3 rounds): front-load (a) the
-# thirty-eight NEW r7 queries (r7_queries.py + tpch.py — never sampled,
-# new code this round); (b) the eight r6 queries added after r6's 50
-# slots filled (never sampled; each drive_contract hash-green locally in
-# r6 AND re-verified this round); (c) the rows-only trio whose last
-# driver rows are r3 (deferred twice as the least-lossy option — all
-# carry strong pytest invariants and q_corpus_curation is benched every
-# round; they must not slip again); (d) 1 of the 48 entries whose latest
-# hard row is CORRECTNESS_r04, in registry order. The 47 r4-remainder
-# entries sit at positions 51+ and MUST lead the r8 rotation (r8 plan:
-# 47 r4-remainder + 3 of the 47 r5-sampled; the remaining 44 r5 entries
-# lead r9).
+# forty-three NEW r7 queries (r7_queries.py + tpch.py + cleaning.py —
+# never sampled, new code this round); (b) 4 of the eight r6 queries
+# added after r6's 50 slots filled (never sampled; each drive_contract
+# hash-green locally in r6 AND re-verified this round; four defer to
+# the r8 head: rows-only q_anomaly_mad_approx — a driver sample is a
+# weak check and its exact-path agreement is pytest-pinned — plus
+# q_cdc_chunk_dedup, q_incremental_recompute, and
+# q_embedding_dim_stats, the three carrying the strongest independent
+# pytest evidence, two of them hypothesis property twins); (c) the
+# rows-only trio whose last driver rows are r3 (deferred twice as the
+# least-lossy option — all carry strong pytest invariants and
+# q_corpus_curation is benched every round; they must not slip again).
+# The 4 deferred r6-late entries + the 48 r4-sampled entries sit at
+# positions 51+ and MUST lead the r8 rotation (r8 plan: 4 r6-late + 46
+# of the 48 r4-sampled; the r4 tail + 47 r5-sampled follow in r9).
 _DRIVER_PRIORITY = (
-    # (a) new r7 surface (38 queries, all SQL-oracled; the seventeen
+    # (a) new r7 surface (43 queries, all SQL-oracled; the seventeen
     # tpch.py classics run IDENTICAL SQL text on both engines)
     "q_kmeans_lloyd", "q_kmeans_assign_incremental", "q_bfs_reach",
     "q_setjoin_prefix_filter", "q_winsorize_robust", "q_sql_udf",
@@ -56,16 +61,19 @@ _DRIVER_PRIORITY = (
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
     "q_tpch_q14", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
     "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19",
-    "q_tpch_q21", "q_tpch_q22",
-    # (b) r6 additions that missed the r6 sample window
+    "q_tpch_q21", "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
+    "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
+    # (b) r6 additions that missed the r6 sample window (4 of 8; see
+    # the header note for the four deferred to the r8 head)
     "q_partition_fingerprint", "q_session_funnel", "q_jsonl_quarantine",
-    "q_watermark_late_audit", "q_incremental_recompute",
-    "q_cdc_chunk_dedup", "q_embedding_dim_stats", "q_anomaly_mad_approx",
+    "q_watermark_late_audit",
     # (c) the twice-deferred rows-only trio (last driver rows: r3)
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
-    # (d) r4-sampled block, registry order (1 of 48)
+    # positions 51+ — the r8 priority head: the 4 deferred r6-late
+    # entries, then the full r4-sampled block (48)
+    "q_incremental_recompute", "q_cdc_chunk_dedup",
+    "q_embedding_dim_stats", "q_anomaly_mad_approx",
     "q1_groupby_avg",
-    # positions 51+ — the r8 priority head: the r4-sampled remainder (47)
     "q2_groupby2_topk", "q3_filtered_groupby_avg",
     "q_projection_derived", "q_filter_null_empty", "q_distinct_pairs",
     "q_topk_global", "q_scalar_string", "q_cms_heavy_hitters",

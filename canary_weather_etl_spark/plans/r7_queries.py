@@ -1368,3 +1368,177 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ub_event_type"),
         *[F.col(c).cast("long").alias(c)
           for c in ("click", "error", "purchase", "signup", "view")])
+
+
+# --- equi-depth histogram (distributed NTILE) --------------------------------
+
+_EQUIDEPTH_ORACLE = """
+    WITH b AS (
+        SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM b
+    GROUP BY bucket
+"""
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=_EQUIDEPTH_ORACLE,
+    doc="Equi-depth (quantile-bucketed) histogram: 10 buckets of "
+        "near-equal row count with per-bucket min/max/count/sum — the "
+        "data-profiling primitive behind optimizer statistics and "
+        "drift monitors, and the exact complement of the equi-WIDTH "
+        "q_histogram. The oracle is one NTILE(10) window; a bare "
+        "NTILE over a total order is the single-task global-sort "
+        "anti-pattern at scale, so the Spark side computes the global "
+        "rank with operators.ranking.global_rank (range partition + "
+        "O(#partitions) driver offsets, fully parallel) and derives "
+        "NTILE's exact bucket rule from it arithmetically (first n%k "
+        "buckets take one extra row), with the total row count a "
+        "broadcast one-row aggregate. Bit-identical to NTILE under "
+        "the (value, event_id) total order.",
+    tags=("analytics", "profiling"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    ranked = global_rank(e, [F.col("value"), F.col("event_id")],
+                         out_col="r")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    k = F.lit(10).cast("bigint")
+    rank1 = F.col("r") + 1                      # 1-based rank
+    q = (F.col("n") / k).cast("bigint")         # base bucket size
+    r = F.col("n") % k                          # first r buckets: q+1 rows
+    cut = r * (q + 1)                           # rows in the fat buckets
+    # ceil division in exact integer arithmetic; denominators guarded
+    # for the n<k corner (the otherwise-branch is then never selected)
+    fat = ((rank1 + q) / (q + 1)).cast("bigint")              # ceil(rank1/(q+1))
+    thin = (r + ((rank1 - cut) + F.greatest(q, F.lit(1)) - 1)
+            / F.greatest(q, F.lit(1))).cast("bigint")
+    bucket = F.when(rank1 <= cut, fat).otherwise(thin)
+    return (ranked.crossJoin(F.broadcast(tot))
+            .select(bucket.cast("int").alias("bucket"), "value")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("value").alias("vmin"),
+                 F.max("value").alias("vmax"),
+                 F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+                  .alias("sum_cents")))
+
+
+# --- cohort retention ---------------------------------------------------------
+
+_COHORT_ORACLE = """
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohorts c
+    JOIN activity a ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+"""
+
+
+@register(
+    "q_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    doc="Cohort retention: users grouped by first-activity ISO week, "
+        "counted at each later week offset — the classic retention "
+        "triangle (product analytics' standard table, and the "
+        "engagement-weighting signal for training-data user sampling). "
+        "Activity is the DISTINCT (user, week) grid computed ONCE and "
+        "persisted for its two consumers (cohort min-week + the offset "
+        "join — the multi-consumer materialization discipline); the "
+        "join is user_id-keyed so both sides shuffle on the same key. "
+        "Week offsets are exact integer day-diffs over Monday-truncated "
+        "dates, divided by 7.",
+    tags=("analytics", "temporal"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    activity = (e.select("user_id",
+                         F.to_date(F.date_trunc("week", "ts"))
+                          .alias("week"))
+                .distinct().persist())
+    cohorts = activity.groupBy("user_id").agg(F.min("week")
+                                              .alias("cohort_week"))
+    return (activity.join(cohorts, "user_id")
+            .select("cohort_week",
+                    (F.datediff("week", "cohort_week") / 7)
+                    .cast("bigint").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# --- SQL scripting (Spark 4 procedural control flow) -------------------------
+
+_SCRIPTING_ORACLE = """
+    WITH powers(th) AS (VALUES (1), (2), (4), (8), (16), (32), (64)),
+    tot AS (SELECT COUNT(*) AS n_total FROM lineitem),
+    c AS (
+        SELECT th,
+               (SELECT COUNT(*) FROM lineitem WHERE l_quantity < th)
+                   AS n_below
+        FROM powers
+    )
+    SELECT CAST(th AS BIGINT) AS threshold,
+           CAST(n_below AS BIGINT) AS n_below,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM c, tot
+    WHERE 2 * n_below > n_total OR th = 64
+    ORDER BY th
+    LIMIT 1
+"""
+
+
+@register(
+    "q_sql_scripting",
+    oracle=_SCRIPTING_ORACLE,
+    doc="Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/SET): a procedural "
+        "doubling search for the smallest power-of-two quantity "
+        "threshold that covers a majority of lineitems — each loop "
+        "iteration runs a real distributed COUNT under the evolving "
+        "variable binding, i.e. driver-side control flow over "
+        "cluster-side computation, the engine-native replacement for "
+        "collect()-and-loop client code. The loop's fixpoint is "
+        "order-independent (n_below is monotonic in the threshold), so "
+        "the oracle expresses it declaratively: the minimal qualifying "
+        "threshold over the static candidate power table. The scripting conf "
+        "is set at runtime (works on a vanilla driver session).",
+    tags=("sql", "scripting"),
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_script")
+    return spark.sql("""
+    BEGIN
+      DECLARE th BIGINT DEFAULT 1;
+      WHILE 2 * (SELECT COUNT(*) FROM lineitem_script
+                 WHERE l_quantity < th)
+            <= (SELECT COUNT(*) FROM lineitem_script) AND th < 64 DO
+        SET th = th * 2;
+      END WHILE;
+      SELECT th AS threshold,
+             CAST((SELECT COUNT(*) FROM lineitem_script
+                   WHERE l_quantity < th) AS BIGINT) AS n_below,
+             CAST((SELECT COUNT(*) FROM lineitem_script) AS BIGINT)
+                 AS n_total;
+    END
+    """)
