@@ -1542,3 +1542,105 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_total;
     END
     """)
+
+
+# --- batch perceptron (fixed-point, unrolled oracle) -------------------------
+
+def _perceptron_oracle(rounds: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled-iteration SQL twin of q_perceptron_batch: same
+    quantization, same y = (label < 5 ? 1 : -1), same 'y*margin <= 0 is
+    misclassified' rule (so round 1 updates on every vector — w starts
+    at zero), same learning-rate-1 integer update."""
+    parts = [f"""
+    q AS (
+        SELECT vec_id,
+               CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+               u.ord AS ord,
+               CAST(FLOOR(CAST(u.val AS DOUBLE) * {scale} + 0.5) AS BIGINT)
+                   AS qx
+        FROM (SELECT vec_id, label,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {{'val': x, 'ord': i}})) AS u
+              FROM embeddings)
+    ),
+    w0 AS (SELECT DISTINCT ord, CAST(0 AS BIGINT) AS w FROM q)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+    m{t} AS (
+        SELECT q.vec_id, q.y,
+               CAST(SUM(q.qx * w.w) AS BIGINT) AS margin
+        FROM q JOIN w{t - 1} w ON q.ord = w.ord
+        GROUP BY q.vec_id, q.y
+    ),
+    mis{t} AS (SELECT vec_id, y FROM m{t} WHERE y * margin <= 0),
+    u{t} AS (
+        SELECT q.ord, CAST(SUM(q.qx * m.y) AS BIGINT) AS du
+        FROM q JOIN mis{t} m ON q.vec_id = m.vec_id
+        GROUP BY q.ord
+    ),
+    w{t} AS (
+        SELECT w.ord, w.w + COALESCE(u.du, 0) AS w
+        FROM w{t - 1} w LEFT JOIN u{t} u ON w.ord = u.ord
+    )""")
+    rows = "\n        UNION ALL\n".join(
+        f"""        SELECT {t} AS round,
+               CAST((SELECT COUNT(*) FROM mis{t}) AS BIGINT) AS n_updates,
+               CAST((SELECT SUM(ABS(w)) FROM w{t}) AS BIGINT) AS w_l1"""
+        for t in range(1, rounds + 1))
+    return ("WITH" + ",".join(parts) + "\n    SELECT * FROM (\n"
+            + rows + "\n    ) r")
+
+
+@register(
+    "q_perceptron_batch",
+    oracle=_perceptron_oracle(rounds=3),
+    doc="Batch perceptron training in integer fixed-point: 3 rounds of "
+        "'sum y*x over misclassified vectors' weight updates on a binary "
+        "split of the embeddings table (label<5 vs rest) — the fifth "
+        "iterative family (after PageRank, BFS/Bellman-Ford, k-means, "
+        "k-core) and the linear-classifier training primitive behind "
+        "model-based quality filtering of training corpora. Bit-exact vs "
+        "an unrolled SQL oracle: quantized int64 features make every "
+        "margin and update an order-free integer sum (|margin| <= "
+        "dims*|w|*1e5 stays far under int64 at any realistic corpus). "
+        "Scale shape: the 64 weights are model-sized driver scalars "
+        "re-broadcast as a literal array each round (the k-means "
+        "centroid discipline); each round is ONE margin aggregate "
+        "(zero-join: element_at on the literal) + one misclassified-"
+        "filtered update aggregate whose map-side combine reduces the "
+        "shuffle to dims rows per partition.",
+    tags=("llm", "ml", "iterative"),
+)
+def q_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_par(spark, sf_dir, "embeddings")
+    scale = 1_000_000
+    q = (emb.select(
+            "vec_id",
+            F.when(F.col("label") < 5, F.lit(1)).otherwise(F.lit(-1))
+             .alias("y"),
+            F.posexplode("embedding").alias("ord", "val"))
+         .select("vec_id", "y", "ord",
+                 F.floor(F.col("val").cast("double") * scale + 0.5)
+                  .cast("bigint").alias("qx"))
+         .persist())
+    dims = q.agg(F.max("ord")).collect()[0][0] + 1
+    w = [0] * dims
+    out_rows = []
+    for rnd in range(1, 4):
+        w_lit = F.array(*[F.lit(int(x)) for x in w])
+        margins = (q.groupBy("vec_id", "y")
+                   .agg(F.sum(F.col("qx")
+                              * F.element_at(w_lit, F.col("ord") + 1))
+                        .alias("margin")))
+        mis = margins.filter(F.col("y") * F.col("margin") <= 0)
+        upd = (q.join(mis.select("vec_id", F.col("y").alias("my")),
+                      "vec_id")
+               .groupBy("ord").agg(F.sum(F.col("qx") * F.col("my"))
+                                   .alias("du")))
+        # model-sized driver scalars: dims weights + one count per round
+        n_mis = mis.count()
+        for r in upd.collect():
+            w[r["ord"]] += r["du"]
+        out_rows.append((rnd, n_mis, int(sum(abs(x) for x in w))))
+    return spark.createDataFrame(
+        out_rows, "round INT, n_updates BIGINT, w_l1 BIGINT")

@@ -354,3 +354,31 @@ def test_stat_approx_quantile_bounded_error(spark, sf_dir):
         target = q * n
         assert lo - err * n <= target <= hi + err * n, \
             f"quantile {q}: value {v} rank [{lo},{hi}] vs target {target}"
+
+
+# --- batch perceptron ---------------------------------------------------------
+
+def test_perceptron_matches_naive_numpy(spark):
+    """q_perceptron_batch vs a from-scratch numpy batch perceptron:
+    same quantization, same y*margin<=0 rule, same integer updates —
+    per-round update counts and weight L1 norms must agree exactly."""
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_perceptron_batch)
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    q = {r["vec_id"]: (1 if r["label"] < 5 else -1,
+                       np.floor(np.array(r["embedding"], dtype=np.float64)
+                                * 1_000_000 + 0.5).astype(np.int64))
+         for r in emb}
+    dims = len(next(iter(q.values()))[1])
+    w = np.zeros(dims, dtype=np.int64)
+    expect = []
+    for rnd in range(1, 4):
+        mis = [(y, x) for y, x in q.values() if y * int(x @ w) <= 0]
+        for y, x in mis:
+            w += y * x
+        expect.append((rnd, len(mis), int(np.abs(w).sum())))
+
+    got = sorted(tuple(r) for r in
+                 q_perceptron_batch(spark, SF_SMALL).collect())
+    assert got == expect
