@@ -208,3 +208,113 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat(F.col("path"), F.lit("?id="),
                               F.col("id_param"))).alias("n_canonical"),
                  F.sum(F.col("id_param").cast("bigint")).alias("id_sum")))
+
+
+# --- boilerplate line removal ------------------------------------------------
+
+# Deterministic dirty-document synthesis: every doc gains a newsletter
+# footer and a copyright line (always boilerplate), doc_id%2 gates a
+# social line and doc_id%4 a promo line (ids correlate with source, so
+# per source these land above, at, or below the 50% threshold), and
+# every doc keeps one unique line.
+_BOILER_SYNTH_SQL = """
+    text || chr(10) || 'subscribe to ' || source || ' newsletter'
+         || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique line'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'follow ' || source || ' on social'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'promo from ' || source
+                 ELSE '' END
+         || chr(10) || '(c) ' || source || ' all rights reserved'
+"""
+
+_BOILER_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, source, {_BOILER_SYNTH_SQL} AS dirty
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source,
+               unnest(string_split(dirty, chr(10))) AS line
+        FROM raw
+    ),
+    srcn AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY source
+    ),
+    freq AS (
+        SELECT source, line, COUNT(DISTINCT doc_id) AS cnt
+        FROM lines GROUP BY source, line
+    ),
+    boiler AS (
+        SELECT f.source, f.line
+        FROM freq f JOIN srcn s ON f.source = s.source
+        WHERE 2 * f.cnt >= s.n_docs
+    ),
+    removed AS (
+        SELECT l.source, l.line
+        FROM lines l JOIN boiler b
+          ON l.source = b.source AND l.line = b.line
+    )
+    SELECT r.source,
+           CAST(MAX(s.n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT r.line) AS BIGINT) AS n_boiler_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_boiler_occurrences,
+           CAST(SUM(LENGTH(r.line) + 1) AS BIGINT) AS chars_removed
+    FROM removed r JOIN srcn s ON r.source = s.source
+    GROUP BY r.source
+"""
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle=_BOILER_ORACLE,
+    doc="Boilerplate line removal (CCNet-style line-frequency dedup): a "
+        "line appearing in >=50% of a source's documents is boilerplate "
+        "(footers, copyright, social banners) and is stripped; the audit "
+        "reports per-source distinct boilerplate lines, occurrences, and "
+        "characters removed. The synthesized corpus plants two always-"
+        "boilerplate lines, two parity-gated lines (doc_id%2 / doc_id%4 "
+        "— doc ids correlate with source, so per source these land "
+        "above, at, or below the 50% threshold: sources catch 2, 3, or "
+        "4 lines), and a unique line per doc — the threshold semantics "
+        "are actually exercised in both directions. Scale shape: explode to "
+        "(source, line, doc) — two grouped aggregates on (source, line) "
+        "— a broadcast-sized boilerplate set joined back; per-source "
+        "line frequency is THE standard web-corpus cleaning pass and "
+        "everything here is one shuffle key family (source, line).",
+    tags=("llm", "cleaning"),
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    dirty = F.concat(
+        F.col("text"),
+        nl, F.lit("subscribe to "), F.col("source"), F.lit(" newsletter"),
+        nl, F.lit("doc "), F.col("doc_id").cast("string"),
+        F.lit(" unique line"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(nl, F.lit("follow "), F.col("source"),
+                        F.lit(" on social"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(nl, F.lit("promo from "), F.col("source")))
+         .otherwise(F.lit("")),
+        nl, F.lit("(c) "), F.col("source"), F.lit(" all rights reserved"))
+    lines = (d.select("doc_id", "source",
+                      F.explode(F.split(dirty, "\n")).alias("line"))
+             .persist())
+    srcn = lines.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    freq = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("cnt"))
+    boiler = (freq.join(srcn, "source")
+              .filter(2 * F.col("cnt") >= F.col("n_docs"))
+              .select("source", "line"))
+    removed = lines.join(F.broadcast(boiler), ["source", "line"])
+    return (removed.join(srcn, "source")
+            .groupBy("source")
+            .agg(F.max("n_docs").alias("n_docs"),
+                 F.countDistinct("line").alias("n_boiler_lines"),
+                 F.count(F.lit(1)).alias("n_boiler_occurrences"),
+                 F.sum(F.length("line") + 1).alias("chars_removed")))

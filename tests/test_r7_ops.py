@@ -382,3 +382,40 @@ def test_perceptron_matches_naive_numpy(spark):
     got = sorted(tuple(r) for r in
                  q_perceptron_batch(spark, SF_SMALL).collect())
     assert got == expect
+
+
+# --- AQE rebalance hint + Observation API -------------------------------------
+
+def test_rebalance_hint_in_plan(spark):
+    """/*+ REBALANCE(col) */ (and df.hint('rebalance')) resolves to an
+    AQE rebalance node — the output-file skew fix for 100 TB writes:
+    post-shuffle partitions are split/coalesced to target size instead
+    of inheriting the skew of the grouping key."""
+    df = (spark.range(10_000).withColumn("k", F.col("id") % 7)
+          .hint("rebalance", "k"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Rebalance" in plan or "REBALANCE" in plan
+    sql_plan = (spark.sql("SELECT /*+ REBALANCE(id) */ id FROM range(100)")
+                ._jdf.queryExecution().toString())
+    assert "Rebalance" in sql_plan or "RebalancePartitions" in sql_plan
+
+
+def test_observation_metrics_piggyback(spark):
+    """df.observe collects aggregate metrics DURING the action (no
+    second scan) and they match an explicit aggregate — the row-count /
+    checksum audit channel for production pipelines."""
+    from pyspark.sql import Observation
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    obs = Observation("audit")
+    observed = e.observe(obs, F.count(F.lit(1)).alias("n_rows"),
+                         F.expr("bit_xor(xxhash64(event_id))")
+                          .alias("checksum"))
+    n_out = observed.filter(F.col("value") > 0).count()
+    metrics = obs.get
+    expect = e.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.expr("bit_xor(xxhash64(event_id))").alias("checksum")
+                   ).collect()[0]
+    assert metrics["n_rows"] == expect["n_rows"]
+    assert metrics["checksum"] == expect["checksum"]
+    assert 0 < n_out <= metrics["n_rows"]
