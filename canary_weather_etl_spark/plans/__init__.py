@@ -33,7 +33,7 @@ from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalizat
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
 # hard external correctness row. Round-7 rotation, freshness-driven (no
 # entry's latest hard row should age past ~3 rounds): front-load (a) the
-# forty-five NEW r7 queries (r7_queries.py + tpch.py + cleaning.py —
+# fifty NEW r7 queries (47 sampled + Q11/Q16/Q20 at the r8 head) (r7_queries.py + tpch.py + cleaning.py —
 # never sampled, new code this round); (b) 3 of the eight r6 queries
 # added after r6's 50 slots filled (never sampled; each drive_contract
 # hash-green locally in r6 AND re-verified this round; five defer to
@@ -50,7 +50,7 @@ from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalizat
 # 5 r6-late + 45 of the 48 r4-sampled; the r4 tail + 47 r5-sampled
 # follow in r9).
 _DRIVER_PRIORITY = (
-    # (a) new r7 surface (45 queries, all SQL-oracled; the seventeen
+    # (a) new r7 surface (47 of 50 queries, all SQL-oracled; the seventeen
     # tpch.py classics run IDENTICAL SQL text on both engines)
     "q_kmeans_lloyd", "q_kmeans_assign_incremental", "q_bfs_reach",
     "q_setjoin_prefix_filter", "q_winsorize_robust", "q_sql_udf",
@@ -64,14 +64,16 @@ _DRIVER_PRIORITY = (
     "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19",
     "q_tpch_q21", "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
     "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
-    "q_perceptron_batch", "q_boilerplate_strip",
-    # (b) r6 additions that missed the r6 sample window (2 of 8; see
-    # the header note for the six deferred to the r8 head)
-    "q_partition_fingerprint", "q_session_funnel",
+    "q_perceptron_batch", "q_boilerplate_strip", "q_tpch_q2",
+    "q_tpch_q12",
+    # (b) the full r6-late block now defers to the r8 head (see note)
     # (c) the twice-deferred rows-only trio (last driver rows: r3)
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
-    # positions 51+ — the r8 priority head: the 6 deferred r6-late
-    # entries, then the full r4-sampled block (48)
+    # positions 51+ — the r8 priority head: the 3 unsampled pack-4
+    # classics (locally hash-green), the 8 deferred r6-late entries,
+    # then the full r4-sampled block (48)
+    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    "q_partition_fingerprint", "q_session_funnel",
     "q_jsonl_quarantine", "q_watermark_late_audit", "q_incremental_recompute",
     "q_cdc_chunk_dedup", "q_embedding_dim_stats", "q_anomaly_mad_approx",
     "q1_groupby_avg",

@@ -1,7 +1,6 @@
-"""Classic TPC-H queries (Q1, Q3, Q4, Q5, Q6, Q7, Q8, Q9, Q10, Q13,
-Q14, Q15, Q17, Q18, Q19, Q21, Q22 — 17 of 22; the remaining five need
-the partsupp table) over the fixture
-schema — the industry-standard analytics shapes, run as close to the
+"""Classic TPC-H queries — the COMPLETE pack, all 22 — over the fixture
+schema (Q2/Q11/Q16/Q20 synthesize the absent partsupp table as a
+deterministic CTE; see pack 4) — the industry-standard analytics shapes, run as close to the
 published SQL as the fixture columns allow (no l_shipmode/l_shipinstruct/
 o_shippriority/c_phone columns; those projections are dropped, predicates
 and join graphs are verbatim).
@@ -16,8 +15,12 @@ double-role dimension (Q7), the outer-join-with-ON-filter distribution
 scalar subquery (Q17), and the HAVING'd IN-subquery re-join (Q18).
 Catalyst handles join ordering/broadcast selection; the point of the
 pack is that a user's existing TPC-H-shaped workload runs verbatim and
-hash-exact. The omitted queries need columns the fixtures lack
-(partsupp table, l_shipmode/commitdate/receiptdate, comments, phones).
+hash-exact. Pack 3 covers the EXISTS/anti-join and disjunctive-
+predicate classics (Q4, Q9, Q19, Q21, Q22); pack 4 completes the set
+(Q2, Q11, Q12, Q16, Q20) by synthesizing partsupp as a deterministic
+CTE — absent columns (l_shipmode, commit/receipt dates, comments,
+phones) get the nearest fixture-expressible substitute, documented
+per query.
 
 Determinism discipline: all revenue math is the repo's exact-cents
 pattern (row-wise FLOOR(x*100+0.5) products are IEEE-deterministic;
@@ -538,3 +541,163 @@ for _name, _tables, _sql, _doc in _PACK3:
              doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
                         "views; the oracle runs it on DuckDB.",
              tags=("tpch", "sql"), bench=_name in _BENCH)(_fn)
+
+
+# --- pack 4: Q2, Q11, Q12, Q16, Q20 — completing the pack (22 of 22) ---------
+# The five remaining queries need the partsupp table, which the fixtures
+# lack. Rather than drop them, partsupp is SYNTHESIZED deterministically
+# inside each query as a CTE from part x (4 supplier slots): supplier
+# assignment, availqty, and supplycost (exact integer cents) are all
+# integer arithmetic on p_partkey — both engines build the IDENTICAL
+# table from the identical SQL text, so the oracle checks the published
+# query logic over it (the same discipline as plans/cleaning.py's
+# synthesized dirty columns). Q12 needs only an adaptation: l_returnflag
+# stands in for the absent l_shipmode, ship-lag > 60 days for the absent
+# commit/receipt lateness.
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+        SELECT p.p_partkey AS ps_partkey,
+               (p.p_partkey + i.i * 7)
+                   % (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+               1 + (p.p_partkey * 13 + i.i * 17) % 9999 AS ps_availqty,
+               100 + (p.p_partkey * 31 + i.i * 101) % 99900
+                   AS ps_supplycost_cents
+        FROM part p
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+    )
+"""
+
+_Q2_SQL = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           CAST(ps.ps_supplycost_cents AS BIGINT) AS cost_cents
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+      AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost_cents = (
+          SELECT MIN(ps2.ps_supplycost_cents)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+"""
+
+_Q11_SQL = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT ps.ps_partkey,
+           CAST(SUM(ps.ps_supplycost_cents * ps.ps_availqty) AS BIGINT)
+               AS value_cents
+    FROM partsupp ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY ps.ps_partkey
+    HAVING SUM(ps.ps_supplycost_cents * ps.ps_availqty) * 250 > (
+        SELECT SUM(ps2.ps_supplycost_cents * ps2.ps_availqty)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_3')
+"""
+
+_Q12_SQL = """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT',
+                                                        '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+"""
+
+_Q16_SQL = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 14, 23, 36, 45, 49)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+_Q20_SQL = f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT s.s_name, s.s_suppkey, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps.ps_availqty * 2 > (
+              SELECT CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+              FROM lineitem l
+              WHERE l.l_partkey = ps.ps_partkey
+                AND l.l_suppkey = ps.ps_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+    ORDER BY s.s_name, s.s_suppkey
+"""
+
+_PACK4 = (
+    ("q_tpch_q2", ("part", "supplier", "nation", "region"), _Q2_SQL,
+     "TPC-H Q2 minimum cost supplier: the correlated MIN scalar "
+     "subquery that re-walks the whole partsupp->supplier->nation->"
+     "region chain per part — the classic decorrelation stress "
+     "(Catalyst rewrites it to an aggregate + self-join on the CTE). "
+     "partsupp is the synthesized CTE; p_brand projects for the absent "
+     "p_mfgr; size/type filters pick the fixture's STANDARD small "
+     "parts; spec ORDER BY with p_partkey as the added tie-break."),
+    ("q_tpch_q11", ("part", "supplier", "nation"), _Q11_SQL,
+     "TPC-H Q11 important stock: per-part inventory value within one "
+     "nation, HAVING-filtered against a scalar fraction of the SAME "
+     "aggregate over the SAME scope — the aggregate-reuse shape. "
+     "Exact integer cents x availqty products; the spec's "
+     "0.0001/SF fraction becomes 1/250 at fixture scale so the HAVING "
+     "actually cuts."),
+    ("q_tpch_q12", ("orders", "lineitem"), _Q12_SQL,
+     "TPC-H Q12 shipping modes and priority: the two-branch "
+     "conditional count over a year of late lineitems, grouped by "
+     "mode. l_returnflag stands in for the absent l_shipmode and "
+     "ship-lag > 60 days for the absent commit/receipt lateness; the "
+     "join graph, urgency CASE branches, and aggregate shape are "
+     "verbatim."),
+    ("q_tpch_q16", ("part", "supplier"), _Q16_SQL,
+     "TPC-H Q16 parts/supplier relationship: COUNT(DISTINCT suppkey) "
+     "per (brand, type, size) cell with a NOT IN supplier blacklist "
+     "(negative account balance stands in for the spec's complaint-"
+     "comment scan — no comment column). The anti-subquery + "
+     "distinct-aggregate combination."),
+    ("q_tpch_q20", ("supplier", "nation", "part", "lineitem"), _Q20_SQL,
+     "TPC-H Q20 potential part promotion: nested IN subqueries ending "
+     "in a correlated half-of-shipped-quantity threshold per "
+     "(part, supplier) — suppliers overstocked on promotable parts. "
+     "Pairs with no shipments compare against NULL and drop on both "
+     "engines; the spec's nation restriction is lifted (reported "
+     "instead) so the fixture-scale result stays non-trivial."),
+)
+
+for _name, _tables, _sql, _doc in _PACK4:
+    _fn, _oracle = _sql_pair(_name, _tables, _sql)
+    register(_name, oracle=_oracle,
+             doc=_doc + " Spark runs the IDENTICAL SQL text over temp "
+                        "views; the oracle runs it on DuckDB.",
+             tags=("tpch", "sql"))(_fn)
