@@ -1644,3 +1644,89 @@ def q_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows.append((rnd, n_mis, int(sum(abs(x) for x in w))))
     return spark.createDataFrame(
         out_rows, "round INT, n_updates BIGINT, w_l1 BIGINT")
+
+
+# --- HITS hubs/authorities (fixed-point, unrolled oracle) --------------------
+
+def _hits_oracle(scale: int = 1_000_000) -> str:
+    """Unrolled 2-round SQL twin of q_hits_bipartite: same constant hub
+    init, same integer floor-div normalization to max=scale each step,
+    same (score DESC, part) top-10."""
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    a1r AS (
+        SELECT p, CAST({scale} AS BIGINT) * COUNT(*) AS raw
+        FROM edges GROUP BY p
+    ),
+    a1 AS (
+        SELECT p, (raw * {scale}) // (SELECT MAX(raw) FROM a1r) AS a
+        FROM a1r
+    ),
+    h1r AS (
+        SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS raw
+        FROM edges e JOIN a1 ON e.p = a1.p GROUP BY e.c
+    ),
+    h1 AS (
+        SELECT c, (raw * {scale}) // (SELECT MAX(raw) FROM h1r) AS h
+        FROM h1r
+    ),
+    a2r AS (
+        SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS raw
+        FROM edges e JOIN h1 ON e.c = h1.c GROUP BY e.p
+    ),
+    a2 AS (
+        SELECT p, (raw * {scale}) // (SELECT MAX(raw) FROM a2r) AS a
+        FROM a2r
+    )
+    SELECT CAST(p AS BIGINT) AS part_id,
+           CAST(a AS BIGINT) AS auth_score
+    FROM a2 ORDER BY a DESC, p LIMIT 10
+"""
+
+
+@register(
+    "q_hits_bipartite",
+    oracle=_hits_oracle(),
+    doc="HITS hubs-and-authorities (2 mutual-reinforcement rounds) over "
+        "the customer->part purchase bipartite graph: authority(part) = "
+        "sum of linked hub scores, hub(customer) = sum of linked "
+        "authority scores, each step renormalized to max=1e6 by integer "
+        "floor division (the per-round max is a bounded driver scalar, "
+        "same class as PageRank's convergence counter) — the sixth "
+        "iterative family, bit-exact vs an unrolled SQL oracle. At "
+        "scale each half-step is one equi-join + one aggregate on a "
+        "persisted edge list (the compute shape of PageRank with "
+        "alternating sides); normalization products stay under int64 "
+        "for degree sums below ~1e12. Top-10 authorities with explicit "
+        "part tie-break.",
+    tags=("graph", "iterative"),
+)
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scale = 1_000_000
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_partkey").alias("p"))
+             .distinct().persist())
+
+    def normalize(raw_df, key, out):
+        mx = raw_df.agg(F.max("raw")).collect()[0][0]  # driver scalar
+        return raw_df.select(key, F.expr(f"(raw * {scale}L) div {mx}L")
+                             .alias(out))
+
+    # round 1: hub is the constant init, so auth_raw = scale * degree
+    a = normalize(edges.groupBy("p").agg((F.lit(scale).cast("bigint")
+                                          * F.count(F.lit(1)))
+                                         .alias("raw")), "p", "a")
+    h = normalize(edges.join(a, "p").groupBy("c")
+                  .agg(F.sum("a").cast("bigint").alias("raw")), "c", "h")
+    # round 2: authority refresh from normalized hubs
+    a = normalize(edges.join(h, "c").groupBy("p")
+                  .agg(F.sum("h").cast("bigint").alias("raw")), "p", "a")
+    return (a.select(F.col("p").cast("bigint").alias("part_id"),
+                     F.col("a").cast("bigint").alias("auth_score"))
+            .orderBy(F.desc("auth_score"), "part_id").limit(10))
