@@ -1730,3 +1730,185 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.select(F.col("p").cast("bigint").alias("part_id"),
                      F.col("a").cast("bigint").alias("auth_score"))
             .orderBy(F.desc("auth_score"), "part_id").limit(10))
+
+
+# --- data-quality expectations (Deequ-style validation report) ---------------
+
+_EXPECTATIONS_ORACLE = """
+    WITH base AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) AS v_qty,
+               SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.10
+                        THEN 1 ELSE 0 END) AS v_disc,
+               SUM(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS v_tax,
+               SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END) AS v_flag,
+               SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                   AS v_null
+        FROM lineitem
+    ),
+    ref AS (
+        SELECT COUNT(*) AS v_ref FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    dup AS (
+        SELECT COUNT(*) AS v_dup FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+    ),
+    checks AS (
+        SELECT 'l_quantity_range' AS check_name, v_qty AS v, n FROM base
+        UNION ALL SELECT 'l_discount_range', v_disc, n FROM base
+        UNION ALL SELECT 'l_tax_below_5pct', v_tax, n FROM base
+        UNION ALL SELECT 'l_returnflag_domain', v_flag, n FROM base
+        UNION ALL SELECT 'l_shipdate_not_null', v_null, n FROM base
+        UNION ALL SELECT 'orderkey_referential', r.v_ref, b.n
+                  FROM ref r, base b
+        UNION ALL SELECT 'orderkey_linenumber_unique', d.v_dup, b.n
+                  FROM dup d, base b
+    )
+    SELECT check_name,
+           CAST(v AS BIGINT) AS n_violations,
+           CAST(n AS BIGINT) AS n_rows,
+           v = 0 AS passed
+    FROM checks
+"""
+
+
+@register(
+    "q_data_expectations",
+    oracle=_EXPECTATIONS_ORACLE,
+    doc="Data-quality expectations report (the Deequ/Great-Expectations "
+        "pattern): seven declarative checks over lineitem — two range "
+        "constraints, a max-threshold, a value-domain, a not-null, a "
+        "referential-integrity anti-join against orders, and a "
+        "composite-key uniqueness check — emitted as one "
+        "(check, violations, rows, passed) validation table; the "
+        "fixture genuinely fails two of them (tax threshold, "
+        "orderkey+linenumber uniqueness), so both report branches are "
+        "exercised. Scale shape: the five row-wise checks fuse into ONE "
+        "partial-aggregated scan (a single one-row frame stacked into "
+        "report rows); the anti-join and the duplicate-key check are "
+        "each one shuffle; no per-check scans.",
+    tags=("quality", "validation"),
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def v(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    base = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        v((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .alias("v_qty"),
+        v((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.10))
+        .alias("v_disc"),
+        v(F.col("l_tax") > 0.05).alias("v_tax"),
+        v(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_flag"),
+        v(F.col("l_shipdate").isNull()).alias("v_null"))
+    ref = (li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+           .agg(F.count(F.lit(1)).alias("v_ref")))
+    dup = (li.groupBy("l_orderkey", "l_linenumber")
+           .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+           .agg(F.count(F.lit(1)).alias("v_dup")))
+    combined = base.crossJoin(F.broadcast(ref)).crossJoin(F.broadcast(dup))
+    report = combined.selectExpr(
+        "n",
+        "stack(7, "
+        " 'l_quantity_range', v_qty,"
+        " 'l_discount_range', v_disc,"
+        " 'l_tax_below_5pct', v_tax,"
+        " 'l_returnflag_domain', v_flag,"
+        " 'l_shipdate_not_null', v_null,"
+        " 'orderkey_referential', v_ref,"
+        " 'orderkey_linenumber_unique', v_dup"
+        ") as (check_name, v)")
+    return report.select(
+        "check_name",
+        F.col("v").cast("bigint").alias("n_violations"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.col("v") == 0).alias("passed"))
+
+
+# --- snapshot diff (dataset reconciliation) ----------------------------------
+
+_SNAPDIFF_ORACLE = """
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               o_orderstatus || '|' || o_orderpriority || '|'
+                   || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR) AS payload
+        FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey AS k,
+               o_orderstatus || '|'
+                   || CASE WHEN o_orderkey % 13 = 1 THEN 'X-CHANGED'
+                           ELSE o_orderpriority END || '|'
+                   || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR) AS payload
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS k,
+               'NEW|INSERTED|0' AS payload
+        FROM orders WHERE o_orderkey % 41 = 0
+    ),
+    d AS (
+        SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                    WHEN v2.k IS NULL THEN 'removed'
+                    WHEN v1.payload <> v2.payload THEN 'changed'
+                    ELSE 'unchanged' END AS category
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT category, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY category
+"""
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=_SNAPDIFF_ORACLE,
+    doc="Snapshot diff / dataset reconciliation: FULL OUTER join two "
+        "table versions on the primary key, compare a canonical payload "
+        "string, and bucket every key into added / removed / changed / "
+        "unchanged — the migration-validation and CDC-audit primitive "
+        "(v2 is synthesized deterministically from orders: %97 keys "
+        "deleted, %13 priorities mutated, %41 keys re-inserted shifted "
+        "— all four buckets are non-empty). Payload totalprice rides in "
+        "exact cents so the comparison is bit-stable. Scale shape: one "
+        "co-partitioned full-outer shuffle on the key + one tiny "
+        "4-group aggregate; at 100 TB you'd pre-bucket both sides on k "
+        "and diff without a shuffle.",
+    tags=("quality", "reconciliation"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    payload_v1 = F.concat_ws(
+        "|", "o_orderstatus", "o_orderpriority", cents.cast("string"))
+    v1 = o.select(F.col("o_orderkey").alias("k"),
+                  payload_v1.alias("payload"))
+    payload_v2 = F.concat_ws(
+        "|", F.col("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 1, F.lit("X-CHANGED"))
+         .otherwise(F.col("o_orderpriority")),
+        cents.cast("string"))
+    v2 = (o.filter(F.col("o_orderkey") % 97 != 0)
+          .select(F.col("o_orderkey").alias("k"),
+                  payload_v2.alias("payload"))
+          .unionByName(
+              o.filter(F.col("o_orderkey") % 41 == 0)
+              .select((F.col("o_orderkey") + 10_000_000).alias("k"),
+                      F.lit("NEW|INSERTED|0").alias("payload"))))
+    d = (v1.withColumnRenamed("payload", "p1")
+         .join(v2.withColumnRenamed("payload", "p2"), "k", "full_outer")
+         .select(
+             F.when(F.col("p1").isNull(), F.lit("added"))
+              .when(F.col("p2").isNull(), F.lit("removed"))
+              .when(F.col("p1") != F.col("p2"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")).alias("category")))
+    return d.groupBy("category").agg(F.count(F.lit(1)).alias("n_rows"))
