@@ -1912,3 +1912,110 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(F.col("p1") != F.col("p2"), F.lit("changed"))
               .otherwise(F.lit("unchanged")).alias("category")))
     return d.groupBy("category").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- ordered LISTAGG (Spark 4.0 SQL aggregate) -------------------------------
+
+_LISTAGG_ORACLE = """
+    WITH ranked AS (
+        SELECT c_mktsegment, c_name,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey)
+                   AS rn
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY rn) AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked WHERE rn <= 5
+    GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "q_listagg_topn",
+    oracle=_LISTAGG_ORACLE,
+    doc="Ordered string aggregation of a per-group top-N: rank "
+        "customers per market segment by balance (custkey tie-break), "
+        "keep the top 5, and LISTAGG their names in rank order — "
+        "Spark 4.0's new listagg ... WITHIN GROUP aggregate (DuckDB's "
+        "string_agg ORDER BY is the oracle's spelling of the same "
+        "ANSI semantics). Determinism comes from the total-order rank, "
+        "not the aggregate: an unordered listagg would be "
+        "partition-order-dependent and can never hash-match. Scale "
+        "shape: one WindowGroupLimit-able rank + one tiny aggregate.",
+    tags=("agg", "sql"),
+)
+def q_listagg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_listagg")
+    return spark.sql("""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_name,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey)
+                       AS rn
+            FROM customer_listagg
+        )
+        SELECT c_mktsegment,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY rn)
+                   AS top_names,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ranked WHERE rn <= 5
+        GROUP BY c_mktsegment
+    """)
+
+
+# --- degree distribution (graph health report) -------------------------------
+
+_DEGREE_HIST_ORACLE = """
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT c, COUNT(*) AS d FROM edges GROUP BY c),
+    bucketed AS (
+        SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS log2_bucket, d
+        FROM deg
+    )
+    SELECT log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS sum_degree
+    FROM bucketed
+    GROUP BY log2_bucket
+"""
+
+
+@register(
+    "q_degree_histogram",
+    oracle=_DEGREE_HIST_ORACLE,
+    doc="Log2-bucketed degree distribution of the customer->part "
+        "purchase graph — the graph-health report that decides the "
+        "skew strategy for every downstream graph operator (a heavy "
+        "tail here is what makes the triangle/k-core hot-cell cap and "
+        "the degree-ordered orientation necessary). The log2 bucket is "
+        "LENGTH(bin(d))-1 — exact integer bit-length arithmetic on "
+        "both engines, deliberately NOT FLOOR(LN(d)/LN(2)), whose "
+        "libm ln can differ by 1 ulp between JVM and C at power-of-two "
+        "boundaries. One distinct + two aggregates.",
+    tags=("graph", "profiling"),
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    deg = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("c"),
+                   F.col("l_partkey").alias("p"))
+           .distinct()
+           .groupBy("c").agg(F.count(F.lit(1)).alias("d")))
+    b = deg.select(
+        (F.length(F.bin(F.col("d"))) - 1).cast("bigint")
+        .alias("log2_bucket"),
+        "d")
+    return (b.groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("d").cast("bigint").alias("min_degree"),
+                 F.max("d").cast("bigint").alias("max_degree"),
+                 F.sum("d").cast("bigint").alias("sum_degree")))
