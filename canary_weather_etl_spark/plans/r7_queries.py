@@ -2019,3 +2019,71 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("d").cast("bigint").alias("min_degree"),
                  F.max("d").cast("bigint").alias("max_degree"),
                  F.sum("d").cast("bigint").alias("sum_degree")))
+
+
+# --- corpus novelty curve (first-seen shingles per arrival batch) ------------
+
+_NOVELTY_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM grams GROUP BY shingle
+    ),
+    flagged AS (
+        SELECT g.doc_id,
+               CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+        FROM grams g JOIN first_seen f ON g.shingle = f.shingle
+    )
+    SELECT CAST(doc_id // 100 AS BIGINT) AS batch,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(novel) AS BIGINT) AS novel_shingles,
+           CAST(COUNT(*) AS BIGINT) AS total_shingles,
+           FLOOR(CAST(SUM(novel) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS novelty_ratio
+    FROM flagged
+    GROUP BY batch
+"""
+
+
+@register(
+    "q_corpus_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="Corpus novelty curve: per arrival batch (doc_id div 100), the "
+        "fraction of word-bigram shingles never seen in ANY earlier "
+        "document — the saturation signal that tells a crawl pipeline "
+        "when additional data from a source stops adding information "
+        "(novelty decays as the corpus saturates; the curve's knee "
+        "drives source-level stop/keep decisions). First-seen is "
+        "MIN(doc_id) per shingle — one aggregate over the exploded "
+        "distinct shingle table, joined back shingle-keyed, so both "
+        "the 'first' pass and the flag pass shuffle on the same key; "
+        "counts are exact integers, the ratio one rounded double "
+        "division.",
+    tags=("llm", "curation"),
+)
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingle_table(d, "doc_id", "text", n=2).distinct().persist()
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    flagged = (sh.join(first, "shingle")
+               .select("doc",
+                       F.when(F.col("doc") == F.col("first_doc"), 1)
+                        .otherwise(0).alias("novel")))
+    return (flagged
+            .groupBy((F.col("doc") / 100).cast("bigint").alias("batch"))
+            .agg(F.countDistinct("doc").alias("n_docs"),
+                 F.sum("novel").cast("bigint").alias("novel_shingles"),
+                 F.count(F.lit(1)).alias("total_shingles"),
+                 (F.floor(F.sum("novel").cast("double")
+                          / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6)
+                 .alias("novelty_ratio")))

@@ -86,3 +86,40 @@ def test_partitioned_csv_with_lineage(spark, tmp_path):
     pruned = back.filter(F.col("event_type") == "click")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_csv_permissive_corrupt_record_quarantine(spark, tmp_path):
+    """CSV PERMISSIVE mode with columnNameOfCorruptRecord: malformed
+    rows (wrong arity, bad types) land in the corrupt column with the
+    raw line preserved; clean rows parse fully — the CSV twin of the
+    JSONL quarantine path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("\n".join([
+        "1,alice,100",
+        "2,bob,notanumber",     # bad type -> quarantined
+        "3,carol,300",
+        "4,dave",               # missing column -> quarantined
+        "5,erin,500",
+    ]) + "\n")
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("amount", LongType()),
+        StructField("_corrupt", StringType()),
+    ])
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(str(p))).cache()
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    good = df.filter(F.col("_corrupt").isNull())
+    assert good.count() == 3
+    assert sorted(r["amount"] for r in good.collect()) == [100, 300, 500]
+    bad_rows = {r["_corrupt"] for r in bad.collect()}
+    assert bad_rows == {"2,bob,notanumber", "4,dave"}
+    # quarantined rows keep parseable prefix columns where possible
+    assert {r["id"] for r in bad.collect()} <= {2, 4, None}
