@@ -2087,3 +2087,127 @@ def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor(F.sum("novel").cast("double")
                           / F.count(F.lit(1)) * 1e6 + 0.5) / 1e6)
                  .alias("novelty_ratio")))
+
+
+# --- daily concurrency peak (sweep line) -------------------------------------
+
+_CONCURRENCY_ORACLE = """
+    WITH intervals AS (
+        SELECT event_id, CAST(ts AS DATE) AS day, ts AS s,
+               ts + INTERVAL 1 MINUTE
+                    * (CAST(FLOOR(value) AS BIGINT) % 30 + 1) AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT day, s AS t, 1 AS delta, event_id FROM intervals
+        UNION ALL
+        SELECT day, e AS t, -1 AS delta, event_id FROM intervals
+    ),
+    swept AS (
+        SELECT day,
+               SUM(delta) OVER (PARTITION BY day
+                                ORDER BY t, delta DESC, event_id
+                                ROWS UNBOUNDED PRECEDING) AS load
+        FROM pts
+    )
+    SELECT day,
+           CAST(MAX(load) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM swept
+    GROUP BY day
+"""
+
+
+@register(
+    "q_concurrency_peak",
+    oracle=_CONCURRENCY_ORACLE,
+    doc="Daily peak concurrency by sweep line: each event opens an "
+        "interval (duration derived from its value), every interval "
+        "contributes a +1 start / -1 end point, and the peak is the "
+        "max of the running sum — the capacity-planning primitive "
+        "(max concurrent sessions/jobs/connections). Determinism: the "
+        "sweep order is the total order (t, delta DESC, event_id) — "
+        "starts sort before ends at equal timestamps, so touching "
+        "intervals count as overlapping identically on both engines. "
+        "Scale shape: the window partitions by day (embarrassingly "
+        "parallel across days; intervals are attributed to their "
+        "start's day), never a global single-partition sort.",
+    tags=("temporal", "analytics"),
+)
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.make_interval(
+            mins=(F.floor("value").cast("bigint") % 30 + 1).cast("int")))
+        .alias("e"))
+    pts = (iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta"),
+                     "event_id")
+           .unionByName(iv.select("day", F.col("e").alias("t"),
+                                  F.lit(-1).alias("delta"), "event_id")))
+    w = (Window.partitionBy("day")
+         .orderBy(F.col("t"), F.col("delta").desc(), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    swept = pts.select("day", F.sum("delta").over(w).alias("load"))
+    return (swept.groupBy("day")
+            .agg(F.max("load").cast("bigint").alias("peak_concurrency"),
+                 (F.count(F.lit(1)) / 2).cast("bigint")
+                 .alias("n_intervals")))
+
+
+# --- event-type transition matrix (Markov counts) ----------------------------
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    totals AS (
+        SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type AS from_type, p.event_type AS to_type,
+           CAST(p.n AS BIGINT) AS n,
+           FLOOR(CAST(p.n AS DOUBLE) / t.tot * 1e6 + 0.5) / 1e6
+               AS transition_p
+    FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+"""
+
+
+@register(
+    "q_event_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences: LAG pairs each event with its predecessor under "
+        "the (ts, event_id) total order, pair counts aggregate, and "
+        "the row-normalized transition probability is one rounded "
+        "double division of exact integer counts — the sequence-"
+        "modeling prep for behavioral data (and the sanity check "
+        "before training on event streams). One user_id window "
+        "shuffle + two small aggregates; the matrix is "
+        "|event_types|^2-bounded regardless of data size.",
+    tags=("temporal", "analytics"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (pairs.join(totals, "prev_type")
+            .select(F.col("prev_type").alias("from_type"),
+                    F.col("event_type").alias("to_type"),
+                    F.col("n").cast("bigint").alias("n"),
+                    (F.floor(F.col("n").cast("double") / F.col("tot")
+                             * 1e6 + 0.5) / 1e6).alias("transition_p")))
