@@ -2211,3 +2211,154 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("bigint").alias("n"),
                     (F.floor(F.col("n").cast("double") / F.col("tot")
                              * 1e6 + 0.5) / 1e6).alias("transition_p")))
+
+
+# --- time-weighted average (TWAP) --------------------------------------------
+
+_TWAP_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    weighted AS (
+        SELECT user_id, day,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS w_us
+        FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(cents * w_us) AS BIGINT) AS weighted_sum,
+           CAST(SUM(w_us) AS BIGINT) AS total_us,
+           FLOOR(CAST(SUM(cents * w_us) AS DOUBLE) / SUM(w_us) * 1e4
+                 + 0.5) / 1e6 AS twap
+    FROM weighted
+    GROUP BY day
+"""
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=_TWAP_ORACLE,
+    doc="Time-weighted average (TWAP): each observation holds until the "
+        "user's next event that day (LEAD under the (ts, event_id) "
+        "total order), contributing value x holding-microseconds — the "
+        "sensor/finance aggregation where irregular sampling makes the "
+        "plain mean wrong (a value held 1 hour must outweigh one held "
+        "1 second; EWMA covers exponential decay, this is the linear-"
+        "in-time complement). Exact integer cents x microsecond "
+        "weights (order-free sums; magnitudes ~1e4 x 1e10 stay far "
+        "under int64), one rounded division at the end. One "
+        "(user, day) window shuffle + one day aggregate.",
+    tags=("temporal", "analytics"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id")
+    seq = e.select("user_id", day, "value", "ts",
+                   F.lead("ts").over(w).alias("nxt"))
+    weighted = (seq.filter(F.col("nxt").isNotNull())
+                .select("day",
+                        F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+                        .alias("cents"),
+                        (F.unix_micros("nxt") - F.unix_micros("ts"))
+                        .alias("w_us")))
+    return (weighted.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum(F.col("cents") * F.col("w_us")).cast("bigint")
+                 .alias("weighted_sum"),
+                 F.sum("w_us").cast("bigint").alias("total_us"),
+                 (F.floor(F.sum(F.col("cents") * F.col("w_us"))
+                          .cast("double") / F.sum("w_us") * 1e4 + 0.5)
+                  / 1e6).alias("twap")))
+
+
+# --- RFM customer segmentation -----------------------------------------------
+
+_RFM_ORACLE = """
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         DATE '2001-08-01') AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT monetary_cents,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey)
+                   AS r_score,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_score,
+               NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_score
+        FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS sum_m_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+def _exact_ntile(df, order, k, out):
+    """NTILE(k) under a total order WITHOUT a single-partition window:
+    global_rank (range partition + O(#partitions) offsets) + NTILE's
+    exact fat-bucket arithmetic (first n%k buckets take one extra row).
+    The same construction q_equidepth_histogram pins against a bare
+    NTILE(10) oracle."""
+    from ..operators.ranking import global_rank
+
+    ranked = global_rank(df, order, out_col="__r")
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    rank1 = F.col("__r") + 1
+    q = (F.col("__n") / k).cast("bigint")
+    r = F.col("__n") % k
+    cut = r * (q + 1)
+    fat = ((rank1 + q) / (q + 1)).cast("bigint")
+    thin = (r + ((rank1 - cut) + F.greatest(q, F.lit(1)) - 1)
+            / F.greatest(q, F.lit(1))).cast("bigint")
+    return (ranked.crossJoin(F.broadcast(tot))
+            .withColumn(out, F.when(rank1 <= cut, fat).otherwise(thin)
+                        .cast("int"))
+            .drop("__r", "__n"))
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle=_RFM_ORACLE,
+    doc="RFM customer segmentation: recency (days since last order at "
+        "a fixed reference date), frequency (order count), monetary "
+        "(exact total cents) per customer, each scored into exact "
+        "quartiles under a custkey-tie-broken total order, rolled up "
+        "to the 4x4x4 segment grid — the standard marketing/churn "
+        "cohorting. Each quartile pass is _exact_ntile (global_rank + "
+        "NTILE fat-bucket arithmetic — never a single-task global "
+        "window); the oracle spells the same thing as three bare "
+        "NTILE(4) windows.",
+    tags=("analytics", "segmentation"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = (o.groupBy(F.col("o_custkey"))
+            .agg(F.datediff(F.lit("2001-08-01").cast("date"),
+                            F.max(F.to_date("o_orderdate")))
+                 .alias("recency_days"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                       .cast("bigint")).alias("monetary_cents")))
+    s = _exact_ntile(base, [F.col("recency_days"), F.col("o_custkey")],
+                     4, "r_score")
+    s = _exact_ntile(s, [F.col("frequency").desc(), F.col("o_custkey")],
+                     4, "f_score")
+    s = _exact_ntile(s, [F.col("monetary_cents").desc(),
+                         F.col("o_custkey")], 4, "m_score")
+    return (s.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("monetary_cents").cast("bigint")
+                 .alias("sum_m_cents")))
