@@ -2362,3 +2362,172 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("monetary_cents").cast("bigint")
                  .alias("sum_m_cents")))
+
+
+# --- source overlap matrix (inter-source contamination) ----------------------
+
+_SOURCE_OVERLAP_ORACLE = r"""
+    WITH toks AS (
+        SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT source, t,
+                         unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ),
+    rare AS (
+        SELECT shingle FROM grams GROUP BY shingle
+        HAVING COUNT(*) <= 10
+    ),
+    capped AS (
+        SELECT g.source, g.shingle FROM grams g
+        JOIN rare r ON g.shingle = r.shingle
+    ),
+    sizes AS (
+        SELECT source, COUNT(*) AS sz FROM capped GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_shingles
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.shared_shingles AS BIGINT) AS shared_shingles,
+           FLOOR(CAST(s.shared_shingles AS DOUBLE)
+                 / LEAST(za.sz, zb.sz) * 1e6 + 0.5) / 1e6
+               AS overlap_coeff
+    FROM shared s
+    JOIN sizes za ON za.source = s.source_a
+    JOIN sizes zb ON zb.source = s.source_b
+"""
+
+
+@register(
+    "q_source_overlap",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    doc="Inter-source overlap matrix: for every source pair, the count "
+        "of shared DISTINCTIVE word-bigrams and the overlap coefficient "
+        "|A∩B|/min(|A|,|B|) — the provenance-contamination audit that "
+        "catches mirrored/scraped-from-each-other sources before "
+        "per-source quotas are set. Shingles appearing in more than 10 "
+        "sources are dropped FIRST (a document-frequency cap — "
+        "ubiquitous shingles carry no provenance signal, and the cap "
+        "bounds the self-join fanout exactly the way the triangle "
+        "hot-cell cap does; same lever at 100 TB). One shingle-keyed "
+        "self-join on the capped set + broadcast sizes.",
+    tags=("llm", "curation"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = (D.shingle_table(d, "source", "text", n=2)
+             .withColumnRenamed("doc", "source").distinct().persist())
+    rare = (grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= 10).select("shingle"))
+    capped = grams.join(rare, "shingle").persist()
+    sizes = capped.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = capped.select(F.col("source").alias("source_a"), "shingle")
+    b = capped.select(F.col("source").alias("source_b"), "shingle")
+    shared = (a.join(b, "shingle")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).alias("shared_shingles")))
+    za = sizes.select(F.col("source").alias("source_a"),
+                      F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("sz").alias("szb"))
+    return (shared.join(F.broadcast(za), "source_a")
+            .join(F.broadcast(zb), "source_b")
+            .select("source_a", "source_b",
+                    F.col("shared_shingles").cast("bigint")
+                    .alias("shared_shingles"),
+                    (F.floor(F.col("shared_shingles").cast("double")
+                             / F.least("sza", "szb") * 1e6 + 0.5) / 1e6)
+                    .alias("overlap_coeff")))
+
+
+# --- seasonal baseline + residual outliers -----------------------------------
+
+_SEASONAL_ORACLE = """
+    WITH pts AS (
+        SELECT date_diff('day', DATE '1995-01-02', CAST(ts AS DATE)) % 7
+                   AS dow,
+               EXTRACT(hour FROM ts) AS hour,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    prof AS (
+        SELECT dow, hour, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS sq
+        FROM pts GROUP BY dow, hour
+    ),
+    flagged AS (
+        SELECT p.dow, p.hour, pr.n, pr.s,
+               CASE WHEN ABS(CAST(p.cents AS DOUBLE)
+                             - CAST(pr.s AS DOUBLE) / pr.n)
+                         > 2.0 * SQRT(GREATEST(
+                               CAST(pr.sq AS DOUBLE) / pr.n
+                               - (CAST(pr.s AS DOUBLE) / pr.n)
+                                 * (CAST(pr.s AS DOUBLE) / pr.n), 0.0))
+                    THEN 1 ELSE 0 END AS is_outlier
+        FROM pts p JOIN prof pr ON p.dow = pr.dow AND p.hour = pr.hour
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           FLOOR(CAST(MAX(s) AS DOUBLE) / MAX(n) * 1e4 + 0.5) / 1e6
+               AS mean_value,
+           CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+    FROM flagged GROUP BY dow, hour
+"""
+
+
+@register(
+    "q_seasonal_baseline",
+    oracle=_SEASONAL_ORACLE,
+    doc="Seasonal baseline + residual outliers: an hour-of-week profile "
+        "(day-of-week x hour mean from exact integer cents) and, per "
+        "cell, the count of events beyond 2 sigma of the cell's own "
+        "variance — the monitoring primitive that separates 'Friday "
+        "5pm is always high' from genuine anomalies (the seasonal "
+        "complement of the MAD family). Day-of-week is pure integer "
+        "date arithmetic (days since a known Monday, mod 7) — "
+        "deliberately not dayofweek(), whose numbering differs between "
+        "engines. Mean/sigma are IEEE expressions over identical exact "
+        "integer sums, so both engines compare identical doubles. One "
+        "profile aggregate + one broadcast join-back over the same "
+        "grouping key.",
+    tags=("temporal", "anomaly"),
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        (F.datediff(F.to_date("ts"), F.lit("1995-01-02").cast("date"))
+         % 7).alias("dow"),
+        F.hour("ts").alias("hour"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"))
+    prof = (pts.groupBy("dow", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").cast("bigint").alias("s"),
+                 F.sum(F.col("cents") * F.col("cents")).cast("bigint")
+                 .alias("sq")))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.greatest(
+        F.col("sq").cast("double") / F.col("n") - mean * mean, F.lit(0.0))
+    flagged = (pts.join(F.broadcast(prof), ["dow", "hour"])
+               .select("dow", "hour", "n", "s",
+                       F.when(F.abs(F.col("cents").cast("double") - mean)
+                              > 2.0 * F.sqrt(var), 1).otherwise(0)
+                       .alias("is_outlier")))
+    return (flagged.groupBy("dow", "hour")
+            .agg(F.max("n").cast("bigint").alias("n_events"),
+                 (F.floor(F.max("s").cast("double") / F.max("n") * 1e4
+                          + 0.5) / 1e6).alias("mean_value"),
+                 F.sum("is_outlier").cast("bigint").alias("n_outliers"))
+            .withColumn("dow", F.col("dow").cast("bigint"))
+            .withColumn("hour", F.col("hour").cast("bigint")))
