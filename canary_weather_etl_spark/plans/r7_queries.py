@@ -2531,3 +2531,137 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("is_outlier").cast("bigint").alias("n_outliers"))
             .withColumn("dow", F.col("dow").cast("bigint"))
             .withColumn("hour", F.col("hour").cast("bigint")))
+
+
+# --- top session paths --------------------------------------------------------
+
+_TOP_PATHS_ORACLE = """
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id, day,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 5
+        GROUP BY user_id, day
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+"""
+
+
+@register(
+    "q_top_paths",
+    oracle=_TOP_PATHS_ORACLE,
+    doc="Top user-session paths: the ordered first-5 event types per "
+        "(user, day) concatenated into a path string, counted, top-20 "
+        "— the behavioral-flow report behind funnel design (which "
+        "5-step sequences actually happen). The path is an ordered "
+        "LISTAGG under the (ts, event_id) total order truncated by "
+        "row_number, so it is hash-stable; the top-k carries the "
+        "explicit path tie-break. One (user, day) window shuffle + a "
+        "path aggregate + TakeOrdered.",
+    tags=("temporal", "analytics"),
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_paths")
+    return spark.sql("""
+        WITH ranked AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id,
+                                                   CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn
+            FROM events_paths
+        ),
+        paths AS (
+            SELECT user_id, day,
+                   listagg(event_type, '>') WITHIN GROUP (ORDER BY rn)
+                       AS path
+            FROM ranked WHERE rn <= 5
+            GROUP BY user_id, day
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """)
+
+
+# --- A/B test two-proportion z-score -----------------------------------------
+
+_AB_TEST_ORACLE = """
+    WITH conv AS (
+        SELECT user_id % 2 AS grp,
+               MAX(CASE WHEN value > 300.0 THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM conv
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           FLOOR((CAST(conv_b AS DOUBLE) / n_b
+                  - CAST(conv_a AS DOUBLE) / n_a) * 1e6 + 0.5) / 1e6
+               AS lift,
+           FLOOR((CAST(conv_b AS DOUBLE) / n_b
+                  - CAST(conv_a AS DOUBLE) / n_a)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) / 1e6
+               AS z_score
+    FROM agg
+"""
+
+
+@register(
+    "q_ab_test_zscore",
+    oracle=_AB_TEST_ORACLE,
+    doc="A/B experiment readout: users deterministically assigned by "
+        "user_id parity, per-user conversion (any event above the "
+        "value threshold), and the pooled two-proportion z-score — the "
+        "experimentation primitive every product pipeline ends in. "
+        "Counts are exact integers; lift and z are IEEE expressions "
+        "over identical integers (division/sqrt are correctly rounded, "
+        "so both engines produce bit-identical doubles), rounded 6dp. "
+        "One user aggregate + one 4-scalar rollup.",
+    tags=("analytics", "stats"),
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    conv = (e.groupBy("user_id")
+            .agg(F.max(F.when(F.col("value") > 300.0, 1).otherwise(0))
+                 .alias("converted"))
+            .select((F.col("user_id") % 2).alias("grp"), "converted"))
+    agg = conv.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint").alias("conv_b"))
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")))
+    z = (pb - pa) / F.sqrt(pooled * (1.0 - pooled)
+                           * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (F.floor((pb - pa) * 1e6 + 0.5) / 1e6).alias("lift"),
+        (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_score"))
