@@ -2665,3 +2665,291 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "conv_a", "n_b", "conv_b",
         (F.floor((pb - pa) * 1e6 + 0.5) / 1e6).alias("lift"),
         (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_score"))
+
+
+# --- market-basket pair mining ------------------------------------------------
+
+_BASKET_PAIRS_ORACLE = """
+    WITH items AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+          FROM (SELECT DISTINCT user_id, day FROM items)),
+    supp AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM items GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a
+        JOIN items b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           FLOOR((CAST(p.n_ab AS DOUBLE) * n.n_baskets)
+                 / (CAST(sa.n_item AS DOUBLE) * sb.n_item) * 1e6 + 0.5)
+               / 1e6 AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.event_type = p.item_a
+    JOIN supp sb ON sb.event_type = p.item_b
+    CROSS JOIN n
+    WHERE p.n_ab * 100 >= n.n_baskets
+    ORDER BY p.n_ab DESC, p.item_a, p.item_b
+"""
+
+
+@register(
+    "q_basket_pairs",
+    oracle=_BASKET_PAIRS_ORACLE,
+    doc="Market-basket pair mining: baskets are (user, day) sets of "
+        "distinct event types; co-occurring pairs with support >= 1% of "
+        "baskets, plus lift = N*n_ab/(n_a*n_b) — the association-rule "
+        "primitive behind recommendation and feature co-occurrence "
+        "analysis. The self-join keys on the basket id, so work is "
+        "sum-of-squares of per-basket item counts (bounded by the item "
+        "vocabulary, here 5), never all-pairs over rows; item supports "
+        "and N broadcast back. Counts are exact integers; lift is one "
+        "IEEE expression over identical integers, 6dp. At 100 TB the "
+        "same plan holds because baskets stay small (distinct types per "
+        "user-day) and the support filter is Apriori's candidate prune.",
+    tags=("analytics", "llm"),
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    items = (e.select("user_id", F.col("ts").cast("date").alias("day"),
+                      "event_type").distinct())
+    n = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    supp = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.day") == F.col("b.day"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("item_a"),
+                      F.col("b.event_type").alias("item_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")))
+    sa = supp.select(F.col("event_type").alias("item_a"),
+                     F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("event_type").alias("item_b"),
+                     F.col("n_item").alias("n_b"))
+    lift = ((F.col("n_ab").cast("double") * F.col("n_baskets"))
+            / (F.col("n_a").cast("double") * F.col("n_b")))
+    return (pairs.join(F.broadcast(sa), "item_a")
+            .join(F.broadcast(sb), "item_b")
+            .crossJoin(F.broadcast(n))
+            .where(F.col("n_ab") * 100 >= F.col("n_baskets"))
+            .select("item_a", "item_b", "n_ab",
+                    (F.floor(lift * 1e6 + 0.5) / 1e6).alias("lift"))
+            .orderBy(F.desc("n_ab"), "item_a", "item_b"))
+
+
+# --- chi-square independence test ---------------------------------------------
+
+_CHISQ_ORACLE = """
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS high_value,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT c.*,
+               SUM(o) OVER (PARTITION BY event_type) AS rt,
+               SUM(o) OVER (PARTITION BY high_value) AS ct,
+               SUM(o) OVER () AS n
+        FROM cells c
+    ),
+    terms AS (
+        SELECT n, o, rt, ct,
+               (CAST(rt AS DOUBLE) * ct) / n AS e
+        FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT rt) - 1) * (COUNT(DISTINCT ct) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(CAST(FLOOR((CAST(o AS DOUBLE) - e)
+                                * (CAST(o AS DOUBLE) - e) / e
+                                * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+               AS chi2
+    FROM terms
+"""
+
+
+@register(
+    "q_chisq_independence",
+    oracle=_CHISQ_ORACLE,
+    doc="Chi-square test of independence between event_type and a "
+        "high-value flag: exact integer contingency cells in one "
+        "aggregate, expected counts E = rowTotal*colTotal/N, and the "
+        "statistic as an order-free fixed-point sum of per-cell terms "
+        "(each term is one IEEE expression over identical integers, "
+        "floored to 1e-6 units and summed as BIGINT — no float "
+        "accumulation-order dependence). One data-sized aggregate; "
+        "everything after runs on the cell matrix (|types| x 2).",
+    tags=("analytics", "stats"),
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    cells = (e.groupBy("event_type",
+                       F.when(F.col("value") > 100.0, 1).otherwise(0)
+                       .alias("high_value"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("o")))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("high_value")
+    w_all = Window.partitionBy()
+    tot = (cells
+           .withColumn("rt", F.sum("o").over(w_r))
+           .withColumn("ct", F.sum("o").over(w_c))
+           .withColumn("n", F.sum("o").over(w_all)))
+    ed = (F.col("rt").cast("double") * F.col("ct")) / F.col("n")
+    term = ((F.col("o").cast("double") - ed)
+            * (F.col("o").cast("double") - ed) / ed)
+    return (tot.withColumn("term_fp",
+                           F.floor(term * 1e6 + 0.5).cast("bigint"))
+            .agg(F.max("n").cast("bigint").alias("n_total"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                 ((F.countDistinct("rt") - 1)
+                  * (F.countDistinct("ct") - 1)).cast("bigint")
+                 .alias("dof"),
+                 (F.sum("term_fp").cast("double") / 1e6).alias("chi2")))
+
+
+# --- lag-1 autocorrelation of daily counts -------------------------------------
+
+_AUTOCORR_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, c AS y,
+               LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS x
+        FROM daily
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM lagged WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS lag1_autocorr
+    FROM sums
+    ORDER BY event_type
+"""
+
+
+@register(
+    "q_daily_autocorr",
+    oracle=_AUTOCORR_ORACLE,
+    doc="Lag-1 autocorrelation of the daily event-count series per "
+        "event type — the time-series diagnostic behind seasonality and "
+        "trend detection. Pearson r is assembled from six exact BIGINT "
+        "sums over the lagged pairs (counts and their products stay "
+        "well inside int64 through ~sf100), then one IEEE "
+        "division+sqrt on identical integers, 6dp. One data-sized "
+        "aggregate to daily counts; the lag window and moment sums run "
+        "on the tiny (type, day) matrix.",
+    tags=("temporal", "stats"),
+)
+def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (daily.select("event_type", F.col("c").alias("y"),
+                           F.lag("c").over(w).alias("x"))
+              .where(F.col("x").isNotNull()))
+    sums = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    return (sums.select("event_type", F.col("n").alias("n_pairs"),
+                        (F.floor(num / den * 1e6 + 0.5) / 1e6)
+                        .alias("lag1_autocorr"))
+            .orderBy("event_type"))
+
+
+# --- Benford first-digit audit --------------------------------------------------
+
+_BENFORD_EXPECTED = (0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+                     0.066947, 0.057992, 0.051153, 0.045757)
+
+_BENFORD_CASE = ("CASE " + " ".join(
+    f"WHEN digit = {d} THEN CAST({v!r} AS DOUBLE)"
+    for d, v in enumerate(_BENFORD_EXPECTED, start=1)) + " END")
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders
+    ),
+    agg AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n_orders,
+           FLOOR(CAST(n_orders AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+               AS obs_frac,
+           {_BENFORD_CASE} AS exp_frac
+    FROM agg
+    ORDER BY digit
+"""
+
+
+@register(
+    "q_benford_digits",
+    oracle=_BENFORD_ORACLE,
+    doc="Benford's-law first-digit audit over order totals — the "
+        "fraud/data-quality screen for financial columns. The first "
+        "significant digit is extracted via exact integer cents and "
+        "BIGINT-to-string (both engines format integers identically; "
+        "no float formatting or libm log in the data path), counted in "
+        "one aggregate; expected fractions log10(1+1/d) are inlined as "
+        "shared 6dp literals so no cross-engine libm is consulted. One "
+        "data-sized aggregate to 9 cells.",
+    tags=("quality", "stats"),
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        .cast("string"), 1, 1).cast("bigint")
+    agg = (o.select(digit.alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    w_all = Window.partitionBy()
+    return (agg.withColumn("total", F.sum("n_orders").over(w_all)
+                           .cast("bigint"))
+            .select("digit", "n_orders",
+                    (F.floor(F.col("n_orders").cast("double")
+                             / F.col("total") * 1e6 + 0.5) / 1e6)
+                    .alias("obs_frac"),
+                    F.expr(_BENFORD_CASE).alias("exp_frac"))
+            .orderBy("digit"))

@@ -419,3 +419,133 @@ def test_observation_metrics_piggyback(spark):
     assert metrics["n_rows"] == expect["n_rows"]
     assert metrics["checksum"] == expect["checksum"]
     assert 0 < n_out <= metrics["n_rows"]
+
+
+# --- late-r7 analytics: naive-Python twins --------------------------------------
+
+def _floor6(x: float) -> float:
+    import math
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_basket_pairs_matches_naive(spark):
+    """q_basket_pairs vs a from-scratch itertools recomputation: same
+    basket definition, same 1%-support prune, same IEEE lift op order."""
+    from itertools import combinations
+
+    from canary_weather_etl_spark.plans.r7_queries import q_basket_pairs
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("user_id", F.col("ts").cast("date").alias("day"),
+                    "event_type").collect())
+    baskets: dict[tuple, set] = {}
+    for r in rows:
+        baskets.setdefault((r["user_id"], r["day"]), set()).add(
+            r["event_type"])
+    n = len(baskets)
+    supp: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for items in baskets.values():
+        for it in items:
+            supp[it] = supp.get(it, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    expect = sorted(
+        (a, b, c, _floor6((float(c) * n) / (float(supp[a]) * supp[b])))
+        for (a, b), c in pair_n.items() if c * 100 >= n)
+
+    got = sorted(tuple(r) for r in q_basket_pairs(spark, SF_SMALL).collect())
+    assert got == expect and len(got) > 0
+
+
+def test_chisq_independence_matches_naive(spark):
+    """q_chisq_independence vs a pure-Python contingency recomputation:
+    exact integer cells, same E op order, same fixed-point term sum."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_chisq_independence)
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("event_type", "value").collect())
+    cells: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["event_type"], 1 if r["value"] > 100.0 else 0)
+        cells[key] = cells.get(key, 0) + 1
+    n = sum(cells.values())
+    rt = {}
+    ct = {}
+    for (t, f), o in cells.items():
+        rt[t] = rt.get(t, 0) + o
+        ct[f] = ct.get(f, 0) + o
+    fp = 0
+    for (t, f), o in cells.items():
+        e = (float(rt[t]) * ct[f]) / n
+        fp += math.floor((float(o) - e) * (float(o) - e) / e * 1e6 + 0.5)
+    dof = (len(set(rt.values())) - 1) * (len(set(ct.values())) - 1)
+    # dof uses distinct row/col TOTALS (matches the query's countDistinct
+    # over rt/ct); with distinct totals this equals (r-1)*(c-1)
+    expect = (n, len(cells), dof, float(fp) / 1e6)
+
+    got = tuple(q_chisq_independence(spark, SF_SMALL).collect()[0])
+    assert got == expect
+
+
+def test_daily_autocorr_matches_naive(spark):
+    """q_daily_autocorr vs pure-Python exact-moment Pearson on the
+    lagged daily series; result must land in [-1, 1]."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import q_daily_autocorr
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("event_type", F.col("ts").cast("date").alias("day"))
+            .collect())
+    daily: dict[tuple, int] = {}
+    for r in rows:
+        daily[(r["event_type"], r["day"])] = \
+            daily.get((r["event_type"], r["day"]), 0) + 1
+    expect = []
+    for t in sorted({k[0] for k in daily}):
+        series = [c for _, c in sorted(
+            ((d, c) for (tt, d), c in daily.items() if tt == t))]
+        pairs = list(zip(series, series[1:]))
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sxx - sx * sx)
+                        * float(n * syy - sy * sy))
+        expect.append((t, n, math.floor(num / den * 1e6 + 0.5) / 1e6))
+
+    got = [tuple(r) for r in q_daily_autocorr(spark, SF_SMALL).collect()]
+    assert got == expect
+    assert all(-1.0 <= r[2] <= 1.0 for r in got)
+
+
+def test_benford_digits_matches_naive(spark):
+    """q_benford_digits vs pure-Python first-digit histogram; expected
+    fractions are the shared literals; fractions sum to ~1."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import (
+        _BENFORD_EXPECTED, q_benford_digits)
+
+    prices = [r["o_totalprice"] for r in
+              spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+              .select("o_totalprice").collect()]
+    counts: dict[int, int] = {}
+    for p in prices:
+        d = int(str(int(math.floor(p * 100 + 0.5)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    expect = [(d, c, math.floor(float(c) / total * 1e6 + 0.5) / 1e6,
+               _BENFORD_EXPECTED[d - 1])
+              for d, c in sorted(counts.items())]
+
+    got = [tuple(r) for r in q_benford_digits(spark, SF_SMALL).collect()]
+    assert got == expect
+    assert abs(sum(r[2] for r in got) - 1.0) < 1e-5
