@@ -2953,3 +2953,279 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("obs_frac"),
                     F.expr(_BENFORD_CASE).alias("exp_frac"))
             .orderBy("digit"))
+
+
+# --- Mann-Whitney U (exact rank-sum test) ---------------------------------------
+
+_MANNWHITNEY_ORACLE = """
+    WITH v AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    r AS (
+        SELECT event_type,
+               RANK() OVER (ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY value) AS t
+        FROM v
+    ),
+    sums AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 2 * rk + t - 1 ELSE 0 END) AS BIGINT)
+                   AS r2_b,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_b
+        FROM r
+    ),
+    ties AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM v GROUP BY value)
+    )
+    SELECT n_a, n_b,
+           CAST(r2_b - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+           FLOOR(CAST(r2_b - n_b * (n_b + 1) - n_a * n_b AS DOUBLE)
+                 / (2.0 * SQRT((CAST(n_a AS DOUBLE) * n_b / 12.0)
+                               * ((n_a + n_b + 1)
+                                  - CAST(tie_term AS DOUBLE)
+                                    / (CAST(n_a + n_b AS DOUBLE)
+                                       * (n_a + n_b - 1)))))
+                 * 1e6 + 0.5) / 1e6 AS z_score
+    FROM sums CROSS JOIN ties
+"""
+
+
+@register(
+    "q_mannwhitney_u",
+    oracle=_MANNWHITNEY_ORACLE,
+    doc="Mann-Whitney U rank-sum test between two event types' value "
+        "distributions — the non-parametric A/B primitive (no normality "
+        "assumption, unlike q_ab_test_zscore). EXACT arithmetic "
+        "throughout the rank machinery: ranks come from the distributed "
+        "global_rank operator (range partition + offsets — no "
+        "single-partition window; operators/ranking.py), tie-averaged "
+        "ranks are kept in half-units (2*avg = 2*min_rank + t + 1, an "
+        "integer), so the U statistic is a BIGINT with zero float "
+        "accumulation; the normal-approximation z (with the exact "
+        "integer tie correction sum(t^3-t)) is one IEEE expression over "
+        "identical integers, 6dp. int64 bounds: 2R <= 2n^2 holds "
+        "through n ~ 3e9 rows per test cell.",
+    tags=("analytics", "stats"),
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    e = load(spark, sf_dir, "events")
+    v = (e.where(F.col("event_type").isin("click", "purchase"))
+         .select("event_type", "value", "event_id"))
+    ranked = global_rank(v, [F.col("value"), F.col("event_id")],
+                         out_col="rn")
+    grp = (ranked.groupBy("value")
+           .agg(F.min("rn").alias("mn"),
+                F.count(F.lit(1)).alias("t")))
+    joined = ranked.join(grp, "value")
+    sums = joined.agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     2 * F.col("mn") + F.col("t") + 1).otherwise(0))
+        .cast("bigint").alias("r2_b"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint").alias("n_b"))
+    ties = grp.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tie_term"))
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u2 = F.col("r2_b") - n_b * (n_b + 1)
+    sigma2 = F.sqrt((n_a.cast("double") * n_b / 12.0)
+                    * ((n_a + n_b + 1)
+                       - F.col("tie_term").cast("double")
+                       / ((n_a + n_b).cast("double") * (n_a + n_b - 1))))
+    z = (u2 - n_a * n_b).cast("double") / (2.0 * sigma2)
+    return (sums.crossJoin(F.broadcast(ties))
+            .select(n_a.alias("n_a"), n_b.alias("n_b"),
+                    u2.cast("bigint").alias("u2_b"),
+                    (F.floor(z * 1e6 + 0.5) / 1e6).alias("z_score")))
+
+
+# --- CUSUM change-point ----------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(c) AS BIGINT) AS total
+        FROM daily
+    ),
+    cus AS (
+        SELECT day, nd,
+               CAST(SUM(nd * c - total) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cusum_scaled
+        FROM daily CROSS JOIN tot
+    )
+    SELECT day AS change_day, nd AS n_days, cusum_scaled,
+           FLOOR(CAST(cusum_scaled AS DOUBLE) / nd * 1e6 + 0.5) / 1e6
+               AS cusum
+    FROM cus
+    ORDER BY ABS(cusum_scaled) DESC, day
+    LIMIT 1
+"""
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=_CUSUM_ORACLE,
+    doc="CUSUM change-point detection over the daily event-count "
+        "series: cumulative sum of mean-deviations, argmax |CUSUM| is "
+        "the most likely level-shift day. Deviations are kept EXACT by "
+        "scaling: dev_d = n_days*c_d - total (integer — no mean "
+        "division inside the accumulation), so the running sum is a "
+        "BIGINT and the argmax is bit-stable with an explicit "
+        "earliest-day tie-break; the unscaled CUSUM is divided back "
+        "once at the end, 6dp. One data-sized aggregate to the daily "
+        "matrix; the ordered window runs on n_days rows.",
+    tags=("temporal", "stats"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
+                    F.sum("c").cast("bigint").alias("total"))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cus = (daily.crossJoin(F.broadcast(tot))
+           .withColumn("cusum_scaled",
+                       F.sum(F.col("nd") * F.col("c") - F.col("total"))
+                       .over(w).cast("bigint")))
+    return (cus.select(F.col("day").alias("change_day"),
+                       F.col("nd").alias("n_days"), "cusum_scaled",
+                       (F.floor(F.col("cusum_scaled").cast("double")
+                                / F.col("nd") * 1e6 + 0.5) / 1e6)
+                       .alias("cusum"))
+            .orderBy(F.abs(F.col("cusum_scaled")).desc(), "change_day")
+            .limit(1))
+
+
+# --- longest activity streak ------------------------------------------------------
+
+_STREAK_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 50
+"""
+
+
+@register(
+    "q_longest_streak",
+    oracle=_STREAK_ORACLE,
+    doc="Longest consecutive-day activity streak per user via the "
+        "gaps-and-islands construction: day minus the per-user "
+        "row_number is constant exactly within a consecutive run, so "
+        "one user-partitioned window + two aggregates produce every "
+        "streak without self-joins or iteration — the engagement "
+        "metric behind retention dashboards. All date/integer "
+        "arithmetic (bit-stable); explicit (streak, user) total order "
+        "on the top-50.",
+    tags=("temporal", "analytics"),
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")) \
+        .distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"))
+    streaks = (isl.groupBy("user_id", "anchor")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").cast("bigint").alias("longest_streak"),
+                 F.sum("len").cast("bigint").alias("n_active_days"))
+            .orderBy(F.desc("longest_streak"), "user_id")
+            .limit(50))
+
+
+# --- Gini revenue concentration ----------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s0,
+               CAST(SUM(i * cents) AS BIGINT) AS s1
+        FROM rk
+    )
+    SELECT n AS n_customers,
+           CAST(s0 AS DOUBLE) / 100 AS total_revenue,
+           FLOOR(((2.0 * s1) / (CAST(n AS DOUBLE) * s0)
+                  - CAST(n + 1 AS DOUBLE) / n) * 1e6 + 0.5) / 1e6
+               AS gini
+    FROM s
+"""
+
+
+@register(
+    "q_gini_concentration",
+    oracle=_GINI_ORACLE,
+    doc="Gini coefficient of per-customer revenue — the concentration "
+        "metric behind whale analysis and fairness audits. Revenue is "
+        "summed in exact integer cents (the exact_sum discipline); the "
+        "sorted-formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n uses the "
+        "distributed global_rank operator for i (range partition + "
+        "offsets, no single-partition sort; ties permute only equal x "
+        "so sum(i*x_i) is tie-order invariant), both moment sums are "
+        "exact BIGINTs, and the final expression is one IEEE op chain "
+        "over identical integers, 6dp.",
+    tags=("analytics", "stats"),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    o = load(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("bigint").alias("cents")))
+    rk = global_rank(rev, [F.col("cents"), F.col("o_custkey")],
+                     out_col="rn")
+    s = rk.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+               F.sum("cents").cast("bigint").alias("s0"),
+               F.sum((F.col("rn") + 1) * F.col("cents")).cast("bigint")
+               .alias("s1"))
+    gini = ((2.0 * F.col("s1"))
+            / (F.col("n").cast("double") * F.col("s0"))
+            - (F.col("n") + 1).cast("double") / F.col("n"))
+    return s.select(F.col("n").alias("n_customers"),
+                    (F.col("s0").cast("double") / 100)
+                    .alias("total_revenue"),
+                    (F.floor(gini * 1e6 + 0.5) / 1e6).alias("gini"))

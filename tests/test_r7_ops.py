@@ -549,3 +549,115 @@ def test_benford_digits_matches_naive(spark):
     got = [tuple(r) for r in q_benford_digits(spark, SF_SMALL).collect()]
     assert got == expect
     assert abs(sum(r[2] for r in got) - 1.0) < 1e-5
+
+
+def test_mannwhitney_u_matches_naive(spark):
+    """q_mannwhitney_u vs a from-scratch pure-Python rank-sum: same
+    half-unit tie-averaged ranks, same exact U, same IEEE z op order."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import q_mannwhitney_u
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("event_type", "value").collect())
+    vals = [(r["event_type"], r["value"]) for r in rows
+            if r["event_type"] in ("click", "purchase")]
+    svals = sorted(v for _, v in vals)
+    first = {}
+    cnt = {}
+    for i, v in enumerate(svals):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    r2_b = sum(2 * first[v] + cnt[v] - 1
+               for t, v in vals if t == "purchase")
+    n_a = sum(1 for t, _ in vals if t == "click")
+    n_b = len(vals) - n_a
+    tie = sum(t * t * t - t for t in cnt.values())
+    u2 = r2_b - n_b * (n_b + 1)
+    sigma = math.sqrt((float(n_a) * n_b / 12.0)
+                      * ((n_a + n_b + 1)
+                         - float(tie) / (float(n_a + n_b)
+                                         * (n_a + n_b - 1))))
+    z = math.floor(float(u2 - n_a * n_b) / (2.0 * sigma) * 1e6 + 0.5) / 1e6
+    expect = (n_a, n_b, u2, z)
+
+    got = tuple(q_mannwhitney_u(spark, SF_SMALL).collect()[0])
+    assert got == expect
+    # exact-U identity: U_a + U_b = n_a*n_b  (in 2x units)
+    assert 0 <= u2 <= 2 * n_a * n_b
+
+
+def test_cusum_changepoint_matches_naive(spark):
+    """q_cusum_changepoint vs pure-Python scaled CUSUM argmax."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_cusum_changepoint)
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select(F.col("ts").cast("date").alias("day")).collect())
+    daily: dict = {}
+    for r in rows:
+        daily[r["day"]] = daily.get(r["day"], 0) + 1
+    nd = len(daily)
+    total = sum(daily.values())
+    acc, best = 0, None
+    for day in sorted(daily):
+        acc += nd * daily[day] - total
+        if best is None or abs(acc) > abs(best[1]):
+            best = (day, acc)
+    expect = (best[0], nd, best[1],
+              math.floor(float(best[1]) / nd * 1e6 + 0.5) / 1e6)
+
+    got = tuple(q_cusum_changepoint(spark, SF_SMALL).collect()[0])
+    assert got == expect
+
+
+def test_longest_streak_matches_naive(spark):
+    """q_longest_streak vs pure-Python consecutive-run scan."""
+    from canary_weather_etl_spark.plans.r7_queries import q_longest_streak
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("user_id", F.col("ts").cast("date").alias("day"))
+            .collect())
+    days: dict = {}
+    for r in rows:
+        days.setdefault(r["user_id"], set()).add(r["day"])
+    per_user = []
+    for u, ds in days.items():
+        sd = sorted(ds)
+        longest = run = 1
+        for a, b in zip(sd, sd[1:]):
+            run = run + 1 if (b - a).days == 1 else 1
+            longest = max(longest, run)
+        per_user.append((u, longest, len(sd)))
+    expect = sorted(per_user, key=lambda r: (-r[1], r[0]))[:50]
+
+    got = [tuple(r) for r in q_longest_streak(spark, SF_SMALL).collect()]
+    assert got == expect
+
+
+def test_gini_concentration_matches_naive(spark):
+    """q_gini_concentration vs pure-Python sorted-formula Gini on exact
+    integer cents; Gini must land in [0, 1)."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_gini_concentration)
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+            .select("o_custkey", "o_totalprice").collect())
+    cents: dict = {}
+    for r in rows:
+        c = int(np.round(r["o_totalprice"] * 100))
+        cents[r["o_custkey"]] = cents.get(r["o_custkey"], 0) + c
+    xs = sorted(cents.values())
+    n, s0 = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = math.floor(((2.0 * s1) / (float(n) * s0)
+                       - float(n + 1) / n) * 1e6 + 0.5) / 1e6
+    expect = (n, float(s0) / 100, gini)
+
+    got = tuple(q_gini_concentration(spark, SF_SMALL).collect()[0])
+    assert got == expect
+    assert 0.0 <= gini < 1.0
