@@ -3229,3 +3229,111 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("s0").cast("double") / 100)
                     .alias("total_revenue"),
                     (F.floor(gini * 1e6 + 0.5) / 1e6).alias("gini"))
+
+
+# --- funnel conversion latency ------------------------------------------------------
+
+_FUNNEL_LATENCY_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts) END) AS s_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS p_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT (p_us - s_us) // 3600000000 AS bucket_h
+        FROM firsts
+        WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+    )
+    SELECT CAST(bucket_h AS BIGINT) AS bucket_h,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM conv GROUP BY bucket_h
+    ORDER BY bucket_h
+"""
+
+
+@register(
+    "q_funnel_latency",
+    oracle=_FUNNEL_LATENCY_ORACLE,
+    doc="Signup-to-purchase conversion-latency histogram: per user, "
+        "first signup and first purchase at-or-after it, latency "
+        "bucketed in whole hours — the time-to-convert readout behind "
+        "funnel optimization. The entire data path is integer "
+        "(epoch-microsecond MIN aggregates, integer division into "
+        "buckets): no float timestamps, no interpolation, bit-stable "
+        "by construction. One user-keyed aggregate + one bucket "
+        "aggregate, both map-side combined.",
+    tags=("temporal", "analytics"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "signup",
+                                F.unix_micros("ts"))).alias("s_us"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.unix_micros("ts"))).alias("p_us")))
+    conv = (firsts
+            .where(F.col("s_us").isNotNull() & F.col("p_us").isNotNull()
+                   & (F.col("p_us") >= F.col("s_us")))
+            .selectExpr("(p_us - s_us) DIV 3600000000 AS bucket_h"))
+    return (conv.groupBy("bucket_h")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .withColumn("bucket_h", F.col("bucket_h").cast("bigint"))
+            .select("bucket_h", "n_users")
+            .orderBy("bucket_h"))
+
+
+# --- join-skew audit -----------------------------------------------------------------
+
+_SKEW_AUDIT_ORACLE = """
+    WITH counts AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM counts
+    )
+    SELECT c.l_partkey AS hot_key, c.cnt, s.n_keys, s.total_rows,
+           FLOOR((CAST(s.max_cnt AS DOUBLE) * s.n_keys) / s.total_rows
+                 * 1e6 + 0.5) / 1e6 AS skew_ratio
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.cnt DESC, c.l_partkey
+    LIMIT 5
+"""
+
+
+@register(
+    "q_skew_audit",
+    oracle=_SKEW_AUDIT_ORACLE,
+    doc="Join-key skew audit on lineitem.l_partkey: per-key "
+        "frequencies, the max/mean skew ratio (max_cnt * n_keys / "
+        "total, 1.0 = perfectly uniform), and the top-5 hottest keys — "
+        "the diagnostic that decides whether a join needs salting or "
+        "AQE skew splitting (the engine's own remediation levers, "
+        "q_salted_join / the AQE skew test). One map-side-combined "
+        "key aggregate + a broadcast 3-scalar rollup + TakeOrdered; "
+        "counts exact, ratio one IEEE expression, 6dp.",
+    tags=("analytics", "ops"),
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_partkey")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"))
+    ratio = ((F.col("max_cnt").cast("double") * F.col("n_keys"))
+             / F.col("total_rows"))
+    return (counts.crossJoin(F.broadcast(stats))
+            .select(F.col("l_partkey").alias("hot_key"), "cnt",
+                    "n_keys", "total_rows",
+                    (F.floor(ratio * 1e6 + 0.5) / 1e6)
+                    .alias("skew_ratio"))
+            .orderBy(F.desc("cnt"), "hot_key")
+            .limit(5))

@@ -661,3 +661,54 @@ def test_gini_concentration_matches_naive(spark):
     got = tuple(q_gini_concentration(spark, SF_SMALL).collect()[0])
     assert got == expect
     assert 0.0 <= gini < 1.0
+
+
+def test_funnel_latency_matches_naive(spark):
+    """q_funnel_latency vs pure-Python first-signup/first-purchase
+    hour-bucket histogram on exact epoch micros."""
+    from canary_weather_etl_spark.plans.r7_queries import q_funnel_latency
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("user_id", "event_type",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("us")).collect())
+    firsts: dict = {}
+    for r in rows:
+        s, p = firsts.get(r["user_id"], (None, None))
+        if r["event_type"] == "signup" and (s is None or r["us"] < s):
+            s = r["us"]
+        if r["event_type"] == "purchase" and (p is None or r["us"] < p):
+            p = r["us"]
+        firsts[r["user_id"]] = (s, p)
+    hist: dict = {}
+    for s, p in firsts.values():
+        if s is not None and p is not None and p >= s:
+            b = (p - s) // 3600000000
+            hist[b] = hist.get(b, 0) + 1
+    expect = sorted(hist.items())
+
+    got = [tuple(r) for r in q_funnel_latency(spark, SF_SMALL).collect()]
+    assert got == expect and len(got) > 0
+
+
+def test_skew_audit_matches_naive(spark):
+    """q_skew_audit vs pure-Python frequency scan; ratio >= 1."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import q_skew_audit
+
+    keys = [r["l_partkey"] for r in
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .select("l_partkey").collect()]
+    cnt: dict = {}
+    for k in keys:
+        cnt[k] = cnt.get(k, 0) + 1
+    n_keys, total, mx = len(cnt), len(keys), max(cnt.values())
+    ratio = math.floor((float(mx) * n_keys) / total * 1e6 + 0.5) / 1e6
+    expect = [(k, c, n_keys, total, ratio)
+              for k, c in sorted(cnt.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:5]]
+
+    got = [tuple(r) for r in q_skew_audit(spark, SF_SMALL).collect()]
+    assert got == expect
+    assert ratio >= 1.0
