@@ -68,3 +68,47 @@ def global_rank(df: DataFrame, order: list[Column],
                         (F.row_number().over(w) - 1 + offset_expr)
                         .cast("bigint"))
             .drop("__pid"))
+
+
+def global_cumsum(df: DataFrame, order: list[Column], value: str,
+                  n_partitions: int | None = None,
+                  out_col: str = "global_cumsum") -> DataFrame:
+    """Attach an inclusive global prefix sum of integer column `value`
+    under `order` (must be a total order) WITHOUT a single-partition
+    window — the same range-partition + per-partition-offset
+    construction as global_rank, with per-partition SUMS instead of
+    counts as the offsets. Exact for integer values (BIGINT adds in
+    each partition-local window + one exact offset add); the offset
+    list is O(#partitions) driver-side scalars.
+
+    The scalable twin of ``SUM(x) OVER (ORDER BY ...)`` — which Spark
+    executes on ONE task (WindowExec warns "Moving all data to a single
+    partition"). Used by q_abc_classification's Lorenz-curve classes.
+    """
+    from pyspark.sql import Window
+
+    n = n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    ranged = (df.repartitionByRange(int(n), *order)
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+
+    sums = {r["__pid"]: r["s"] for r in
+            ranged.groupBy("__pid")
+            .agg(F.sum(value).cast("long").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                       for x in kv]),
+        F.col("__pid"))
+
+    w = (Window.partitionBy("__pid").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranged
+            .withColumn(out_col,
+                        (F.sum(value).over(w) + offset_expr)
+                        .cast("bigint"))
+            .drop("__pid"))

@@ -3337,3 +3337,170 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("skew_ratio"))
             .orderBy(F.desc("cnt"), "hot_key")
             .limit(5))
+
+
+# --- linear multi-touch attribution --------------------------------------------------
+
+_ATTRIB_LINEAR_ORACLE = """
+    WITH firstp AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS p_us
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT DISTINCT e.user_id, e.event_type
+        FROM events e JOIN firstp f ON e.user_id = f.user_id
+        WHERE epoch_us(e.ts) < f.p_us
+    ),
+    pertouch AS (
+        SELECT user_id, event_type,
+               1000000 // (COUNT(*) OVER (PARTITION BY user_id))
+                   AS credit_ppm
+        FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touch_users,
+           CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM pertouch GROUP BY event_type
+    ORDER BY credit_ppm_total DESC, channel
+"""
+
+
+@register(
+    "q_attribution_linear",
+    oracle=_ATTRIB_LINEAR_ORACLE,
+    doc="Linear multi-touch attribution: each converting user's credit "
+        "is split EQUALLY across the distinct channels they touched "
+        "strictly before their first purchase — the fractional-credit "
+        "counterpart of q_attribution_last_touch. Credit is integer "
+        "parts-per-million via floor division (1000000 DIV n_touches), "
+        "so per-channel totals are exact BIGINTs with zero float "
+        "accumulation. One user-keyed first-purchase aggregate, one "
+        "distinct, one per-user count window, one channel aggregate — "
+        "all shuffling on user_id / channel.",
+    tags=("analytics", "temporal"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firstp = (e.where(F.col("event_type") == "purchase")
+              .groupBy("user_id")
+              .agg(F.min(F.unix_micros("ts")).alias("p_us")))
+    touches = (e.join(firstp, "user_id")
+               .where(F.unix_micros("ts") < F.col("p_us"))
+               .select("user_id", "event_type").distinct())
+    w = Window.partitionBy("user_id")
+    pertouch = touches.withColumn("n_t", F.count(F.lit(1)).over(w)) \
+        .withColumn("credit_ppm", F.expr("1000000 DIV n_t"))
+    return (pertouch.groupBy(F.col("event_type").alias("channel"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_touch_users"),
+                 F.sum("credit_ppm").cast("bigint")
+                 .alias("credit_ppm_total"))
+            .orderBy(F.desc("credit_ppm_total"), "channel"))
+
+
+# --- rolling 7-day active users -------------------------------------------------------
+
+_ROLLING_AU_ORACLE = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    caldays AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+    FROM caldays d
+    JOIN ud e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+"""
+
+
+@register(
+    "q_rolling_active_users",
+    oracle=_ROLLING_AU_ORACLE,
+    doc="Rolling 7-day active users (WAU) per calendar day. The "
+        "scalable construction is a BOUNDED EXPLODE, not a range join: "
+        "each distinct (user, day) row fans out to the <=7 report days "
+        "it contributes to (F.sequence + explode — constant 7x row "
+        "amplification that shuffles on the report day), then one "
+        "distinct count per day; the oracle is the equivalent range "
+        "join, which a distributed engine would quadratically regret. "
+        "All date/integer arithmetic, bit-stable.",
+    tags=("temporal", "analytics"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")) \
+        .distinct()
+    caldays = ud.select("day").distinct()
+    fanned = (ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6)))
+        .alias("day")))
+    return (fanned.join(F.broadcast(caldays), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+            .orderBy("day"))
+
+
+# --- ABC (Pareto) classification -----------------------------------------------------
+
+_ABC_ORACLE = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+        SELECT cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS total
+        FROM rev
+    )
+    SELECT CASE WHEN cum * 10 <= total * 7 THEN 'A'
+                WHEN cum * 10 <= total * 9 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS revenue,
+           FLOOR(CAST(SUM(cents) AS DOUBLE) / MAX(total) * 1e6 + 0.5)
+               / 1e6 AS revenue_share
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "q_abc_classification",
+    oracle=_ABC_ORACLE,
+    doc="ABC / Pareto classification of customers by revenue: rank by "
+        "exact integer cents descending, inclusive Lorenz prefix sum, "
+        "class A while cumulative share <= 70%, B <= 90%, C the tail — "
+        "the whale-segmentation primitive. The prefix sum uses the "
+        "distributed global_cumsum operator (range partition + "
+        "per-partition sums as offsets; operators/ranking.py) instead "
+        "of the single-partition SUM-OVER-ORDER window; class "
+        "boundaries are integer comparisons (cum*10 vs total*7), so "
+        "membership is bit-stable with no percentage rounding in the "
+        "cut.",
+    tags=("analytics", "stats"),
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_cumsum
+
+    o = load(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("bigint").alias("cents")))
+    cum = global_cumsum(rev, [F.col("cents").desc(), F.col("o_custkey")],
+                        "cents", out_col="cum")
+    total = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    cls = (F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+           .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+           .otherwise("C"))
+    return (cum.crossJoin(F.broadcast(total))
+            .select(cls.alias("abc_class"), "cents", "total")
+            .groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 (F.sum("cents").cast("double") / 100).alias("revenue"),
+                 (F.floor(F.sum("cents").cast("double") / F.max("total")
+                          * 1e6 + 0.5) / 1e6).alias("revenue_share"))
+            .orderBy("abc_class"))

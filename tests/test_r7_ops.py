@@ -712,3 +712,125 @@ def test_skew_audit_matches_naive(spark):
     got = [tuple(r) for r in q_skew_audit(spark, SF_SMALL).collect()]
     assert got == expect
     assert ratio >= 1.0
+
+
+def test_attribution_linear_matches_naive(spark):
+    """q_attribution_linear vs pure-Python equal-split ppm credits."""
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_attribution_linear)
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("user_id", "event_type",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    .alias("us")).collect())
+    firstp: dict = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            u = r["user_id"]
+            if u not in firstp or r["us"] < firstp[u]:
+                firstp[u] = r["us"]
+    touches: dict = {}
+    for r in rows:
+        u = r["user_id"]
+        if u in firstp and r["us"] < firstp[u]:
+            touches.setdefault(u, set()).add(r["event_type"])
+    agg: dict = {}
+    for u, chans in touches.items():
+        ppm = 1000000 // len(chans)
+        for c in chans:
+            n, s = agg.get(c, (0, 0))
+            agg[c] = (n + 1, s + ppm)
+    expect = sorted(((c, n, s) for c, (n, s) in agg.items()),
+                    key=lambda r: (-r[2], r[0]))
+
+    got = [tuple(r) for r in
+           q_attribution_linear(spark, SF_SMALL).collect()]
+    assert got == expect and len(got) > 0
+
+
+def test_rolling_active_users_matches_naive(spark):
+    """q_rolling_active_users vs pure-Python 7-day trailing distinct."""
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_rolling_active_users)
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("user_id", F.col("ts").cast("date").alias("day"))
+            .collect())
+    ud = {(r["user_id"], r["day"]) for r in rows}
+    days = sorted({d for _, d in ud})
+    expect = []
+    for d in days:
+        users = {u for u, dd in ud if 0 <= (d - dd).days <= 6}
+        expect.append((d, len(users)))
+
+    got = [tuple(r) for r in
+           q_rolling_active_users(spark, SF_SMALL).collect()]
+    assert got == expect
+    # WAU >= DAU on every day
+    dau = {d: len({u for u, dd in ud if dd == d}) for d in days}
+    assert all(w >= dau[d] for d, w in got)
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum == single-partition SUM OVER (ORDER BY) on a
+    multi-partition integer frame, including duplicate order keys."""
+    from pyspark.sql import Window
+
+    from canary_weather_etl_spark.operators.ranking import global_cumsum
+
+    df = spark.range(0, 500, 1, 8).select(
+        (F.col("id") % 97).alias("k"), (F.col("id") % 13).alias("v"))
+    got = {r["k"] * 1000 + r["v"]: r["c"] for r in
+           global_cumsum(df, [F.col("k"), F.col("v")], "v", out_col="c")
+           .collect()}
+    w = (Window.orderBy("k", "v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["k"] * 1000 + r["v"]: r["c"] for r in
+            df.withColumn("c", F.sum("v").over(w).cast("bigint"))
+            .collect()}
+    # duplicate (k, v) rows make per-row identity ambiguous; compare the
+    # multiset of cumsum values per key instead
+    gb: dict = {}
+    wb: dict = {}
+    for r in global_cumsum(df, [F.col("k"), F.col("v")], "v",
+                           out_col="c").collect():
+        gb.setdefault((r["k"], r["v"]), []).append(r["c"])
+    for r in (df.withColumn("c", F.sum("v").over(w).cast("bigint"))
+              .collect()):
+        wb.setdefault((r["k"], r["v"]), []).append(r["c"])
+    assert {k: sorted(v) for k, v in gb.items()} == \
+        {k: sorted(v) for k, v in wb.items()}
+
+
+def test_abc_classification_matches_naive(spark):
+    """q_abc_classification vs pure-Python Lorenz scan on exact cents;
+    classes partition the customer set and shares sum to ~1."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import (
+        q_abc_classification)
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+            .select("o_custkey", "o_totalprice").collect())
+    cents: dict = {}
+    for r in rows:
+        cents[r["o_custkey"]] = cents.get(r["o_custkey"], 0) + int(
+            np.round(r["o_totalprice"] * 100))
+    total = sum(cents.values())
+    agg: dict = {}
+    cum = 0
+    for k, c in sorted(cents.items(), key=lambda kv: (-kv[1], kv[0])):
+        cum += c
+        cls = "A" if cum * 10 <= total * 7 else \
+            ("B" if cum * 10 <= total * 9 else "C")
+        n, s = agg.get(cls, (0, 0))
+        agg[cls] = (n + 1, s + c)
+    expect = [(cls, n, float(s) / 100,
+               math.floor(float(s) / total * 1e6 + 0.5) / 1e6)
+              for cls, (n, s) in sorted(agg.items())]
+
+    got = [tuple(r) for r in
+           q_abc_classification(spark, SF_SMALL).collect()]
+    assert got == expect
+    assert sum(n for _, n, _, _ in got) == len(cents)
+    assert abs(sum(sh for *_, sh in got) - 1.0) < 1e-5
