@@ -33,7 +33,7 @@ from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalizat
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
 # hard external correctness row. Round-7 rotation, freshness-driven (no
 # entry's latest hard row should age past ~3 rounds): front-load (a) the
-# seventy-seven NEW r7 queries (47 sampled; the rest staged at the
+# seventy-nine NEW r7 queries (47 sampled; the rest staged at the
 # r8 head) (r7_queries.py + tpch.py + cleaning.py —
 # never sampled, new code this round); (b) 3 of the eight r6 queries
 # added after r6's 50 slots filled (never sampled; each drive_contract
@@ -70,7 +70,7 @@ _DRIVER_PRIORITY = (
     # (b) the full r6-late block now defers to the r8 head (see note)
     # (c) the twice-deferred rows-only trio (last driver rows: r3)
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
-    # positions 51+ — the r8 priority head: the 30 unsampled new
+    # positions 51+ — the r8 priority head: the 32 unsampled new
     # entries (locally hash-green), the 8 deferred r6-late entries,
     # then the full r4-sampled block (48)
     "q_hits_bipartite", "q_data_expectations", "q_snapshot_diff",
@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = (
     "q_funnel_latency", "q_skew_audit",
     "q_attribution_linear", "q_rolling_active_users",
     "q_abc_classification",
+    "q_kendall_tau", "q_spearman_corr",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_partition_fingerprint", "q_session_funnel",
     "q_jsonl_quarantine", "q_watermark_late_audit", "q_incremental_recompute",

@@ -3504,3 +3504,173 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor(F.sum("cents").cast("double") / F.max("total")
                           * 1e6 + 0.5) / 1e6).alias("revenue_share"))
             .orderBy("abc_class"))
+
+
+# --- Kendall tau-b rank correlation ----------------------------------------------------
+
+_KENDALL_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    sizes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n0
+        FROM daily
+    ),
+    tx AS (SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+           FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)),
+    ty AS (SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+           FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y))
+    SELECT n AS n_days, c AS concordant, d AS discordant,
+           FLOOR(CAST(c - d AS DOUBLE)
+                 / SQRT(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS tau_b
+    FROM pairs CROSS JOIN sizes CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@register(
+    "q_kendall_tau",
+    oracle=_KENDALL_ORACLE,
+    doc="Kendall tau-b rank correlation between the click and purchase "
+        "daily-count series — the robust (outlier-immune) dependence "
+        "measure. Scale pattern: the data-sized work is ONE aggregate "
+        "down to the bounded (day) matrix; the O(days^2) pair "
+        "enumeration runs on that matrix, whose size is calendar-bound, "
+        "not data-bound. Concordant/discordant/tie counts are exact "
+        "BIGINTs; tau-b = (C-D)/sqrt((n0-n1)(n0-n2)) is one IEEE "
+        "expression over identical integers, 6dp.",
+    tags=("temporal", "stats"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("bigint").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("bigint").alias("y")))
+    daily = daily.localCheckpoint(eager=True)  # matrix-sized; feeds 4 consumers
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = ((F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y")))
+    pairs = (a.join(b, F.col("a.day") < F.col("b.day"))
+             .agg(F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint")
+                  .alias("c"),
+                  F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint")
+                  .alias("d")))
+    sizes = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("bigint")
+        .alias("n0"))
+    tx = (daily.groupBy("x").agg(F.count(F.lit(1)).alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint")
+               .alias("n1")))
+    ty = (daily.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint")
+               .alias("n2")))
+    tau = ((F.col("c") - F.col("d")).cast("double")
+           / F.sqrt((F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2")).cast("double")))
+    return (pairs.crossJoin(F.broadcast(sizes))
+            .crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+            .select(F.col("n").alias("n_days"),
+                    F.col("c").alias("concordant"),
+                    F.col("d").alias("discordant"),
+                    (F.floor(tau * 1e6 + 0.5) / 1e6).alias("tau_b")))
+
+
+# --- Spearman rank correlation ----------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT 2 * RANK() OVER (ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+               2 * RANK() OVER (ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy
+        FROM r
+    )
+    SELECT n AS n_days,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS spearman_rho
+    FROM s
+"""
+
+
+@register(
+    "q_spearman_corr",
+    oracle=_SPEARMAN_ORACLE,
+    doc="Spearman rank correlation between the click and purchase "
+        "daily-count series: Pearson on tie-averaged ranks, with the "
+        "ranks kept EXACT in half-units (2*avg_rank = 2*min_rank + t - "
+        "1, an integer — the q_mannwhitney_u construction), so all six "
+        "moment sums are BIGINTs and rho is one IEEE expression, 6dp. "
+        "Data-sized work is one aggregate to the calendar-bounded "
+        "matrix; ranks come from the distributed global_rank operator "
+        "over that matrix, not a single-partition window.",
+    tags=("temporal", "stats"),
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    e = load(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("bigint").alias("x"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("bigint").alias("y")))
+    rx = global_rank(daily, [F.col("x"), F.col("day")], out_col="rnx")
+    gx = rx.groupBy("x").agg(F.min("rnx").alias("mnx"),
+                             F.count(F.lit(1)).alias("tx"))
+    withx = (rx.join(gx, "x")
+             .withColumn("rx", 2 * F.col("mnx") + F.col("tx") + 1))
+    ry = global_rank(withx.select("day", "y", "rx"),
+                     [F.col("y"), F.col("day")], out_col="rny")
+    gy = ry.groupBy("y").agg(F.min("rny").alias("mny"),
+                             F.count(F.lit(1)).alias("ty"))
+    r = (ry.join(gy, "y")
+         .withColumn("ry", 2 * F.col("mny") + F.col("ty") + 1))
+    s = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("rx").cast("bigint").alias("sx"),
+              F.sum("ry").cast("bigint").alias("sy"),
+              F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+              F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+              F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(F.col("n").alias("n_days"),
+                    (F.floor(num / den * 1e6 + 0.5) / 1e6)
+                    .alias("spearman_rho"))

@@ -834,3 +834,79 @@ def test_abc_classification_matches_naive(spark):
     assert got == expect
     assert sum(n for _, n, _, _ in got) == len(cents)
     assert abs(sum(sh for *_, sh in got) - 1.0) < 1e-5
+
+
+def _daily_xy(spark):
+    rows = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("event_type", F.col("ts").cast("date").alias("day"))
+            .collect())
+    daily: dict = {}
+    for r in rows:
+        x, y = daily.get(r["day"], (0, 0))
+        if r["event_type"] == "click":
+            x += 1
+        if r["event_type"] == "purchase":
+            y += 1
+        daily[r["day"]] = (x, y)
+    return list(daily.values())
+
+
+def test_kendall_tau_matches_naive(spark):
+    """q_kendall_tau vs pure-Python all-pairs concordance count."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import q_kendall_tau
+
+    xy = _daily_xy(spark)
+    n = len(xy)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (xy[i][0] - xy[j][0]) * (xy[i][1] - xy[j][1])
+            c += p > 0
+            d += p < 0
+    n0 = n * (n - 1) // 2
+    tie = lambda vals: sum(t * (t - 1) // 2 for t in
+                           __import__("collections")
+                           .Counter(vals).values())
+    n1, n2 = tie([x for x, _ in xy]), tie([y for _, y in xy])
+    tau = math.floor(float(c - d)
+                     / math.sqrt(float(n0 - n1) * float(n0 - n2))
+                     * 1e6 + 0.5) / 1e6
+    got = tuple(q_kendall_tau(spark, SF_SMALL).collect()[0])
+    assert got == (n, c, d, tau)
+    assert -1.0 <= tau <= 1.0
+
+
+def test_spearman_corr_matches_naive(spark):
+    """q_spearman_corr vs pure-Python tie-averaged-rank Pearson in
+    exact half-units; scipy-free from-scratch reference."""
+    import math
+
+    from canary_weather_etl_spark.plans.r7_queries import q_spearman_corr
+
+    xy = _daily_xy(spark)
+
+    def ranks2(vals):
+        sv = sorted(vals)
+        first = {}
+        cnt = {}
+        for i, v in enumerate(sv):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    rx = ranks2([x for x, _ in xy])
+    ry = ranks2([y for _, y in xy])
+    n = len(xy)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = math.floor(float(n * sxy - sx * sy)
+                     / math.sqrt(float(n * sxx - sx * sx)
+                                 * float(n * syy - sy * sy))
+                     * 1e6 + 0.5) / 1e6
+    got = tuple(q_spearman_corr(spark, SF_SMALL).collect()[0])
+    assert got == (n, rho)
+    assert -1.0 <= rho <= 1.0
