@@ -2721,7 +2721,8 @@ _BASKET_PAIRS_ORACLE = """
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     items = (e.select("user_id", F.col("ts").cast("date").alias("day"),
-                      "event_type").distinct())
+                      "event_type").distinct()
+             .localCheckpoint(eager=True))  # feeds N/supports/self-join x2
     n = items.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
     supp = items.groupBy("event_type").agg(
@@ -3093,7 +3094,8 @@ _CUSUM_ORACLE = """
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     daily = (e.groupBy(F.col("ts").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+             .localCheckpoint(eager=True))  # matrix-sized; 2 consumers
     tot = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
                     F.sum("c").cast("bigint").alias("total"))
     w = (Window.orderBy("day")
@@ -3323,7 +3325,8 @@ _SKEW_AUDIT_ORACLE = """
 def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     counts = (li.groupBy("l_partkey")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+              .localCheckpoint(eager=True))  # key-sized; 2 consumers
     stats = counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("total_rows"),
@@ -3427,8 +3430,9 @@ _ROLLING_AU_ORACLE = """
 )
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    ud = e.select("user_id", F.col("ts").cast("date").alias("day")) \
-        .distinct()
+    ud = (e.select("user_id", F.col("ts").cast("date").alias("day"))
+          .distinct()
+          .localCheckpoint(eager=True))  # feeds calendar + fan-out legs
     caldays = ud.select("day").distinct()
     fanned = (ud.select(
         "user_id",
