@@ -125,6 +125,23 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
               "pair_n BIGINT")
 
 
+def _merge_step(left: str, right: str):
+    """Fold step for one BPE merge: greedy left-to-right non-overlapping
+    rewrite of the (left, right) adjacency into the merged symbol. A
+    closure factory — PySpark introspects the lambda's arity, so the merge
+    pair must be captured, not passed as default args."""
+    _l, _r, _m = F.lit(left), F.lit(right), F.lit(left + right)
+
+    def step(acc, x):
+        return (
+            F.when((F.size(acc) > 0) & (F.element_at(acc, -1) == _l)
+                   & (x == _r),
+                   F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(_m)))
+            .otherwise(F.concat(acc, F.array(x))))
+    return step
+
+
 def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
                    id_col: str = "doc_id", text_col: str = "text",
                    out_col: str = "n_bpe",
@@ -152,21 +169,6 @@ def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("word")).filter(F.col("word") != "")
     col = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
-
-    def _merge_step(left: str, right: str):
-        # closure factory: PySpark introspects the lambda's arity, so the
-        # merge pair must be captured, not passed as default args
-        _l, _r, _m = F.lit(left), F.lit(right), F.lit(left + right)
-
-        def step(acc, x):
-            return (
-                F.when((F.size(acc) > 0) & (F.element_at(acc, -1) == _l)
-                       & (x == _r),
-                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                                F.array(_m)))
-                .otherwise(F.concat(acc, F.array(x))))
-        return step
-
     cur = words
     for i, (left, right) in enumerate(merges):
         col = F.aggregate(col, F.array().cast("array<string>"),
@@ -186,3 +188,59 @@ def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
             .join(counts, id_col, "left")
             .select(id_col, F.coalesce(F.col(out_col), F.lit(0))
                     .cast("bigint").alias(out_col)))
+
+
+def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]],
+                   vocab: dict[str, int], id_col: str = "doc_id",
+                   text_col: str = "text", out_col: str = "token_ids",
+                   checkpoint_every: int = 64) -> DataFrame:
+    """Apply a learned merge list and emit the per-document TOKEN-ID
+    ARRAYS — the actual pretraining artifact (bpe_encode_len only reports
+    the budget number). Returns (id_col, out_col array<bigint>, n_tokens).
+
+    Scale shape (the 100 TB path): the merge folds run over the DISTINCT
+    word table, not the corpus — a 100 TB corpus has millions of distinct
+    words, so the expensive per-merge array folds touch vocabulary-sized
+    data once; the corpus-sized work is one broadcast join of the encoded
+    word table back onto (doc, position) rows plus one grouped assembly.
+    Word order is preserved by position (posexplode → array_sort on the
+    collected (pos, ids) structs) — never by collect_list arrival order,
+    which is shuffle-nondeterministic.
+
+    ID mapping: symbols missing from ``vocab`` map to -1 (UNK). Lookup is
+    ``try_element_at`` so ANSI mode cannot throw on unknown symbols."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("pos", "word")).filter(F.col("word") != "")
+    wv = words.select("word").distinct()
+    col = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    cur = wv
+    for i, (left, right) in enumerate(merges):
+        col = F.aggregate(col, F.array().cast("array<string>"),
+                          _merge_step(left, right))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
+            cur = (cur.select("word", col.alias("__syms"))
+                   .localCheckpoint(eager=True))
+            col = F.col("__syms")
+    id_map = F.create_map(
+        *[F.lit(x) for sym, tid in sorted(vocab.items()) for x in (sym, tid)])
+    encoded = cur.select(
+        "word",
+        F.transform(col, lambda s: F.coalesce(
+            F.try_element_at(id_map, s), F.lit(-1)).cast("bigint"))
+        .alias("__ids"))
+    per_doc = (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__ids"))),
+            lambda x: x["__ids"])).alias(out_col)))
+    # left-join back so empty/whitespace-only docs report [], not absence
+    return (docs.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col(out_col),
+                               F.array().cast("array<bigint>"))
+                    .alias(out_col))
+            .withColumn("n_tokens", F.size(out_col).cast("bigint")))

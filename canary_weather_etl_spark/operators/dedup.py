@@ -498,7 +498,57 @@ def near_dup_pairs_prefix_filter(df: DataFrame, id_col: str, text_col: str,
     (< 1) is not acceptable."""
     sets = shingle_sets(df, id_col, text_col, n=n)
     # sets feeds prefix generation AND both verify sides — one
-    # materialization, three consumers
-    sets.persist()
+    # materialization, three consumers (localCheckpoint: blocks release on
+    # GC, so a session running many queries doesn't accumulate pinned cache)
+    sets = sets.localCheckpoint(eager=True)
+    cand = prefix_filter_candidates(sets, threshold=threshold)
+    return verify_pairs_jaccard(sets, cand, threshold=threshold)
+
+
+def estimate_allpairs_candidates(sets: DataFrame) -> int:
+    """Cheap df-distribution probe: the exact all-pairs shared-shingle
+    join materializes Σ_s C(df_s, 2) candidate rows (df_s = per-shingle
+    document frequency). One explode + one two-level aggregate — shingle-
+    keyed, map-side combined — returns that sum as a bounded driver
+    scalar. O(corpus shingles) work, no joins."""
+    row = (sets.select(F.explode("sh").alias("shingle"))
+           .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+           .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                .cast("bigint").alias("c"))
+           .collect())
+    return int(row[0]["c"] or 0)
+
+
+def near_dup_pairs_exact(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 2, threshold: float = 0.5,
+                         allpairs_candidate_budget: int = 20_000_000,
+                         ) -> DataFrame:
+    """EXACT Jaccard near-dup pairs with an ENGINE-CHOSEN physical path
+    (r7 verdict #4: the regime decision belongs in the engine, not a
+    docstring).
+
+    Both physical paths return the identical exact result set; they differ
+    only in cost regime, and the committed sf0.1 measurements
+    (scripts/setjoin_scale.py) show a 7× split in EACH direction:
+
+    - near-uniform df (synthetic fixtures): the all-pairs shared-shingle
+      join wins (8.6 s vs 59.6 s) — candidate volume is modest and the
+      prefix path's extra shuffles (dfreq join, per-doc window, positional
+      filter) are pure overhead;
+    - Zipfian df (real corpora): all-pairs degenerates quadratically on
+      hot shingles; the prefix path's candidates stay near output size.
+
+    The chooser runs `estimate_allpairs_candidates` (one aggregate over
+    the shingle table that both paths need anyway) and takes all-pairs iff
+    the estimate fits ``allpairs_candidate_budget``. The default budget
+    (20M) sits between the measured fixture point (5.5M candidates →
+    8.6 s on local[32]) and the regime where the quadratic term dominates;
+    at 1000-executor scale raise it proportionally to cluster width."""
+    sets = shingle_sets(df, id_col, text_col, n=n)
+    sets = sets.localCheckpoint(eager=True)  # probe + both paths consume it
+    c_all = estimate_allpairs_candidates(sets)
+    if c_all <= allpairs_candidate_budget:
+        sh = sets.select("doc", F.explode("sh").alias("shingle"))
+        return exact_jaccard(sh, threshold=threshold)
     cand = prefix_filter_candidates(sets, threshold=threshold)
     return verify_pairs_jaccard(sets, cand, threshold=threshold)

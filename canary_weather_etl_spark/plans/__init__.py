@@ -25,54 +25,27 @@ from . import stream_proofs  # noqa: E402,F401  §2.9 checkpoint-restart exactly
 from . import advanced_sql  # noqa: E402,F401  regr/LATERAL/recursive CTE/EWMA/PageRank
 from . import r6_queries   # noqa: E402,F401  skyline/MAD/PMI/containment/k-core/nearest
 from . import r7_queries   # noqa: E402,F401  kmeans/BFS/PPJoin/winsorize/SQL-UDF/zonemap
-from . import tpch          # noqa: E402,F401  classic TPC-H pack (17 of 22)
+from . import tpch          # noqa: E402,F401  classic TPC-H pack (all 22)
 from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalization
+from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / r8 ops
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-7 rotation, freshness-driven (no
-# entry's latest hard row should age past ~3 rounds): front-load (a) the
-# seventy-nine NEW r7 queries (47 sampled; the rest staged at the
-# r8 head) (r7_queries.py + tpch.py + cleaning.py —
-# never sampled, new code this round); (b) 3 of the eight r6 queries
-# added after r6's 50 slots filled (never sampled; each drive_contract
-# hash-green locally in r6 AND re-verified this round; five defer to
-# the r8 head: rows-only q_anomaly_mad_approx — a driver sample is a
-# weak check and its exact-path agreement is pytest-pinned — plus
-# q_cdc_chunk_dedup, q_incremental_recompute, q_watermark_late_audit,
-# and q_embedding_dim_stats, the four carrying the strongest
-# independent pytest evidence, three of them hypothesis property
-# twins); (c) the rows-only trio whose last driver rows are r3
-# (deferred twice as the least-lossy option — all carry strong pytest
-# invariants and q_corpus_curation is benched every round; they must
-# not slip again). The 5 deferred r6-late entries + the 48 r4-sampled
-# entries sit at positions 51+ and MUST lead the r8 rotation (r8 plan:
-# 5 r6-late + 45 of the 48 r4-sampled; the r4 tail + 47 r5-sampled
-# follow in r9).
+# hard external correctness row. Round-8 rotation, per the r7 verdict's #1
+# directive ("burn down the driver-sample debt"): front-load (a) the 32
+# r7-authored entries that were staged at positions 51+ last round and so
+# have NO external driver row yet (each locally hash-green via
+# drive_contract in r7 and 8 of them judge-verified green); (b) the 8
+# r6-late entries deferred twice (same local-green status, strongest
+# independent pytest evidence); (c) the first 10 of the 48-entry
+# r4-sampled block — the oldest external rows in the tree. The remaining
+# 38 r4-sampled entries sit at positions 51+ and lead the r9 rotation,
+# followed by the r5-sampled block; the 47 r7-sampled entries (fresh
+# CORRECTNESS_r07 rows) and any NEW r8 queries (local drive_contract
+# evidence this round) queue behind them.
 _DRIVER_PRIORITY = (
-    # (a) new r7 surface (47 of 50 queries, all SQL-oracled; the seventeen
-    # tpch.py classics run IDENTICAL SQL text on both engines)
-    "q_kmeans_lloyd", "q_kmeans_assign_incremental", "q_bfs_reach",
-    "q_setjoin_prefix_filter", "q_winsorize_robust", "q_sql_udf",
-    "q_arrow_normalize", "q_zonemap_skipping", "q_lang_balanced_sample",
-    "q_phrase_search", "q_tfidf_retrieval", "q_attribution_last_touch",
-    "q_grouping_id", "q_map_functions", "q_linreg_normal_eq",
-    "q_binaryfile_scan", "q_bellman_ford", "q_mmr_diverse_topk",
-    "q_sql_pipe_syntax", "q_stream_datasource_read", "q_stat_crosstab",
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
-    "q_tpch_q14", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19",
-    "q_tpch_q21", "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
-    "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
-    "q_perceptron_batch", "q_boilerplate_strip", "q_tpch_q2",
-    "q_tpch_q12",
-    # (b) the full r6-late block now defers to the r8 head (see note)
-    # (c) the twice-deferred rows-only trio (last driver rows: r3)
-    "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
-    # positions 51+ — the r8 priority head: the 32 unsampled new
-    # entries (locally hash-green), the 8 deferred r6-late entries,
-    # then the full r4-sampled block (48)
+    # (a) the 32 r7-authored, never-driver-sampled entries
     "q_hits_bipartite", "q_data_expectations", "q_snapshot_diff",
     "q_listagg_topn", "q_degree_histogram", "q_corpus_novelty",
     "q_concurrency_peak", "q_event_transitions",
@@ -88,18 +61,25 @@ _DRIVER_PRIORITY = (
     "q_abc_classification",
     "q_kendall_tau", "q_spearman_corr",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    # (b) the 8 twice-deferred r6-late entries
     "q_partition_fingerprint", "q_session_funnel",
     "q_jsonl_quarantine", "q_watermark_late_audit", "q_incremental_recompute",
     "q_cdc_chunk_dedup", "q_embedding_dim_stats", "q_anomaly_mad_approx",
+    # (c) the 10 oldest r4-sampled entries (external rows now 4 rounds old)
     "q1_groupby_avg",
     "q2_groupby2_topk", "q3_filtered_groupby_avg",
     "q_projection_derived", "q_filter_null_empty", "q_distinct_pairs",
     "q_topk_global", "q_scalar_string", "q_cms_heavy_hitters",
-    "q_join_inner_fact", "q_join_broadcast_dims", "q_join_left_anti",
+    "q_join_inner_fact",
+    # positions 51+ — the r9 priority head: the remaining 38 r4-sampled
+    # entries, then the r5-sampled block (r7-sampled and new-r8 entries
+    # trail, ordered by evidence age)
+    "q_join_broadcast_dims", "q_join_left_anti",
     "q_join_left_semi", "q_join_left_outer", "q_join_full_outer",
     "q_cross_join", "q_union_by_name", "q_except_all",
     "q_intersect_distinct", "q_intersect_all", "q_window_rank",
-    "q_window_rolling", "q_window_lag_delta", "q_rollup", "q_cube", "q_events_tumbling", "q_events_sliding", "q_events_session",
+    "q_window_rolling", "q_window_lag_delta", "q_rollup", "q_cube",
+    "q_events_tumbling", "q_events_sliding", "q_events_session",
     "q_grouping_sets", "q_window_distribution", "q_correlated_subquery",
     "q_multimodal_embed_topk", "q_dedup_embedding_clusters",
     "q_random_projection", "q_array_composite", "q_events_scalar_composite",
@@ -107,6 +87,22 @@ _DRIVER_PRIORITY = (
     "q_asof_join_staleness", "q_approx_percentile", "q_sessionize",
     "q_partition_stats", "q_histogram", "q_string_date_hash_composite",
     "q_api_datasource_scan", "q_orc_roundtrip", "q_stream_restart_dedup",
+    # r7-sampled entries with fresh CORRECTNESS_r07 rows
+    "q_kmeans_lloyd", "q_kmeans_assign_incremental", "q_bfs_reach",
+    "q_setjoin_prefix_filter", "q_winsorize_robust", "q_sql_udf",
+    "q_arrow_normalize", "q_zonemap_skipping", "q_lang_balanced_sample",
+    "q_phrase_search", "q_tfidf_retrieval", "q_attribution_last_touch",
+    "q_grouping_id", "q_map_functions", "q_linreg_normal_eq",
+    "q_binaryfile_scan", "q_bellman_ford", "q_mmr_diverse_topk",
+    "q_sql_pipe_syntax", "q_stream_datasource_read", "q_stat_crosstab",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
+    "q_tpch_q14", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19",
+    "q_tpch_q21", "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
+    "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
+    "q_perceptron_batch", "q_boilerplate_strip", "q_tpch_q2",
+    "q_tpch_q12",
+    "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
 )
 
 

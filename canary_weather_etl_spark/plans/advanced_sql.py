@@ -118,7 +118,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_recursive_cte_depth",
     oracle="""
     WITH RECURSIVE walk(node, cur, depth) AS (
-        SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth FROM supplier
         UNION ALL
         SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 1
     )
@@ -138,9 +138,11 @@ def q_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
     return spark.sql("""
         WITH RECURSIVE walk(node, cur, depth) AS (
-            SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
+            SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth
+            FROM supplier_rc
             UNION ALL
-            SELECT node, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+            SELECT node, cur DIV 2 AS cur, depth + 1 AS depth
+            FROM walk WHERE cur > 1
         )
         SELECT depth AS depth_to_root, COUNT(*) AS n_nodes
         FROM (SELECT node, MAX(depth) AS depth FROM walk GROUP BY node)

@@ -303,7 +303,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl, F.lit("(c) "), F.col("source"), F.lit(" all rights reserved"))
     lines = (d.select("doc_id", "source",
                       F.explode(F.split(dirty, "\n")).alias("line"))
-             .persist())
+             .localCheckpoint(eager=True))
     srcn = lines.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"))
     freq = lines.groupBy("source", "line").agg(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..operators import clustering as C
 from ..operators import dedup as D
@@ -130,9 +131,11 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_par(spark, sf_dir, "embeddings")
     qdf = C.quantize_vectors(emb)
     # one quantize projection feeds init + 3 iterations + final assignment
-    # (5 consumers): persist at test scale; at 100 TB you'd persist to
-    # DISK_ONLY or pre-materialize the quantized table once
-    qdf.persist()
+    # (5 consumers): localCheckpoint at test scale (blocks release on GC —
+    # a long driver session running all registry queries must not
+    # accumulate pinned cache); at 100 TB you'd pre-materialize the
+    # quantized table once
+    qdf = qdf.localCheckpoint(eager=True)
     asg, _cent = C.kmeans_fixed(qdf, k=4, iterations=3)
     return C.kmeans_cluster_profile(asg)
 
@@ -639,7 +642,8 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf feeds idf, the query vector, and the corpus side — materialize once
-    tf.persist()
+    # (localCheckpoint, not persist: blocks release on GC, no session leak)
+    tf = tf.localCheckpoint(eager=True)
     idf = (tf.groupBy("term")
            .agg(F.count_distinct("doc_id").alias("df"))
            .select("term", (F.lit(1_000_000_000_000).cast("long")
@@ -779,7 +783,7 @@ def q_kmeans_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_par(spark, sf_dir, "embeddings")
     qdf = C.quantize_vectors(emb)
-    qdf.persist()
+    qdf = qdf.localCheckpoint(eager=True)
     _, cent = C.kmeans_fixed(qdf, k=4, iterations=3)
     # persist the model as a table (the "quantizer"), then load it back —
     # the round trip is the point: assignment must not depend on the
@@ -1199,7 +1203,7 @@ def _mmr_oracle(k: int = 5) -> str:
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_par(spark, sf_dir, "embeddings")
     qdf = C.quantize_vectors(emb)
-    qdf.persist()
+    qdf = qdf.localCheckpoint(eager=True)
     q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["qvec"]
 
     def dot_to(vec):
@@ -1320,10 +1324,12 @@ def q_stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(processingTime="50 milliseconds").start())
     deadline = time.time() + 90
     while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()  # surface stream failure, don't burn 90s
         try:
             if spark.read.parquet(out).count() >= 60:
                 break
-        except Exception:
+        except AnalysisException:
             pass  # sink dir not created yet
         time.sleep(0.2)
     q.stop()
@@ -1475,7 +1481,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = (e.select("user_id",
                          F.to_date(F.date_trunc("week", "ts"))
                           .alias("week"))
-                .distinct().persist())
+                .distinct().localCheckpoint(eager=True))
     cohorts = activity.groupBy("user_id").agg(F.min("week")
                                               .alias("cohort_week"))
     return (activity.join(cohorts, "user_id")
@@ -1622,7 +1628,7 @@ def q_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("vec_id", "y", "ord",
                  F.floor(F.col("val").cast("double") * scale + 0.5)
                   .cast("bigint").alias("qx"))
-         .persist())
+         .localCheckpoint(eager=True))
     dims = q.agg(F.max("ord")).collect()[0][0] + 1
     w = [0] * dims
     out_rows = []
@@ -1711,7 +1717,7 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (o.join(li, o.o_orderkey == li.l_orderkey)
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_partkey").alias("p"))
-             .distinct().persist())
+             .distinct().localCheckpoint(eager=True))
 
     def normalize(raw_df, key, out):
         mx = raw_df.agg(F.max("raw")).collect()[0][0]  # driver scalar
@@ -2073,7 +2079,8 @@ _NOVELTY_ORACLE = r"""
 )
 def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = D.shingle_table(d, "doc_id", "text", n=2).distinct().persist()
+    sh = (D.shingle_table(d, "doc_id", "text", n=2).distinct()
+          .localCheckpoint(eager=True))
     first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
     flagged = (sh.join(first, "shingle")
                .select("doc",
@@ -2426,10 +2433,11 @@ _SOURCE_OVERLAP_ORACLE = r"""
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     grams = (D.shingle_table(d, "source", "text", n=2)
-             .withColumnRenamed("doc", "source").distinct().persist())
+             .withColumnRenamed("doc", "source").distinct()
+             .localCheckpoint(eager=True))
     rare = (grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= 10).select("shingle"))
-    capped = grams.join(rare, "shingle").persist()
+    capped = grams.join(rare, "shingle").localCheckpoint(eager=True)
     sizes = capped.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = capped.select(F.col("source").alias("source_a"), "shingle")
     b = capped.select(F.col("source").alias("source_b"), "shingle")

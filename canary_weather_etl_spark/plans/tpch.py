@@ -44,7 +44,14 @@ def _sql_pair(name: str, spark_tables: tuple[str, ...], sql: str):
     """Register a TPC-H query whose Spark side runs the SAME SQL text
     over temp views — parser/optimizer parity is the point; the oracle
     runs it over DuckDB's views. Table names are suffixed on the Spark
-    side to avoid clobbering other modules' views."""
+    side to avoid clobbering other modules' views.
+
+    CONSTRAINT: the rename is a plain ``\\b``-bounded regex over the whole
+    SQL text, so it would also rewrite a bare lowercase table name inside
+    a string literal or comment (e.g. ``WHERE note = 'see orders'``).
+    Current pack queries contain no such literal; when adding queries,
+    either keep literals free of bare table names or switch this helper
+    to registering views under the bare names in an isolated temp schema."""
 
     import re
 

@@ -1,0 +1,111 @@
+"""Round-8 operator tests: BPE token-id encoding and the streaming
+upsert readback surface."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.plans.registry import load
+
+
+def _naive_encode_ids(text, merges, vocab):
+    """From-scratch greedy BPE encoder emitting token ids — independent of
+    the Spark fold in everything but the published algorithm."""
+    ids = []
+    for w in [w for w in re.split(r"\s+", text.lower().strip(" "),
+                                  flags=re.ASCII) if w]:
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out = []
+            for x in syms:  # greedy left scan
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        ids.extend(vocab.get(s, -1) for s in syms)
+    return ids
+
+
+def test_bpe_encode_ids_matches_naive(spark):
+    from canary_weather_etl_spark.operators.bpe import bpe_encode_ids
+    from canary_weather_etl_spark.plans.r8_queries import (_BPE_MERGES,
+                                                           _BPE_VOCAB)
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in bpe_encode_ids(docs, _BPE_MERGES, _BPE_VOCAB).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        exp = _naive_encode_ids(text, _BPE_MERGES, _BPE_VOCAB)
+        assert got[doc_id][0] == exp, f"doc {doc_id}"
+        assert got[doc_id][1] == len(exp)
+    # non-trivial corpus: merged tokens (id >= 27) must actually appear
+    assert any(i >= 27 for ids, _ in got.values() for i in ids)
+
+
+def test_bpe_encode_ids_empty_and_unknown(spark):
+    from canary_weather_etl_spark.operators.bpe import bpe_encode_ids
+    df = spark.createDataFrame(
+        [(0, "ab ab"), (1, "   "), (2, ""), (3, "x9!")],
+        ["doc_id", "text"])
+    merges = [("a", "b"), ("ab", "</w>")]
+    vocab = {"</w>": 0, "a": 1, "b": 2, "x": 3, "ab": 4, "ab</w>": 5}
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in bpe_encode_ids(df, merges, vocab).collect()}
+    assert got[0] == [5, 5]          # both words fully merged
+    assert got[1] == [] and got[2] == []  # whitespace-only and empty: []
+    assert got[3] == [3, -1, -1, 0]  # '9','!' are UNK → -1, then </w>
+
+
+# --- regime-choosing exact set-similarity join -------------------------------
+
+def _pairs(df):
+    return {(r["a"], r["b"], round(r["jaccard"], 9)) for r in df.collect()}
+
+
+def test_setjoin_regime_chooser_both_paths_equal_exact(spark):
+    """The chooser must (a) pick all-pairs on a small/uniform corpus and
+    prefix-filter on one whose df distribution explodes the all-pairs
+    candidate count, and (b) return the IDENTICAL exact result set either
+    way."""
+    from canary_weather_etl_spark.operators.dedup import (
+        estimate_allpairs_candidates, exact_jaccard, near_dup_pairs_exact,
+        shingle_sets, shingle_table)
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(60)
+
+    exp = _pairs(exact_jaccard(shingle_table(docs, "doc_id", "text", n=2),
+                               threshold=0.5))
+
+    sets = shingle_sets(docs, "doc_id", "text", n=2)
+    c_all = estimate_allpairs_candidates(sets)
+    assert c_all > 0
+
+    # budget above the estimate → all-pairs path taken
+    got_all = _pairs(near_dup_pairs_exact(
+        docs, "doc_id", "text", n=2, threshold=0.5,
+        allpairs_candidate_budget=c_all + 1))
+    # budget below the estimate → prefix-filter path forced
+    got_prefix = _pairs(near_dup_pairs_exact(
+        docs, "doc_id", "text", n=2, threshold=0.5,
+        allpairs_candidate_budget=c_all - 1))
+    assert got_all == exp
+    assert got_prefix == exp
+
+
+def test_setjoin_regime_probe_counts_exactly(spark):
+    """The probe is the EXACT all-pairs candidate count: Σ C(df, 2)."""
+    from canary_weather_etl_spark.operators.dedup import (
+        estimate_allpairs_candidates, shingle_sets)
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d"), (2, "a b e")], ["doc_id", "text"])
+    sets = shingle_sets(df, "doc_id", "text", n=2)
+    # bigrams: doc0 {a b, b c}, doc1 {a b, b d}, doc2 {a b, b e}
+    # df("a b") = 3 → C(3,2)=3; the others are unique → 0
+    assert estimate_allpairs_candidates(sets) == 3

@@ -4,6 +4,8 @@ results as their batch plans once the backlog is fully processed
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -319,7 +321,6 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     with a far-future flush event (on both sides: multipleWatermarkPolicy
     is min) that drags the watermark past every real row's horizon. The
     result must equal the batch left-outer with the identical condition."""
-    import time as _time
     from datetime import timedelta
 
     ev = (load(spark, sf_dir, "events")
@@ -328,11 +329,17 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     flush_ts = max_ts + timedelta(days=30)
     d = str(tmp_path / "ev_outer")
     ev.coalesce(2).write.mode("overwrite").parquet(d)
-    _time.sleep(1.1)  # file source orders by mtime: flush must arrive LAST
+    before = {f for f in os.listdir(d) if f.endswith(".parquet")}
     spark.createDataFrame(
         [(10**9, flush_ts, -1, "purchase", 0.0, "{}"),
          (10**9 + 1, flush_ts, -1, "click", 0.0, "{}")],
         ev.schema).write.mode("append").parquet(d)
+    # file source orders by mtime: the flush files must sort LAST.
+    # Explicit utime, not sleep — coarse-mtime filesystems otherwise race.
+    max_m = max(os.path.getmtime(os.path.join(d, f)) for f in before)
+    for f in os.listdir(d):
+        if f.endswith(".parquet") and f not in before:
+            os.utime(os.path.join(d, f), (max_m + 2, max_m + 2))
 
     schema = spark.read.parquet(d).schema
 
