@@ -521,7 +521,7 @@ def estimate_allpairs_candidates(sets: DataFrame) -> int:
 
 def near_dup_pairs_exact(df: DataFrame, id_col: str, text_col: str,
                          n: int = 2, threshold: float = 0.5,
-                         allpairs_candidate_budget: int = 20_000_000,
+                         allpairs_candidate_budget: int = 150_000_000,
                          ) -> DataFrame:
     """EXACT Jaccard near-dup pairs with an ENGINE-CHOSEN physical path
     (r7 verdict #4: the regime decision belongs in the engine, not a
@@ -540,10 +540,14 @@ def near_dup_pairs_exact(df: DataFrame, id_col: str, text_col: str,
 
     The chooser runs `estimate_allpairs_candidates` (one aggregate over
     the shingle table that both paths need anyway) and takes all-pairs iff
-    the estimate fits ``allpairs_candidate_budget``. The default budget
-    (20M) sits between the measured fixture point (5.5M candidates →
-    8.6 s on local[32]) and the regime where the quadratic term dominates;
-    at 1000-executor scale raise it proportionally to cluster width."""
+    the estimate fits ``allpairs_candidate_budget``. Default calibrated on
+    local[32] measurements (r8): at c_all = 36M (sf0.1 fixture) all-pairs
+    runs the candidate join+agg in ~4 s where the prefix path takes ~30 s
+    of extra dfreq/window/positional machinery; the prefix path's cost is
+    near-FLAT in corpus size (candidates track output size), so the
+    crossover sits where the quadratic all-pairs term overtakes that flat
+    cost — ~300M candidates here; budget = 150M leaves 2x headroom. On a
+    wider cluster both sides scale with width: raise proportionally."""
     sets = shingle_sets(df, id_col, text_col, n=n)
     sets = sets.localCheckpoint(eager=True)  # probe + both paths consume it
     c_all = estimate_allpairs_candidates(sets)

@@ -507,3 +507,96 @@ def arrow_quantized_norms(df: DataFrame, id_col: str = "vec_id",
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         batches, schema="vec_id bigint, ssq_units bigint, norm_units bigint")
+
+
+# --- product quantization (PQ) ANN -------------------------------------------
+
+def pq_train_codebooks(qdf: DataFrame, m: int = 2, k: int = 4,
+                       iterations: int = 2) -> dict[int, dict[int, list[int]]]:
+    """Train PQ codebooks: split each fixed-point vector (`qvec`, from
+    clustering.quantize_vectors) into ``m`` contiguous subspaces and run
+    the SAME broadcast-centroid Lloyd k-means per subspace
+    (clustering.kmeans_fixed — zero-shuffle assignment fold, map-side-
+    combined k·dims update, bounded driver state). Returns
+    {subspace: {code: centroid_subvector}} — m·k·(dims/m) driver ints,
+    the model a 100 TB deployment persists once and broadcasts.
+
+    Public method: Jégou et al., 'Product Quantization for Nearest
+    Neighbor Search' (TPAMI 2011)."""
+    from .clustering import kmeans_fixed
+
+    dims = len(qdf.select("qvec").head()["qvec"])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sublen = dims // m
+    books: dict[int, dict[int, list[int]]] = {}
+    for s in range(m):
+        sub = qdf.select("vec_id",
+                         F.slice("qvec", s * sublen + 1, sublen)
+                         .alias("qvec"))
+        _, cent = kmeans_fixed(sub, k=k, iterations=iterations)
+        books[s] = cent
+    return books
+
+
+def _sub_argmin(sub_vec: F.Column, cents: dict[int, list[int]]) -> F.Column:
+    """Nearest-centroid code for one subvector against literal centroids:
+    integer squared L2, ties to the smaller code. Pure codegen fold."""
+    cands = []
+    for cid, c in sorted(cents.items()):
+        carr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        d = F.aggregate(
+            F.zip_with(sub_vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cands.append(F.struct(d.alias("d"),
+                              F.lit(int(cid)).cast("int").alias("cid")))
+    return F.array_min(F.array(*cands))["cid"]
+
+
+def pq_encode(qdf: DataFrame,
+              books: dict[int, dict[int, list[int]]]) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): each vector compressed to m small
+    codes — one narrow projection, no shuffle, 64 dims → m bytes of
+    residency per vector (the PQ memory win)."""
+    m = len(books)
+    dims = m * len(next(iter(books[0].values())))
+    sublen = dims // m
+    cols = [
+        _sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+        .alias(f"code_{s}")
+        for s in range(m)
+    ]
+    return qdf.select("vec_id", *cols)
+
+
+def pq_adc_topk(codes: DataFrame, query_qvec: list[int],
+                books: dict[int, dict[int, list[int]]],
+                k_top: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays un-quantized; its
+    distance to every codebook centroid is a driver-side m×k integer
+    table, and each corpus vector's approximate distance is the sum of m
+    literal-array lookups indexed by its codes — O(m) integer ops per
+    row, no joins, then TakeOrderedAndProject for the top-k. Returns
+    (rank, vec_id, adc_units), ties broken by vec_id."""
+    m = len(books)
+    sublen = len(query_qvec) // m
+    adc = F.lit(0).cast("long")
+    for s in range(m):
+        qs = query_qvec[s * sublen:(s + 1) * sublen]
+        dt = []
+        for cid, c in sorted(books[s].items()):
+            dt.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+        dtab = F.array(*[F.lit(int(d)).cast("long") for d in dt])
+        adc = adc + F.element_at(dtab, F.col(f"code_{s}") + 1)
+    from pyspark.sql import Window
+    scored = codes.select("vec_id", adc.alias("adc_units"))
+    # sort+limit → TakeOrderedAndProject (per-partition heaps + k-row
+    # driver merge, never a global sort); the row_number window then runs
+    # over k rows only — NOT the single-task full-table window
+    top = scored.orderBy("adc_units", "vec_id").limit(k_top)
+    # rank AFTER the cut: the window frame is k rows by construction (the
+    # WindowExec single-partition warning it emits is about exactly this —
+    # and exactly this is safe at any corpus size)
+    w = Window.orderBy("adc_units", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "adc_units"))

@@ -243,3 +243,523 @@ def q_setjoin_auto_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import near_dup_pairs_exact
     d = load_par(spark, sf_dir, "documents")
     return near_dup_pairs_exact(d, "doc_id", "text", n=2, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC top-k), bit-exact oracle
+# ---------------------------------------------------------------------------
+
+def _pq_oracle(m: int = 2, k: int = 4, iterations: int = 2,
+               dims: int = 64, topk: int = 10,
+               scale: int = 1_000_000, tail: str = "adc") -> str:
+    """Unrolled SQL twin of the full PQ pipeline (train m codebooks with
+    Lloyd k-means per subspace → encode → ADC top-k). Same quantization,
+    init (vec_id < k), argmin tie-break (dist, cid), FLOOR(sum/n) update,
+    and empty-cluster carry as operators/clustering.kmeans_fixed — the
+    q_kmeans_lloyd oracle pattern applied per subspace."""
+    sublen = dims // m
+    parts = [f"""
+    q AS (
+        SELECT vec_id, u.ord AS ord,
+               CAST((u.ord - 1) // {sublen} AS INT) AS sub,
+               CAST(FLOOR(CAST(u.val AS DOUBLE) * {scale} + 0.5) AS BIGINT)
+                   AS qv
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {{'val': x, 'ord': i}})) AS u
+              FROM embeddings)
+    )"""]
+    for s in range(m):
+        parts.append(f"""
+    qs{s} AS (SELECT vec_id, ord, qv FROM q WHERE sub = {s}),
+    c{s}_0 AS (SELECT CAST(vec_id AS INT) AS cid, ord, qv AS cv
+               FROM qs{s} WHERE vec_id < {k})""")
+        for t in range(1, iterations + 1):
+            parts.append(f"""
+    d{s}_{t} AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+        FROM qs{s} q JOIN c{s}_{t - 1} c ON q.ord = c.ord
+        GROUP BY q.vec_id, c.cid
+    ),
+    a{s}_{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d{s}_{t}) WHERE rn = 1
+    ),
+    c{s}_{t} AS (
+        SELECT p.cid, p.ord,
+               COALESCE(CAST(FLOOR(CAST(x.sq AS DOUBLE) / x.n) AS BIGINT),
+                        p.cv) AS cv
+        FROM c{s}_{t - 1} p LEFT JOIN (
+            SELECT a.cid, q.ord, CAST(SUM(q.qv) AS BIGINT) AS sq,
+                   COUNT(*) AS n
+            FROM a{s}_{t} a JOIN qs{s} q ON q.vec_id = a.vec_id
+            GROUP BY a.cid, q.ord) x
+        ON x.cid = p.cid AND x.ord = p.ord
+    )""")
+        parts.append(f"""
+    de{s} AS (
+        SELECT q.vec_id, c.cid,
+               CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+        FROM qs{s} q JOIN c{s}_{iterations} c ON q.ord = c.ord
+        GROUP BY q.vec_id, c.cid
+    ),
+    e{s} AS (
+        SELECT vec_id, cid AS code FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM de{s}) WHERE rn = 1
+    ),
+    dt{s} AS (
+        SELECT cid, dist AS d FROM de{s} WHERE vec_id = 0
+    )""")
+    e_joins = " ".join(
+        f"JOIN e{s} ON e{s}.vec_id = e0.vec_id" for s in range(1, m))
+    dt_joins = " ".join(
+        f"JOIN dt{s} ON dt{s}.cid = e{s}.code" for s in range(m))
+    adc_sum = " + ".join(f"dt{s}.d" for s in range(m))
+    if tail == "buckets":
+        code_cols = ", ".join(f"e{s}.code AS code_{s}" for s in range(m))
+        group_cols = ", ".join(f"code_{s}" for s in range(m))
+        return f"""
+    WITH {','.join(parts)},
+    codes AS (SELECT e0.vec_id, {code_cols} FROM e0 {e_joins})
+    SELECT {group_cols},
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(vec_id) AS BIGINT) AS keeper_vec_id
+    FROM codes GROUP BY {group_cols}
+    """
+    return f"""
+    WITH {','.join(parts)},
+    adc AS (
+        SELECT e0.vec_id, CAST({adc_sum} AS BIGINT) AS adc_units
+        FROM e0 {e_joins} {dt_joins}
+        WHERE e0.vec_id <> 0)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_units, vec_id) AS INT)
+               AS rank,
+           vec_id, adc_units
+    FROM adc
+    ORDER BY adc_units, vec_id
+    LIMIT {topk}
+    """
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=_pq_oracle(m=2, k=4, iterations=2, dims=64, topk=10),
+    doc="Product-quantization ANN (Jégou et al. 2011, public method), the "
+        "memory-bound scale path the LSH/IVF/JL family lacked: train m=2 "
+        "per-subspace codebooks with the SAME fixed-point Lloyd k-means "
+        "as q_kmeans_lloyd (broadcast centroids, zero-shuffle assignment "
+        "fold), compress every vector to m small codes (64 dims → 2 "
+        "codes/vector of residency), and answer the query by ASYMMETRIC "
+        "distance: the query's m×k integer distance table is driver-side "
+        "literals, each corpus row pays m literal-array lookups — no "
+        "joins, no vector math at query time — then TakeOrderedAndProject "
+        "for the top-k. Bit-exact against a fully unrolled SQL oracle "
+        "(train + encode + ADC in one recursive-free CTE chain). At 100 "
+        "TB: codebooks train on a sample once, the code table is ~1000x "
+        "smaller than the vectors, and query cost is a narrow scan of "
+        "integer codes.",
+    tags=("llm", "similarity", "iterative"), bench=True,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering as C
+    from ..operators import similarity as S
+    emb = load_par(spark, sf_dir, "embeddings")
+    # quantize feeds m trainings + the encode + the query row: one
+    # materialization (GC-released blocks)
+    qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
+    books = S.pq_train_codebooks(qdf, m=2, k=4, iterations=2)
+    q0 = [int(v) for v in
+          qdf.filter(F.col("vec_id") == 0).collect()[0]["qvec"]]
+    codes = S.pq_encode(qdf.filter(F.col("vec_id") != 0), books)
+    return S.pq_adc_topk(codes, q0, books, k_top=10)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting for domain mixing (integer-exact)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE w <> ''),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz FROM toks2),
+    tgt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks2 WHERE source = 'src0' GROUP BY w),
+    src AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks2 WHERE source <> 'src0' GROUP BY w),
+    tot AS (SELECT
+              (SELECT CAST(SUM(n) AS BIGINT) FROM tgt) AS nt,
+              (SELECT CAST(SUM(n) AS BIGINT) FROM src) AS ns),
+    ratio AS (
+        SELECT a.w,
+               CAST((10000 * (COALESCE(t.n, 0) + 1) * (tot.ns + v.vsz))
+                    // ((COALESCE(s.n, 0) + 1) * (tot.nt + v.vsz))
+                    AS BIGINT) AS r_units
+        FROM (SELECT DISTINCT w FROM toks2) a
+        LEFT JOIN tgt t ON t.w = a.w
+        LEFT JOIN src s ON s.w = a.w, tot, v),
+    scored AS (
+        SELECT k.doc_id, MIN(k.source) AS source,
+               CAST(SUM(r.r_units) AS BIGINT) AS score_units
+        FROM toks2 k JOIN ratio r ON r.w = k.w
+        WHERE k.source <> 'src0'
+        GROUP BY k.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_units DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, source, score_units
+    FROM scored
+    ORDER BY score_units DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register(
+    "q_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    doc="Data-selection-by-importance-resampling (DSIR, Xie et al. 2023 — "
+        "public method) in INTEGER fixed-point: score every candidate "
+        "document by how target-like its unigram distribution is. Per "
+        "word, the Laplace-smoothed target/source likelihood ratio is one "
+        "exact bigint expression — (10^4·(n_t+1)·(N_s+V)) div "
+        "((n_s+1)·(N_t+V)) — so no ln/float crosses the engines; a doc's "
+        "score is the multiplicity-weighted sum of its tokens' ratio "
+        "units, and the top-20 most-target-like source docs come back "
+        "ranked. Scale shape: two vocabulary-sized count aggregates, one "
+        "broadcast join of the ratio table onto the exploded corpus (the "
+        "one corpus-sized stage — token rows with an 8-byte payload), one "
+        "grouped sum, TakeOrderedAndProject. The scale constant 10^4 "
+        "keeps the product under 2^63 even at 100x-amplified corpora.",
+    tags=("llm", "curation"), bench=True,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = load_par(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", "source",
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("w"))
+            .filter(F.col("w") != ""))
+    toks = toks.localCheckpoint(eager=True)  # feeds 4 aggregates + the join
+    vsz = toks.select("w").distinct().count()
+    tgt = (toks.filter(F.col("source") == "src0")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("nt")))
+    src = (toks.filter(F.col("source") != "src0")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("ns")))
+    n_t = toks.filter(F.col("source") == "src0").count()
+    n_s = toks.filter(F.col("source") != "src0").count()
+    ratio = (toks.select("w").distinct()
+             .join(tgt, "w", "left").join(src, "w", "left")
+             .select("w", F.expr(
+                 f"CAST((10000 * (COALESCE(nt, 0) + 1) * ({n_s} + {vsz})) "
+                 f"DIV ((COALESCE(ns, 0) + 1) * ({n_t} + {vsz})) "
+                 f"AS BIGINT)").alias("r_units")))
+    scored = (toks.filter(F.col("source") != "src0")
+              .join(F.broadcast(ratio), "w")
+              .groupBy("doc_id")
+              .agg(F.min("source").alias("source"),
+                   F.sum("r_units").cast("bigint").alias("score_units")))
+    top = scored.orderBy(F.desc("score_units"), "doc_id").limit(20)
+    # rank AFTER the cut: 20-row frame by construction, safe at any scale
+    w = Window.orderBy(F.desc("score_units"), "doc_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "source", "score_units"))
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (closed-form window, no recursion needed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_capped_balance",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT)
+                   * (CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END)
+                   AS delta
+        FROM events WHERE value IS NOT NULL),
+    p AS (
+        SELECT user_id, ts, event_id, delta,
+               SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pre
+        FROM d),
+    q AS (
+        SELECT user_id, pre,
+               LEAST(CAST(0 AS BIGINT),
+                     MIN(pre) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) AS floor_off,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) = 1
+                    THEN 1 ELSE 0 END AS is_last
+        FROM p),
+    b AS (SELECT user_id, pre - floor_off AS bal, is_last FROM q)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_at_floor,
+           CAST(MAX(bal) AS BIGINT) AS max_balance_cents,
+           CAST(MAX(CASE WHEN is_last = 1 THEN bal END) AS BIGINT)
+               AS final_balance_cents
+    FROM b GROUP BY user_id
+    """,
+    doc="Floor-clamped running balance: b_t = max(0, b_{t-1} + delta_t) "
+        "per user over time-ordered integer-cent deltas (purchases debit, "
+        "everything else credits) — the inventory/wallet recurrence that "
+        "LOOKS like it needs row-at-a-time state. It doesn't: one-sided "
+        "clamping has the closed form b_t = prefix_t − least(0, "
+        "running_min(prefix)_t), so the whole operator is two stacked "
+        "window passes over the SAME (user, ts) sort order — Catalyst "
+        "plans a single sort+exchange, all JVM. Emits per-user event "
+        "count, times pinned at the floor, max and final balance. At "
+        "scale: one shuffle on user_id, per-user sorted runs, no UDF.",
+    tags=("window", "analytics"), bench=True,
+)
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.select(
+        "user_id", "ts", "event_id",
+        (F.round(F.col("value") * 100).cast("bigint")
+         * F.when(F.col("event_type") == "purchase", -1).otherwise(1))
+        .alias("delta"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p = d.withColumn("pre", F.sum("delta").over(w))
+    wl = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                               F.desc("event_id"))
+    q = p.withColumn(
+        "floor_off",
+        F.least(F.lit(0).cast("bigint"), F.min("pre").over(w))) \
+        .withColumn("is_last",
+                    (F.row_number().over(wl) == 1).cast("int"))
+    b = q.select("user_id",
+                 (F.col("pre") - F.col("floor_off")).alias("bal"),
+                 "is_last")
+    return (b.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.when(F.col("bal") == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_at_floor"),
+                 F.max("bal").cast("bigint").alias("max_balance_cents"),
+                 F.max(F.when(F.col("is_last") == 1, F.col("bal")))
+                 .cast("bigint").alias("final_balance_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Two-sided clamped balance (floor AND cap) — the genuinely recursive case
+# ---------------------------------------------------------------------------
+
+_CAP_CENTS = 10_000  # 100.00 — binds on this fixture's value distribution
+
+_INVENTORY_ORACLE = f"""
+    WITH RECURSIVE d AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               CAST(ROUND(value * 100) AS BIGINT)
+                   * (CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END)
+                   AS delta
+        FROM events WHERE value IS NOT NULL),
+    r AS (
+        SELECT user_id, rn, n,
+               LEAST({_CAP_CENTS}, GREATEST(0, delta)) AS bal,
+               CASE WHEN LEAST({_CAP_CENTS}, GREATEST(0, delta)) = 0
+                    THEN 1 ELSE 0 END AS nf,
+               CASE WHEN LEAST({_CAP_CENTS}, GREATEST(0, delta))
+                        = {_CAP_CENTS} THEN 1 ELSE 0 END AS nc
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.user_id, d.rn, d.n,
+               LEAST({_CAP_CENTS}, GREATEST(0, r.bal + d.delta)),
+               r.nf + CASE WHEN LEAST({_CAP_CENTS},
+                                      GREATEST(0, r.bal + d.delta)) = 0
+                           THEN 1 ELSE 0 END,
+               r.nc + CASE WHEN LEAST({_CAP_CENTS},
+                                      GREATEST(0, r.bal + d.delta))
+                               = {_CAP_CENTS} THEN 1 ELSE 0 END
+        FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(nf AS BIGINT) AS n_at_floor,
+           CAST(nc AS BIGINT) AS n_at_cap,
+           CAST(bal AS BIGINT) AS final_balance_cents
+    FROM r WHERE rn = n
+"""
+
+
+@register(
+    "q_inventory_clamped",
+    oracle=_INVENTORY_ORACLE,
+    doc="TWO-sided clamped running balance: b_t = min(CAP, max(0, b_{t-1} "
+        "+ delta_t)) per user — unlike the one-sided case "
+        "(q_capped_balance, closed-form windows) this recurrence has NO "
+        "prefix-sum closed form, the textbook justification for the "
+        "repo's UDF-as-last-resort rule. Spark side: ONE "
+        "applyInPandas over user_id groups (Arrow-batched; the per-group "
+        "Python loop is O(events/user) over an int64 numpy array), "
+        "emitting per-user floor/cap hit counts and the final balance. "
+        "Oracle: a DuckDB recursive CTE stepping row-by-row per user. At "
+        "100 TB: one shuffle on user_id (same as any sessionization), "
+        "per-group state is 3 ints, and group iteration is the "
+        "irreducible serial core of the semantics — not an expressible-"
+        "in-SQL loop smuggled into Python.",
+    tags=("window", "analytics", "pandas-udf"),
+)
+def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = e.select(
+        "user_id", "ts", "event_id",
+        (F.round(F.col("value") * 100).cast("bigint")
+         * F.when(F.col("event_type") == "purchase", -1).otherwise(1))
+        .alias("delta"))
+    cap = _CAP_CENTS
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, nf, nc = 0, 0, 0
+        for dlt in pdf["delta"].to_numpy():
+            bal = min(cap, max(0, bal + int(dlt)))
+            nf += bal == 0
+            nc += bal == cap
+        return pd.DataFrame(
+            [[int(pdf["user_id"].iloc[0]), len(pdf), nf, nc, bal]],
+            columns=["user_id", "n_events", "n_at_floor", "n_at_cap",
+                     "final_balance_cents"])
+
+    return d.groupBy("user_id").applyInPandas(
+        run, "user_id bigint, n_events bigint, n_at_floor bigint, "
+             "n_at_cap bigint, final_balance_cents bigint")
+
+
+# ---------------------------------------------------------------------------
+# BPE decode — the tokenizer round trip is lossless
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_bpe_decode_roundtrip",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+'),
+                               w -> w <> ''), ' ') AS expected_text
+        FROM documents)
+    SELECT doc_id, expected_text AS decoded_text, expected_text
+    FROM norm
+    """,
+    doc="Tokenizer DECODE: invert q_bpe_encode_ids — token ids → symbols "
+        "(one literal-array lookup per id), concatenate, split words on "
+        "the </w> marker — and emit the reconstruction next to the "
+        "whitespace-normalized original. The oracle just normalizes the "
+        "original text, so a hash match PROVES the encode→decode round "
+        "trip is lossless over the whole corpus (every id maps back, "
+        "word order survives the positional assembly, no UNK leakage). "
+        "Decode is a narrow row-wise projection — no shuffle beyond "
+        "encode's own.",
+    tags=("llm", "tokenizer"),
+)
+def q_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_ids
+    docs = load_par(spark, sf_dir, "documents")
+    enc = bpe_encode_ids(docs, _BPE_MERGES, _BPE_VOCAB)
+    # reverse vocabulary as one literal array indexed by token id
+    inv = {i: s for s, i in _BPE_VOCAB.items()}
+    sym_arr = F.array(*[F.lit(inv[i]) for i in range(len(inv))])
+    decoded = F.array_join(
+        F.filter(
+            F.split(
+                F.array_join(
+                    F.transform("token_ids",
+                                lambda t: F.element_at(
+                                    sym_arr, (t + 1).cast("int"))),
+                    ""),
+                "</w>"),
+            lambda w: w != ""),
+        " ")
+    norm = (docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                     lambda w: w != ""), " ").alias("expected_text")))
+    return (enc.select("doc_id", decoded.alias("decoded_text"))
+            .join(norm, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named parameter markers, Spark 4 API surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_parameterized_sql",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE value >= 10.0 AND event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+    doc="Parameterized SQL (spark.sql(query, args={...}) with named "
+        ":param markers — the injection-safe API a production query "
+        "service uses instead of string interpolation): literals bind at "
+        "parse time so Catalyst still constant-folds and pushes the "
+        "filters into the scan. Same aggregate either way — the oracle "
+        "inlines the bound values.",
+    tags=("sql",),
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_param")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events_param
+        WHERE value >= :min_value AND event_type IN (:t1, :t2)
+        GROUP BY event_type
+        """,
+        args={"min_value": 10.0, "t1": "purchase", "t2": "click"})
+
+
+# ---------------------------------------------------------------------------
+# PQ-code semantic-dedup buckets
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pq_semantic_buckets",
+    oracle=_pq_oracle(m=2, k=4, iterations=2, dims=64, tail="buckets"),
+    doc="Semantic-dedup buckets from PQ codes: vectors sharing all m "
+        "quantization codes are coarse semantic duplicates — group by the "
+        "code tuple, keep the min-id vector per bucket (the same "
+        "keeper-selection convention as exact_dedup). This is the O(1)-"
+        "memory-per-vector coarse pass an embedding-dedup pipeline runs "
+        "BEFORE pairwise verification: at 100 TB the 16-bucket (k^m) "
+        "histogram shuffles m bytes per vector, nothing pairwise. Codes "
+        "come from the same trained codebooks as q_pq_adc_topk; same "
+        "unrolled train+encode SQL oracle, bucket-grouped tail.",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_pq_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering as C
+    from ..operators import similarity as S
+    emb = load_par(spark, sf_dir, "embeddings")
+    qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
+    books = S.pq_train_codebooks(qdf, m=2, k=4, iterations=2)
+    codes = S.pq_encode(qdf, books)
+    return (codes.groupBy("code_0", "code_1")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.min("vec_id").cast("bigint").alias("keeper_vec_id")))

@@ -109,3 +109,77 @@ def test_setjoin_regime_probe_counts_exactly(spark):
     # bigrams: doc0 {a b, b c}, doc1 {a b, b d}, doc2 {a b, b e}
     # df("a b") = 3 → C(3,2)=3; the others are unique → 0
     assert estimate_allpairs_candidates(sets) == 3
+
+
+# --- product quantization ANN -------------------------------------------------
+
+def test_pq_adc_ranks_planted_neighbors_first(spark):
+    """On a corpus with two well-separated clusters (and init ids covering
+    both), PQ train→encode→ADC must rank every same-cluster vector above
+    every far vector, and the codes must compress (m ints per vector)."""
+    from canary_weather_etl_spark.operators.clustering import (
+        quantize_vectors)
+    from canary_weather_etl_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_train_codebooks)
+
+    dims = 64
+    rows = []
+    for i in range(40):
+        if i < 10:  # near cluster (query = vec 0)
+            vec = [1.0 + 0.001 * i + 0.01 * (j % 3) for j in range(dims)]
+        else:       # far cluster
+            vec = [50.0 + 0.001 * i + 0.01 * (j % 5) for j in range(dims)]
+        rows.append((i, vec))
+    # init uses vec_id < k: make ids 0..3 span both clusters
+    rows[2] = (2, [50.0 + 0.01 * (j % 5) for j in range(dims)])
+    rows[3] = (3, [50.5 + 0.01 * (j % 7) for j in range(dims)])
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    qdf = quantize_vectors(emb)
+    books = pq_train_codebooks(qdf, m=2, k=4, iterations=2)
+    assert set(books) == {0, 1}
+    assert all(len(c) == 32 for cents in books.values()
+               for c in cents.values())
+
+    codes = pq_encode(qdf.filter("vec_id <> 0"), books)
+    assert codes.columns == ["vec_id", "code_0", "code_1"]
+    assert codes.count() == 39
+
+    q0 = [int(v) for v in
+          qdf.filter("vec_id = 0").collect()[0]["qvec"]]
+    top = pq_adc_topk(codes, q0, books, k_top=7).collect()
+    got = [r["vec_id"] for r in top]
+    near = {1, 4, 5, 6, 7, 8, 9}  # ids 2,3 were moved to the far cluster
+    assert set(got) == near, got
+    # ranks are 1..k and ADC distances are non-decreasing
+    assert [r["rank"] for r in top] == list(range(1, 8))
+    adcs = [r["adc_units"] for r in top]
+    assert adcs == sorted(adcs)
+
+
+# --- df.observe: metrics without a second pass --------------------------------
+
+def test_observation_metrics_ride_the_action(spark):
+    """`df.observe` collects aggregate metrics DURING the action — the
+    Spark-native way to audit a pipeline stage (row counts, null rates)
+    without paying a second scan. The engine's curation pipeline can wrap
+    any stage this way."""
+    from pyspark.sql import Observation
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("audit")
+    # NOTE: observed metrics must be accumulator-computable — no DISTINCT
+    # aggregates (Spark rejects count_distinct here); approx_ is allowed
+    audited = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"))
+    out = audited.filter(F.col("event_type") == "purchase").count()
+    m = obs.get
+    assert m["n_rows"] == e.count()
+    lo, hi = e.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    assert (m["min_user"], m["max_user"]) == (lo, hi)
+    assert m["n_null_value"] >= 0
+    assert out > 0
