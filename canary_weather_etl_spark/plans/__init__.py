@@ -39,11 +39,13 @@ from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / 
 # drive_contract in r7 and 8 of them judge-verified green); (b) the 8
 # r6-late entries deferred twice (same local-green status, strongest
 # independent pytest evidence); (c) the first 10 of the 48-entry
-# r4-sampled block — the oldest external rows in the tree. The remaining
-# 38 r4-sampled entries sit at positions 51+ and lead the r9 rotation,
-# followed by the r5-sampled block; the 47 r7-sampled entries (fresh
-# CORRECTNESS_r07 rows) and any NEW r8 queries (local drive_contract
-# evidence this round) queue behind them.
+# r4-sampled block — the oldest external rows in the tree. Positions 51+
+# as enumerated here: the remaining 38 r4-sampled entries, then the 47
+# r7-sampled entries (fresh CORRECTNESS_r07 rows), then everything
+# unlisted (the r5-sampled block and the new r8 queries, whose evidence
+# this round is the committed drive_contract sweeps). r9 rotation plan BY
+# EVIDENCE AGE, not this enumeration: 38 r4-tail + 12 oldest r5-sampled
+# fill the 50; re-list explicitly next round.
 _DRIVER_PRIORITY = (
     # (a) the 32 r7-authored, never-driver-sampled entries
     "q_hits_bipartite", "q_data_expectations", "q_snapshot_diff",

@@ -183,3 +183,32 @@ def test_observation_metrics_ride_the_action(spark):
     assert (m["min_user"], m["max_user"]) == (lo, hi)
     assert m["n_null_value"] >= 0
     assert out > 0
+
+
+# --- the floor-clamp closed form is an identity -------------------------------
+
+def test_capped_balance_closed_form_identity():
+    """Property: for ANY integer delta sequence, the stateful recurrence
+    b_t = max(0, b_{t-1} + d_t) equals prefix_t − min(0, running_min of
+    prefix) — the identity q_capped_balance's two-window plan relies on.
+    Pure-Python hypothesis sweep (the Spark plan itself is hash-checked
+    against the DuckDB oracle; this pins the MATH)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                    max_size=50))
+    def run(deltas):
+        bal, loop = 0, []
+        for d in deltas:
+            bal = max(0, bal + d)
+            loop.append(bal)
+        pre, run_min, closed = 0, 0, []
+        for d in deltas:
+            pre += d
+            run_min = min(run_min, pre)
+            closed.append(pre - min(0, run_min))
+        assert closed == loop
+
+    run()
