@@ -146,7 +146,18 @@ def pagerank_fixed(edges: DataFrame, nodes: DataFrame,
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .localCheckpoint(eager=True))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    # hash-partition the static edge side by the per-round join key ONCE:
+    # LogicalRDD keeps the partitioning across localCheckpoint, so every
+    # round's join re-shuffles only the node-sized ranks frame — without
+    # this the EDGE-sized side re-exchanges every iteration (measured at
+    # the 100x decade: 337 s → see SCALE.md; invisible at sf0.1 where the
+    # scheduling floor dominates)
+    # ... and pre-SORT within partitions on the same key: LogicalRDD also
+    # keeps outputOrdering, so the per-round sort-merge join sorts only
+    # the small ranks side instead of re-sorting the edge side each round
+    ed = (e.join(deg, "src").repartition("src")
+          .sortWithinPartitions("src")
+          .localCheckpoint(eager=True))
     base_units = (unit_scale * (damping_den - damping_num)) // damping_den
 
     ranks = (nodes.select(F.col(id_col).alias("node")).distinct()

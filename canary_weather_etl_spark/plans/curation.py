@@ -284,12 +284,73 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merges_oracle(n_merges: int = 8) -> str:
+    """Unrolled SQL twin of bpe_train (r8 — was rows-only through r7).
+
+    The insight that makes the greedy merge SQL-expressible: wrap every
+    symbol as chr(2)||sym||chr(3); then one standard string `replace()`
+    of chr(2)||l||chr(3)||chr(2)||r||chr(3) with chr(2)||l||r||chr(3) IS
+    the JVM array fold in operators/bpe._merge_pair — both rewrite
+    non-overlapping (l, r) adjacencies scanning left-to-right, a merged
+    symbol can never re-match as `l` of the same round (l||r == l is
+    impossible), and the distinct open/close markers make partial-symbol
+    matches impossible. Pair counts come from re-tokenizing the encoding
+    with regexp_extract_all + an index unnest; each round is MATERIALIZED
+    (referenced twice: by its pair count and the next rewrite) so DuckDB
+    doesn't exponentially inline the chain. Tokenizer-rule caveat shared
+    with the Spark side (operators/bpe.word_freq_table): \\s+ is ASCII in
+    both engines' regex dialects (Java default vs RE2)."""
+    o, c = "chr(2)", "chr(3)"
+    parts = [f"""
+    WITH words AS MATERIALIZED (
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+        SELECT n, regexp_replace(word, '(.)', {o} || '\\1' || {c}, 'g')
+                  || {o} || '</w>' || {c} AS enc
+        FROM words
+    )"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    syms{k} AS MATERIALIZED (
+        SELECT n, regexp_extract_all(
+                      enc, {o} || '([^' || {c} || ']+)' || {c}, 1) AS syms
+        FROM v{k}
+    ),
+    pc{k} AS (
+        SELECT syms[i] AS l, syms[i + 1] AS r, SUM(n) AS pair_n
+        FROM (SELECT n, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM syms{k})
+        GROUP BY 1, 2
+    ),
+    win{k} AS MATERIALIZED (
+        SELECT l, r, pair_n FROM pc{k}
+        ORDER BY pair_n DESC, l, r LIMIT 1
+    ),
+    v{k + 1} AS MATERIALIZED (
+        SELECT n, replace(enc, {o} || w.l || {c} || {o} || w.r || {c},
+                          {o} || w.l || w.r || {c}) AS enc
+        FROM v{k}, win{k} w
+    )""")
+    sels = [f"""
+    SELECT CAST({k} AS INT) AS rank, l AS "left", r AS "right",
+           l || r AS merged, CAST(pair_n AS BIGINT) AS pair_n
+    FROM win{k}""" for k in range(n_merges)]
+    return "".join(parts) + (" UNION ALL ".join(sels)) + " ORDER BY rank"
+
+
 @register(
     "q_bpe_merges",
-    oracle=None,  # iterative greedy algorithm — not ANSI-SQL-expressible;
-    # exactness pinned instead by tests/test_llm_operators.py's
-    # from-scratch Python BPE (bit-identical merge sequence + encode
-    # lengths) — the strongest check available for this op class
+    oracle=_bpe_merges_oracle(),
+    # hash-oracled since r8 (the chr(2)/chr(3) symbol-wrap encoding makes
+    # the greedy fold a plain string replace); ALSO pinned by
+    # tests/test_llm_operators.py's from-scratch Python BPE
+    # (bit-identical merge sequence + encode lengths)
     doc="Distributed BPE merge training (operators/bpe.bpe_train): 8 "
         "merge rounds over the documents word-frequency table — the "
         "tokenizer-induction step of an LLM pipeline. Corpus-sized work "

@@ -995,9 +995,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "chunk_idx", "chunk_tokens", "pack_id")
 
 
+_PACK_GREEDY_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS INT) AS chunk_idx,
+               CAST(len(t[s:s+39]) AS INT) AS chunk_tokens
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 10, 1), 30)) AS s
+              FROM toks)
+    ), num AS MATERIALIZED (
+        SELECT doc_id % 32 AS bucket, doc_id, chunk_idx, chunk_tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 32
+                                  ORDER BY doc_id, chunk_idx) AS i
+        FROM chunks
+    ), rec AS (
+        -- the per-bucket sequential next-fit state machine, one row per
+        -- iteration depth: (pack, acc) advance exactly as
+        -- operators/packing.pack_greedy's pandas loop does
+        SELECT bucket, i, doc_id, chunk_idx, chunk_tokens,
+               CAST(0 AS BIGINT) AS pack,
+               CAST(chunk_tokens AS BIGINT) AS acc
+        FROM num WHERE i = 1
+        UNION ALL
+        SELECT n.bucket, n.i, n.doc_id, n.chunk_idx, n.chunk_tokens,
+               CASE WHEN r.acc > 0 AND r.acc + n.chunk_tokens > 512
+                    THEN r.pack + 1 ELSE r.pack END,
+               CASE WHEN r.acc > 0 AND r.acc + n.chunk_tokens > 512
+                    THEN CAST(n.chunk_tokens AS BIGINT)
+                    ELSE r.acc + n.chunk_tokens END
+        FROM rec r JOIN num n ON n.bucket = r.bucket AND n.i = r.i + 1
+    )
+    SELECT doc_id, chunk_idx, chunk_tokens,
+           bucket * 4294967296 + pack AS pack_id
+    FROM rec
+"""
+
+
 @register(
     "q_pack_sequences_greedy",
-    oracle=None,  # sequential first-fit state; hard cap asserted in pytest
+    # hash-oracled since r8: WITH RECURSIVE runs the per-bucket next-fit
+    # state machine row-by-row (depth = max chunks per bucket — fine at
+    # oracle scale; the Spark side stays the Arrow scan, which is the
+    # 100 TB path). Hard cap additionally asserted in pytest.
+    oracle=_PACK_GREEDY_SQL.replace("WITH toks", "WITH RECURSIVE toks"),
     doc="Exact first-fit sequence packing with a HARD 512-token cap "
         "(operators/packing.pack_greedy): per-bucket sequential scan via "
         "Arrow-batched applyInPandas — parallelism = n_buckets, constant "
@@ -1368,7 +1411,50 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_embed_topk",
-    oracle=None,  # sha-derived stub embeddings are engine-specific
+    # the sha256 stub is NOT engine-specific after all (r8): DuckDB's
+    # sha256(VARCHAR) hashes the same UTF-8 bytes the Python stub does, so
+    # the oracle rebuilds byte-for-byte identical float32 embeddings and
+    # the whole multimodal loop is hash-checked end-to-end
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS asset_id, sha256(text) AS h FROM documents
+        WHERE doc_id % 3 = 0),
+    bytes AS (
+        SELECT asset_id,
+               unnest(generate_series(0, 7)) AS i, h
+        FROM img),
+    vals AS (
+        SELECT asset_id, i,
+               CAST((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1)
+                    * 16
+                    + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)
+                    AS DOUBLE) - 127.5 AS v
+        FROM bytes),
+    norms AS (SELECT asset_id, SQRT(SUM(v * v)) AS n
+              FROM vals GROUP BY asset_id),
+    emb AS (
+        SELECT v.asset_id, v.i, CAST(v.v / n.n AS FLOAT) AS e
+        FROM vals v JOIN norms n USING (asset_id)),
+    q AS (SELECT asset_id AS query_id, i, e AS qe FROM emb
+          WHERE asset_id < 9),
+    dots AS (
+        SELECT q.query_id, c.asset_id AS vec_id,
+               SUM(CAST(q.qe AS DOUBLE) * CAST(c.e AS DOUBLE)) AS dp,
+               SUM(CAST(q.qe AS DOUBLE) * CAST(q.qe AS DOUBLE)) AS qq,
+               SUM(CAST(c.e AS DOUBLE) * CAST(c.e AS DOUBLE)) AS vv
+        FROM q JOIN emb c ON c.i = q.i AND c.asset_id <> q.query_id
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, vec_id,
+               FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5) / 1e6
+                   AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5)
+                            / 1e6 DESC, vec_id) AS INT) AS rank
+        FROM dots)
+    SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+    """,
     doc="The multimodal → embedding → similarity loop end-to-end: binary "
         "assets (documents.text as payload) run through the Arrow-batched "
         "feature-extraction stage (operators/multimodal.embed_stub — the "
@@ -1376,8 +1462,11 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plumbing is real), then the resulting vectors feed the SAME "
         "exact top-k operator the embeddings table uses "
         "(operators/similarity.topk_brute_force): 3 query assets × image "
-        "corpus, top-5 by cosine. Deterministic given the engine; pytest "
-        "asserts unit norms, schema, and self-similarity ranking.",
+        "corpus, top-5 by cosine. Hash-oracled end-to-end since r8: the "
+        "oracle rebuilds the sha256-stub embeddings byte-for-byte in SQL "
+        "(hex-digit extraction → centered bytes → float32 normalize) and "
+        "reruns the cosine top-k; pytest additionally asserts unit norms, "
+        "schema, and self-similarity ranking.",
     tags=("llm", "multimodal", "similarity"),
 )
 def q_multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1718,6 +1718,18 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_partkey").alias("p"))
              .distinct().localCheckpoint(eager=True))
+    # two partitioned+sorted checkpoints of the STATIC edge list, one per
+    # alternating half-step join key: LogicalRDD preserves partitioning
+    # AND outputOrdering, so each half-step's sort-merge join exchanges
+    # and sorts only the key-count-sized normalized frame — without this
+    # the ~100x-sized edge side re-shuffles and re-sorts in all three
+    # half-steps (same fix as operators/graph.pagerank_fixed, measured
+    # there at the 100x decade; HITS is the one honestly edge-sized
+    # iterative family, SCALE.md)
+    e_p = (edges.repartition("p").sortWithinPartitions("p")
+           .localCheckpoint(eager=True))
+    e_c = (edges.repartition("c").sortWithinPartitions("c")
+           .localCheckpoint(eager=True))
 
     def normalize(raw_df, key, out):
         # checkpoint the raw aggregate (key-count-sized: #parts or
@@ -1732,13 +1744,13 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              .alias(out))
 
     # round 1: hub is the constant init, so auth_raw = scale * degree
-    a = normalize(edges.groupBy("p").agg((F.lit(scale).cast("bigint")
-                                          * F.count(F.lit(1)))
-                                         .alias("raw")), "p", "a")
-    h = normalize(edges.join(a, "p").groupBy("c")
+    a = normalize(e_p.groupBy("p").agg((F.lit(scale).cast("bigint")
+                                        * F.count(F.lit(1)))
+                                       .alias("raw")), "p", "a")
+    h = normalize(e_p.join(a, "p").groupBy("c")
                   .agg(F.sum("a").cast("bigint").alias("raw")), "c", "h")
     # round 2: authority refresh from normalized hubs
-    a = normalize(edges.join(h, "c").groupBy("p")
+    a = normalize(e_c.join(h, "c").groupBy("p")
                   .agg(F.sum("h").cast("bigint").alias("raw")), "p", "a")
     return (a.select(F.col("p").cast("bigint").alias("part_id"),
                      F.col("a").cast("bigint").alias("auth_score"))
