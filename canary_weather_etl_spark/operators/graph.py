@@ -50,11 +50,20 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
     (a correctness guard, not a truncation: partial propagation would
     silently under-merge clusters).
     """
+    # materialize the symmetrized edge list ONCE, hash-partitioned and
+    # pre-sorted on the per-round join key: without the checkpoint every
+    # round's action re-runs the union+distinct from `pairs` (plans are
+    # re-compiled per action, so cross-job stage reuse is not guaranteed),
+    # and without the partitioning+ordering each round's sort-merge join
+    # re-exchanges and re-sorts the edge side (the static-side fix
+    # measured on pagerank_fixed at the 100x decade — SCALE.md)
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .repartition("dst").sortWithinPartitions("dst")
+        .localCheckpoint(eager=True)
     )
     if nodes is None:
         labels = (edges.select(F.col("src").alias("id")).distinct()
