@@ -1714,21 +1714,23 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = 1_000_000
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
-             .select(F.col("o_custkey").alias("c"),
-                     F.col("l_partkey").alias("p"))
-             .distinct().localCheckpoint(eager=True))
-    # two partitioned+sorted checkpoints of the STATIC edge list, one per
-    # alternating half-step join key: LogicalRDD preserves partitioning
-    # AND outputOrdering, so each half-step's sort-merge join exchanges
-    # and sorts only the key-count-sized normalized frame — without this
-    # the ~100x-sized edge side re-shuffles and re-sorts in all three
-    # half-steps (same fix as operators/graph.pagerank_fixed, measured
-    # there at the 100x decade; HITS is the one honestly edge-sized
-    # iterative family, SCALE.md)
-    e_p = (edges.repartition("p").sortWithinPartitions("p")
-           .localCheckpoint(eager=True))
-    e_c = (edges.repartition("c").sortWithinPartitions("c")
+    # ONE p-partitioned, p-sorted checkpoint of the static edge list.
+    # HashPartitioning(p) satisfies the dedup's ClusteredDistribution
+    # ([c, p]) — equal (c, p) pairs co-locate under p alone — so
+    # dropDuplicates after the repartition plans NO extra exchange: the
+    # materialized frame costs the same one shuffle the old .distinct()
+    # did, but LogicalRDD now carries partitioning + ordering, and the
+    # degree aggregate and the p-keyed half-step join ride it with zero
+    # edge-side exchange/sort. The c-keyed half-step still shuffles the
+    # edge side once, same as before. (A two-copy variant — a second
+    # checkpoint partitioned by c — measured WORSE at the 100x decade,
+    # 48 → 81 s: on a single shared heap the extra 60M-row materialization
+    # costs more than the one sort it saves; SCALE.md.)
+    e_p = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select(F.col("o_custkey").alias("c"),
+                   F.col("l_partkey").alias("p"))
+           .repartition("p").dropDuplicates(["c", "p"])
+           .sortWithinPartitions("p")
            .localCheckpoint(eager=True))
 
     def normalize(raw_df, key, out):
@@ -1750,7 +1752,7 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = normalize(e_p.join(a, "p").groupBy("c")
                   .agg(F.sum("a").cast("bigint").alias("raw")), "c", "h")
     # round 2: authority refresh from normalized hubs
-    a = normalize(e_c.join(h, "c").groupBy("p")
+    a = normalize(e_p.join(h, "c").groupBy("p")
                   .agg(F.sum("h").cast("bigint").alias("raw")), "p", "a")
     return (a.select(F.col("p").cast("bigint").alias("part_id"),
                      F.col("a").cast("bigint").alias("auth_score"))
