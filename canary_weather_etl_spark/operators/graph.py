@@ -148,23 +148,23 @@ def pagerank_fixed(edges: DataFrame, nodes: DataFrame,
     (out-degree 0) keep the (1-d) floor — their mass is not redistributed,
     matching the oracle.
     """
-    # materialize the caller's edge pipeline ONCE: `e` feeds both the
-    # degree aggregate and the join probe side below — uncached, a
-    # non-trivial edge build (join + distinct + union) would execute
-    # twice before the ed checkpoint even runs
-    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .localCheckpoint(eager=True))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # hash-partition the static edge side by the per-round join key ONCE:
-    # LogicalRDD keeps the partitioning across localCheckpoint, so every
-    # round's join re-shuffles only the node-sized ranks frame — without
-    # this the EDGE-sized side re-exchanges every iteration (measured at
-    # the 100x decade: 337 s → see SCALE.md; invisible at sf0.1 where the
+    # ONE shuffle, ONE materialization for the whole static side: the
+    # out-degree is a window count over the src partition (no groupBy +
+    # join-back, no second checkpointed copy), computed after a single
+    # repartition("src") and followed by sortWithinPartitions on the same
+    # key. LogicalRDD preserves both the partitioning and the ordering,
+    # so every round's sort-merge join exchanges and sorts only the
+    # node-sized ranks frame — without this the EDGE-sized side
+    # re-exchanged and re-sorted all `iterations` rounds (measured at the
+    # 100x decade: 337 s unfixed → 231 s partitioned → 184 s +sorted →
+    # this fused build, SCALE.md; invisible at sf0.1 where the
     # scheduling floor dominates)
-    # ... and pre-SORT within partitions on the same key: LogicalRDD also
-    # keeps outputOrdering, so the per-round sort-merge join sorts only
-    # the small ranks side instead of re-sorting the edge side each round
-    ed = (e.join(deg, "src").repartition("src")
+    from pyspark.sql import Window
+
+    ed = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+          .repartition("src")
+          .withColumn("out_deg",
+                      F.count(F.lit(1)).over(Window.partitionBy("src")))
           .sortWithinPartitions("src")
           .localCheckpoint(eager=True))
     base_units = (unit_scale * (damping_den - damping_num)) // damping_den
