@@ -366,3 +366,65 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_par(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=8, min_pair_count=2)
+
+
+@register(
+    "q_epoch_repeat_mix",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INT) AS sn
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, source,
+               CAST(1000 + sn * 125 AS BIGINT) AS epochs_x1000,
+               1 + sn // 8
+               + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                           < lpad(lower(to_hex((sn % 8) * 8192)), 4, '0')
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM d
+    )
+    SELECT doc_id, source, epochs_x1000,
+           CAST(n_copies AS INT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+    FROM plan
+    """,
+    doc="Fractional-epoch data mixing (the 'repeat source A for 2.5 "
+        "epochs' step of pretraining-corpus assembly): every doc gets "
+        "floor(epochs) copies, plus one more iff its md5 bucket falls "
+        "under the fractional part — so exactly ~frac of each source "
+        "repeats once more, chosen DETERMINISTICALLY and growth-stably "
+        "(a doc's copy count depends only on (doc_id, source), so "
+        "refreshing the corpus never flips previously-materialized "
+        "copies, the same stability argument as q_split_train_val). "
+        "Epoch targets are derived per source (1 + src_num/8 -> 1.0 to "
+        "3.375 in exact 1/8 steps; the fractional threshold is the "
+        "4-hex-char string of frac*65536, compared lexicographically "
+        "against the md5 prefix — md5 agrees across engines, so the "
+        "oracle checks every copy row). Scale shape: ZERO shuffles — "
+        "row-wise derivation + a bounded explode (factor <= 4); at "
+        "100 TB this is a narrow map stage that parallelizes with the "
+        "scan, and the mix is re-derivable from the plan columns "
+        "(epochs_x1000, n_copies) without storing the blow-up.",
+    tags=("llm", "curation", "mixing"),
+)
+def q_epoch_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    sn = F.substring("source", 4, 10).cast("int")
+    frac_hex = F.lpad(F.lower(F.hex((sn % 8) * 8192)), 4, "0")
+    n_copies = (
+        F.lit(1) + F.floor(sn / 8).cast("int")
+        + F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                 < frac_hex, 1).otherwise(0)
+    )
+    return (
+        d.select(
+            "doc_id", "source",
+            (F.lit(1000) + sn * 125).cast("bigint").alias("epochs_x1000"),
+            n_copies.cast("int").alias("n_copies"),
+        )
+        .withColumn("copy_idx",
+                    F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+    )

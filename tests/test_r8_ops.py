@@ -212,3 +212,30 @@ def test_capped_balance_closed_form_identity():
         assert closed == loop
 
     run()
+
+
+# --- fractional-epoch repeat mixing ------------------------------------------
+
+def test_epoch_repeat_mix_invariants(spark):
+    from canary_weather_etl_spark.plans.curation import q_epoch_repeat_mix
+    sf = "/root/testdata/sf0.001"
+    rows = q_epoch_repeat_mix(spark, sf).collect()
+    docs = load(spark, sf, "documents").select("doc_id", "source").collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r["doc_id"], r["source"]), []).append(r)
+    # every doc appears, with copy_idx exactly 1..n_copies
+    assert set(by_doc) == {(d["doc_id"], d["source"]) for d in docs}
+    import hashlib
+    for (doc_id, source), rs in by_doc.items():
+        sn = int(source[3:])
+        n = rs[0]["n_copies"]
+        assert sorted(x["copy_idx"] for x in rs) == list(range(1, n + 1))
+        assert all(x["n_copies"] == n for x in rs)
+        assert all(x["epochs_x1000"] == 1000 + sn * 125 for x in rs)
+        # growth stability: n_copies is a pure function of (doc_id, source)
+        h4 = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        thr = format((sn % 8) * 8192, "04x")
+        assert n == 1 + sn // 8 + (1 if h4 < thr else 0)
+        assert 1 <= n <= 4  # epochs capped at 3.375 for src19
