@@ -515,28 +515,91 @@ def pq_train_codebooks(qdf: DataFrame, m: int = 2, k: int = 4,
                        iterations: int = 2) -> dict[int, dict[int, list[int]]]:
     """Train PQ codebooks: split each fixed-point vector (`qvec`, from
     clustering.quantize_vectors) into ``m`` contiguous subspaces and run
-    the SAME broadcast-centroid Lloyd k-means per subspace
-    (clustering.kmeans_fixed — zero-shuffle assignment fold, map-side-
-    combined k·dims update, bounded driver state). Returns
-    {subspace: {code: centroid_subvector}} — m·k·(dims/m) driver ints,
-    the model a 100 TB deployment persists once and broadcasts.
+    broadcast-centroid Lloyd k-means per subspace with EXACTLY
+    clustering.kmeans_fixed's math (same init = first k vec_ids, same
+    zero-shuffle assignment fold with ties to the smaller code, same
+    FLOOR(double-div) update, empty clusters keep their centroid).
+    Returns {subspace: {code: centroid_subvector}} — m·k·(dims/m) driver
+    ints, the model a 100 TB deployment persists once and broadcasts.
+
+    FUSED across subspaces (r8): the m per-subspace trainings run as ONE
+    Lloyd loop over an exploded (vec_id, s, sub) frame whose assignment
+    expression switches centroid literals on the subspace column — so
+    each round is ONE corpus pass and ONE (m·k·sublen)-key aggregate
+    instead of m of each. Per-subspace training made m passes over the
+    corpus per round (and m driver jobs); at production m (8-16
+    subspaces) that's an 8-16x reduction in training scans. Output is
+    bit-identical to the per-subspace loop (same folds, same update
+    arithmetic, subspaces never interact), which the unrolled
+    q_pq_adc_topk oracle and the planted-cluster pytest pin.
 
     Public method: Jégou et al., 'Product Quantization for Nearest
     Neighbor Search' (TPAMI 2011)."""
-    from .clustering import kmeans_fixed
-
     dims = len(qdf.select("qvec").head()["qvec"])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sublen = dims // m
-    books: dict[int, dict[int, list[int]]] = {}
+    sub = qdf.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).cast("int").alias("s"),
+                     F.slice("qvec", s * sublen + 1, sublen).alias("sub"))
+            for s in range(m)])).alias("e")
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+
+    # one init collect for ALL subspaces: first k points by id, sliced
+    init_rows = sub.filter(F.col("vec_id") < k).collect()
+    books: dict[int, dict[int, list[int]]] = {s: {} for s in range(m)}
+    for r in init_rows:
+        books[int(r["s"])][int(r["vec_id"])] = [int(v) for v in r["sub"]]
     for s in range(m):
-        sub = qdf.select("vec_id",
-                         F.slice("qvec", s * sublen + 1, sublen)
-                         .alias("qvec"))
-        _, cent = kmeans_fixed(sub, k=k, iterations=iterations)
-        books[s] = cent
+        if len(books[s]) != k:
+            raise ValueError(f"init expects vec_id 0..{k - 1} present, "
+                             f"got {sorted(books[s])} in subspace {s}")
+
+    for _ in range(iterations):
+        cid = _sub_argmin_switched(F.col("sub"), F.col("s"), books)
+        # the assignment fold lives in its OWN Project: co-locating it
+        # with the posexplode generator trips Catalyst's generator
+        # rewrite, which strips the alias-derived struct field names
+        # inside the fold (FIELD_NOT_FOUND col1/col2); two stacked
+        # Projects collapse to one in the optimizer anyway
+        asg = sub.select("s", cid.alias("cluster_id"), "sub")
+        # ONE shuffle of m*k*sublen keys, partial-aggregated map-side;
+        # ONE bounded collect per round (vs one per subspace per round)
+        sums = (asg.select("s", "cluster_id",
+                           F.posexplode("sub").alias("ord", "qv"))
+                .groupBy("s", "cluster_id", "ord")
+                .agg(F.sum("qv").alias("sv"),
+                     F.count(F.lit(1)).alias("n"))
+                # FLOOR(double-div of exact ints) — clustering.py's rule
+                .withColumn("cv", F.floor(F.col("sv").cast("double")
+                                          / F.col("n")).cast("long"))
+                .select("s", "cluster_id", "ord", "cv")
+                .collect())
+        new_books = {s: {c: list(v) for c, v in books[s].items()}
+                     for s in range(m)}
+        got: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            got.setdefault((int(r["s"]), int(r["cluster_id"])), {})[
+                int(r["ord"])] = int(r["cv"])
+        for (s, cid_), by_ord in got.items():
+            new_books[s][cid_] = [by_ord[i] for i in range(sublen)]
+        books = new_books
     return books
+
+
+def _sub_argmin_switched(sub_vec: F.Column, s_col: F.Column,
+                         books: dict[int, dict[int, list[int]]]) -> F.Column:
+    """_sub_argmin with the centroid set selected by the subspace column:
+    a when-chain over literal per-subspace folds — still pure codegen,
+    each row evaluates only its branch."""
+    expr = None
+    for s in sorted(books):
+        branch = _sub_argmin(sub_vec, books[s])
+        expr = (F.when(s_col == s, branch) if expr is None
+                else expr.when(s_col == s, branch))
+    return expr
 
 
 def _sub_argmin(sub_vec: F.Column, cents: dict[int, list[int]]) -> F.Column:
