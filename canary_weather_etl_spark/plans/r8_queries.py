@@ -447,20 +447,28 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
                      .alias("w"))
             .filter(F.col("w") != ""))
-    toks = toks.localCheckpoint(eager=True)  # feeds 4 aggregates + the join
-    vsz = toks.select("w").distinct().count()
-    tgt = (toks.filter(F.col("source") == "src0")
-           .groupBy("w").agg(F.count(F.lit(1)).alias("nt")))
-    src = (toks.filter(F.col("source") != "src0")
-           .groupBy("w").agg(F.count(F.lit(1)).alias("ns")))
-    n_t = toks.filter(F.col("source") == "src0").count()
-    n_s = toks.filter(F.col("source") != "src0").count()
-    ratio = (toks.select("w").distinct()
-             .join(tgt, "w", "left").join(src, "w", "left")
-             .select("w", F.expr(
-                 f"CAST((10000 * (COALESCE(nt, 0) + 1) * ({n_s} + {vsz})) "
-                 f"DIV ((COALESCE(ns, 0) + 1) * ({n_t} + {vsz})) "
-                 f"AS BIGINT)").alias("r_units")))
+    toks = toks.localCheckpoint(eager=True)  # feeds the counts + the join
+    # ONE map-side-combined aggregate over the corpus yields the whole
+    # model: per-word target and source counts together (fused r8 —
+    # previously vsz / tgt / src / N_t / N_s each re-scanned the token
+    # table, ~6 corpus passes; now 1). Everything downstream of `counts`
+    # is vocabulary-sized: V = its row count, N_t / N_s are its column
+    # sums, and the ratio table is a plain projection — the two left
+    # joins are gone entirely.
+    counts = (toks.groupBy("w")
+              .agg(F.sum(F.when(F.col("source") == "src0", 1)
+                         .otherwise(0)).alias("nt"),
+                   F.sum(F.when(F.col("source") != "src0", 1)
+                         .otherwise(0)).alias("ns"))
+              .localCheckpoint(eager=True))
+    vsz = counts.count()
+    tot = counts.agg(F.sum("nt").alias("t"), F.sum("ns").alias("s")) \
+                .collect()[0]
+    n_t, n_s = int(tot["t"]), int(tot["s"])
+    ratio = counts.select("w", F.expr(
+        f"CAST((10000 * (nt + 1) * ({n_s} + {vsz})) "
+        f"DIV ((ns + 1) * ({n_t} + {vsz})) "
+        f"AS BIGINT)").alias("r_units"))
     scored = (toks.filter(F.col("source") != "src0")
               .join(F.broadcast(ratio), "w")
               .groupBy("doc_id")
