@@ -51,7 +51,9 @@ def _vocab_values_sql() -> str:
     return f"vocab(sym, tid) AS (VALUES {rows})"
 
 
-_BPE_IDS_ORACLE = f"""
+# the CTE chain through `wids` (word -> token-id list under the planted
+# merges) is shared by the encode oracle and the fertility oracle below
+_BPE_ENC_PREFIX = f"""
     WITH RECURSIVE
     doc AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
     warr AS (SELECT doc_id, regexp_split_to_array(t, '\\s+') AS arr
@@ -93,7 +95,10 @@ _BPE_IDS_ORACLE = f"""
     wids AS (
         SELECT s.word, list(COALESCE(v.tid, -1) ORDER BY s.ord) AS ids
         FROM syms s LEFT JOIN vocab v ON v.sym = s.sym
-        GROUP BY s.word),
+        GROUP BY s.word)
+"""
+
+_BPE_IDS_ORACLE = _BPE_ENC_PREFIX + """,
     docids AS (
         SELECT w.doc_id, flatten(list(wi.ids ORDER BY w.pos)) AS tids
         FROM wpos w JOIN wids wi ON wi.word = w.word
@@ -771,3 +776,64 @@ def q_pq_semantic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (codes.groupBy("code_0", "code_1")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
                  F.min("vec_id").cast("bigint").alias("keeper_vec_id")))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (tokens per word, by language)
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = _BPE_ENC_PREFIX + """,
+    wtok AS (SELECT word, CAST(len(ids) AS BIGINT) AS n_tok FROM wids),
+    perdoc AS (
+        SELECT w.doc_id, COUNT(*) AS n_words, SUM(wt.n_tok) AS n_toks
+        FROM wpos w JOIN wtok wt USING (word)
+        GROUP BY w.doc_id)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(p.n_words), 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(SUM(p.n_toks), 0) AS BIGINT) AS n_tokens,
+           CASE WHEN COALESCE(SUM(p.n_words), 0) > 0
+                THEN CAST((1000 * SUM(p.n_toks)) // SUM(p.n_words)
+                          AS BIGINT)
+                ELSE NULL END AS fertility_x1000
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    GROUP BY d.lang
+"""
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    doc="Tokenizer fertility by language — tokens-per-word under the "
+        "planted 8-merge BPE (the standard tokenizer-evaluation metric: "
+        "fertility near 1.0 means the vocabulary covers the language, "
+        "high fertility flags languages the tokenizer fragments, the "
+        "go/no-go gate before committing a tokenizer for multilingual "
+        "pretraining). Integer report (x1000, floor-div) so the oracle "
+        "matches bit-exactly. Scale shape: the merge folds run ONCE over "
+        "the DISTINCT word table (vocabulary-sized); the corpus-sized "
+        "work is one broadcast join of per-word token counts onto the "
+        "exploded positions + two grouped aggregates (doc, then lang) — "
+        "same 100 TB path as q_bpe_encode_ids, but the per-word payload "
+        "is a single bigint instead of the id array. Empty docs count "
+        "toward n_docs, contribute nothing to the sums.",
+    tags=("llm", "text", "tokenizer"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import EOW, bpe_encode_ids  # noqa: F401
+
+    d = load_par(spark, sf_dir, "documents")
+    ids = bpe_encode_ids(d, _BPE_MERGES, _BPE_VOCAB)
+    n_words = F.size(F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != ""))
+    per_doc = (d.select("doc_id", "lang", n_words.alias("n_words"))
+               .join(ids.select("doc_id", "n_tokens"), "doc_id"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+            .withColumn(
+                "fertility_x1000",
+                F.when(F.col("n_words") > 0,
+                       F.expr("(1000 * n_tokens) DIV n_words"))
+                .cast("bigint")))
