@@ -203,12 +203,13 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
                            threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH candidates → exact
     Jaccard verification ≥ threshold. The canonical LLM-corpus near-dedup."""
-    # cache: the set frame feeds signature banding (self-join → 2 consumers)
-    # and both sides of verification — without it the ngram+hash projection
-    # recomputes 4x (no shuffle boundary means no exchange reuse). Spark's
-    # cache manager dedupes by logical plan, so repeated pipeline runs share
-    # one materialization.
-    sets = shingle_sets(df, id_col, text_col, n).cache()
+    # materialized once (localCheckpoint, not cache — its blocks release
+    # on GC, so a long session running many queries doesn't accumulate
+    # cached partitions): the set frame feeds signature banding (self-join
+    # → 2 consumers) and both sides of verification — unmaterialized the
+    # ngram+hash projection recomputes 4x (no shuffle boundary means no
+    # exchange reuse).
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sigs, bands, num_hashes)
     return verify_pairs_jaccard(sets, cands, threshold=threshold)
@@ -302,7 +303,7 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: str, text_col: str,
     """SimHash near-dup pipeline at 100 TB shape: signatures (one explode +
     one groupBy) → pigeonhole band buckets (equi self-join, exact recall)
     → Hamming verification on candidates only. Output (a, b, hamming)."""
-    sig = simhash(df, id_col, text_col, bits).cache()
+    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
     cands = simhash_candidate_pairs(sig, bits, max_hamming)
     out = (
         cands

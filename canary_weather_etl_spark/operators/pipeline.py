@@ -77,7 +77,7 @@ def curate_corpus(
                  .dropDuplicates(["__h"]).drop("__h")
 
     # 3. near-dup removal: LSH candidates → verified pairs → drop b-side
-    sets = shingle_sets(exact, id_col, text_col, n=2).cache()
+    sets = shingle_sets(exact, id_col, text_col, n=2).localCheckpoint(eager=True)
     sigs = minhash_signatures_from_sets(sets, num_hashes=32)
     cands = lsh_candidate_pairs(sigs, bands=8, num_hashes=32)
     dup_pairs = verify_pairs_jaccard(sets, cands,

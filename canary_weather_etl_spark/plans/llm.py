@@ -322,7 +322,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the batch/corpus split feeds FIVE consumers (exact-hash
     # semi-join both sides, two shingle tables, final verdict join) —
     # uncached the census showed 7 corpus scans for one admission pass
-    d = load_par(spark, sf_dir, "documents").cache()
+    d = load_par(spark, sf_dir, "documents").localCheckpoint(eager=True)
     batch = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
     exact = (
@@ -729,7 +729,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus + query set cached: FOUR ANN methods below each consume both
     # (plus the exact baseline) — uncached, the plan census showed the
     # embeddings scan repeated 30x across the composed measurement
-    e = load_par(spark, sf_dir, "embeddings").cache()
+    e = load_par(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding")).cache()
     exact = S.topk_brute_force(e, q, k=10).select("query_id", "vec_id").cache()
@@ -801,7 +801,8 @@ def clustered_embeddings(e: DataFrame, dim: int = 64,
     tags=("llm", "similarity", "approx", "quality"),
 )
 def q_sim_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = clustered_embeddings(load_par(spark, sf_dir, "embeddings")).cache()
+    e = clustered_embeddings(load_par(spark, sf_dir,
+                                      "embeddings")).localCheckpoint(eager=True)
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding")).cache()
     exact = S.topk_brute_force(e, q, k=10).select("query_id", "vec_id").cache()

@@ -1738,8 +1738,9 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # #customers) BEFORE the max-collect: without it each round's max
         # AND the final result re-derive every earlier round's edge-sized
         # join+aggregate from scratch — measured 68.7 s → 48.3 s at the
-        # 100x decade; the remaining cost is the irreducible 3 edge-sized
-        # passes, one per half-step (SCALE.md)
+        # 100x decade (→ 34 s after the fused p-partitioned edge
+        # checkpoint above; the remaining cost is the irreducible
+        # edge-sized half-step passes, SCALE.md)
         raw_df = raw_df.localCheckpoint(eager=True)
         mx = raw_df.agg(F.max("raw")).collect()[0][0]  # driver scalar
         return raw_df.select(key, F.expr(f"(raw * {scale}L) div {mx}L")
