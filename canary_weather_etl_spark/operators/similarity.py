@@ -45,7 +45,8 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
 def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
-                     round_to: int | None = 6) -> DataFrame:
+                     round_to: int | None = 6,
+                     match_col: str | None = None) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     `queries` is small (it broadcasts); candidates stream through the scan
@@ -53,18 +54,32 @@ def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     tie-break so the cut is deterministic (duplicate embeddings would
     otherwise make rank order engine-dependent).
     Output: (query_id, rank, vec_id, cos_sim).
+
+    ``match_col`` (r8): attribute-FILTERED search — only candidates whose
+    ``match_col`` equals the query's value; the equality rides the
+    broadcast hash join's condition, so non-matching vectors are
+    discarded before any distance arithmetic (PRE-filter, the correct
+    semantics — post-filtering a top-k under-returns when the predicate
+    is selective). Both frames must carry the column.
     """
     # precompute each side's norm ONCE (n + q folds) instead of inside
     # cosine per pair (3·n·q folds) — at a billion candidates this is the
     # difference between one scan's work and three
     cand = embeddings.select(F.col(id_col).alias("vec_id"),
-                             as_double(vec_col).alias("v")) \
+                             as_double(vec_col).alias("v"),
+                             *([F.col(match_col).alias("__m_c")]
+                               if match_col else [])) \
                      .withColumn("v_norm", l2_norm(F.col("v")))
     q = queries.select(F.col(query_id_col).alias("query_id"),
-                       as_double(vec_col).alias("qv")) \
+                       as_double(vec_col).alias("qv"),
+                       *([F.col(match_col).alias("__m_q")]
+                         if match_col else [])) \
                .withColumn("q_norm", l2_norm(F.col("qv")))
+    cond = F.col("vec_id") != F.col("query_id")
+    if match_col:
+        cond = cond & (F.col("__m_c") == F.col("__m_q"))
     scored = (
-        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        cand.join(F.broadcast(q), cond)
         .select("query_id", "vec_id",
                 (dot(F.col("qv"), F.col("v"))
                  / (F.col("q_norm") * F.col("v_norm"))).alias("cos"))

@@ -837,3 +837,71 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("n_words") > 0,
                        F.expr("(1000 * n_tokens) DIV n_words"))
                 .cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# Attribute-filtered exact vector search (pre-filter ANN)
+# ---------------------------------------------------------------------------
+
+_FILTERED_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 5
+    ), pairs AS (
+        SELECT query_id, vec_id, qv, embedding AS v
+        FROM embeddings, q
+        WHERE vec_id != query_id AND label = qlabel
+    ), expl AS (
+        SELECT query_id, vec_id, qv, v,
+               unnest(generate_series(1, len(v))) AS i
+        FROM pairs
+    ), dots AS (
+        SELECT query_id, vec_id,
+               SUM(CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS dp,
+               SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS qq,
+               SUM(CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS vv
+        FROM expl GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, vec_id,
+               FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5) / 1e6 AS cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5) / 1e6
+                       DESC, vec_id
+               ) AS INT) AS rank
+        FROM dots
+    )
+    SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "q_ann_filtered_topk",
+    oracle=_FILTERED_TOPK_SQL,
+    doc="Attribute-FILTERED vector search (the 'where label matches' "
+        "variant every production vector store needs): each query's "
+        "top-5 cosine neighbors among candidates sharing its label, "
+        "computed as PRE-filter — the label equi-predicate lands below "
+        "the distance fold, so non-matching vectors never reach the "
+        "arithmetic (vs post-filtering a top-k, which under-returns when "
+        "the filter is selective). Spark shape: queries (with their "
+        "labels) broadcast; the corpus scan applies the join predicate "
+        "label = qlabel during the broadcast hash join, then the SAME "
+        "zip_with/aggregate dot-product fold and deterministic "
+        "(rounded-cos, vec_id) cut as q_sim_topk_bruteforce. At 100 TB "
+        "with a partition-keyed label column the filter prunes "
+        "partitions before the scan; exact per-label search composes "
+        "with the IVF/PQ paths by bucketing within label.",
+    tags=("llm", "similarity"),
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    e = load_par(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    # the label equality rides topk_brute_force's broadcast-join
+    # condition (match_col) — norms stay precomputed once per side, and
+    # filtered-out vectors never reach the distance fold
+    return (S.topk_brute_force(e, q, k=5, match_col="label")
+            .withColumn("rank", F.col("rank").cast("int")))
