@@ -905,3 +905,150 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered-out vectors never reach the distance fold
     return (S.topk_brute_force(e, q, k=5, match_col="label")
             .withColumn("rank", F.col("rank").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT-style MaxSim)
+# ---------------------------------------------------------------------------
+
+_MAXSIM_ORACLE = """
+    WITH qdocs AS (
+        SELECT doc_id AS query_id, lower(trim(text)) AS t
+        FROM documents WHERE doc_id < 3),
+    qtok AS (
+        SELECT DISTINCT query_id, w AS word FROM (
+            SELECT query_id, pos, arr[pos] AS w
+            FROM (SELECT query_id,
+                         regexp_split_to_array(t, '\\s+') AS arr
+                  FROM qdocs),
+                 unnest(generate_series(1, 4)) AS g(pos)
+            WHERE pos <= len(arr))
+        WHERE w <> ''),
+    pdocs AS (
+        SELECT doc_id AS passage_id, lower(trim(text)) AS t
+        FROM documents WHERE doc_id % 7 = 3),
+    ptok AS (
+        SELECT DISTINCT passage_id,
+               unnest(regexp_split_to_array(t, '\\s+')) AS word
+        FROM pdocs),
+    ptok2 AS (SELECT passage_id, word FROM ptok WHERE word <> ''),
+    words AS (
+        SELECT word FROM qtok UNION SELECT word FROM ptok2),
+    vecs AS (
+        SELECT word, i,
+               CAST((strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1)
+                    * 16
+                    + (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)
+                    AS DOUBLE) - 127.5 AS v
+        FROM (SELECT word, sha256(word) AS h FROM words),
+             unnest(generate_series(0, 7)) AS g(i)),
+    norms AS (SELECT word, SUM(v * v) AS ss FROM vecs GROUP BY word),
+    pairs AS (
+        SELECT q.query_id, q.word AS qw, p.passage_id, p.word AS pw
+        FROM qtok q CROSS JOIN ptok2 p),
+    dots AS (
+        SELECT pr.query_id, pr.qw, pr.passage_id, pr.pw,
+               SUM(vq.v * vp.v) AS dp
+        FROM pairs pr
+        JOIN vecs vq ON vq.word = pr.qw
+        JOIN vecs vp ON vp.word = pr.pw AND vp.i = vq.i
+        GROUP BY 1, 2, 3, 4),
+    cosq AS (
+        SELECT d.query_id, d.qw, d.passage_id,
+               CAST(FLOOR(d.dp / (SQRT(nq.ss) * SQRT(np.ss)) * 1e6 + 0.5)
+                    AS BIGINT) AS cos_units
+        FROM dots d
+        JOIN norms nq ON nq.word = d.qw
+        JOIN norms np ON np.word = d.pw),
+    maxsim AS (
+        SELECT query_id, passage_id, qw, MAX(cos_units) AS mx
+        FROM cosq GROUP BY 1, 2, 3),
+    scores AS (
+        SELECT query_id, passage_id,
+               CAST(SUM(mx) AS BIGINT) AS score_units
+        FROM maxsim GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id, passage_id, score_units,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_units DESC, passage_id) AS INT) AS rank
+        FROM scores)
+    SELECT query_id, rank, passage_id, score_units
+    FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "q_maxsim_late_interaction",
+    oracle=_MAXSIM_ORACLE,
+    doc="Late-interaction retrieval (ColBERT-style MaxSim, Khattab & "
+        "Zaharia 2020 — public method): score(query, passage) = sum over "
+        "query tokens of the max cosine against any passage token, over "
+        "per-TOKEN vectors — the retrieval family between single-vector "
+        "ANN and cross-encoders. Token vectors are the engine's "
+        "deterministic sha-derived stubs (documents are word soup, the "
+        "OPERATOR shape is the point): centered hex bytes are exact "
+        "binary halves, so dot products and norms are bit-exact doubles "
+        "in both engines, each token-pair cosine is floored to integer "
+        "1e6 units BEFORE the max/sum, and the whole score is integer "
+        "arithmetic — hash-oracle-able end-to-end. Distinct-token "
+        "variant (max is duplicate-invariant; query capped at its first "
+        "4 positions). Scale shape: token vectors come from ONE distinct-"
+        "word table (vocab-sized, 8-dim arrays built by pure JVM "
+        "expressions — sha2/substr/conv, no UDF); the quadratic "
+        "query-token x passage-token stage is the known late-interaction "
+        "cost — production prunes candidates with single-vector ANN "
+        "first (the IVF/PQ paths here) and MaxSim re-ranks the "
+        "shortlist, which is exactly how this operator composes: "
+        "queries x shortlist, per-pair work bounded by tokens^2.",
+    tags=("llm", "similarity", "retrieval"),
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_par(spark, sf_dir, "documents")
+    toks = lambda df, idc: (  # noqa: E731
+        df.select(F.col(idc),
+                  F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
+                  .alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    qtok = (toks(d.filter(F.col("doc_id") < 3), "doc_id")
+            .filter(F.col("pos") < 4)   # posexplode is 0-based
+            .select(F.col("doc_id").alias("query_id"), "word").distinct())
+    ptok = (toks(d.filter(F.col("doc_id") % 7 == 3), "doc_id")
+            .select(F.col("doc_id").alias("passage_id"), "word").distinct())
+
+    # one vocab-sized vector table: centered sha-hex bytes (exact halves)
+    words = qtok.select("word").union(ptok.select("word")).distinct()
+    h = F.sha2(F.col("word"), 256)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.conv(F.substr(h, i * 2 + 1, F.lit(2)), 16, 10)
+                   .cast("double") - F.lit(127.5))
+    wv = (words.select("word", vec.alias("v"))
+          .withColumn("ss", F.aggregate(
+              "v", F.lit(0.0), lambda a, x: a + x * x))
+          .localCheckpoint(eager=True))  # vocab-sized, feeds both sides
+
+    qv = qtok.join(wv, "word").select(
+        "query_id", F.col("word").alias("qw"),
+        F.col("v").alias("vq"), F.col("ss").alias("ssq"))
+    pv = ptok.join(wv, "word").select(
+        "passage_id", F.col("v").alias("vp"), F.col("ss").alias("ssp"))
+    dp = F.aggregate(F.zip_with("vq", "vp", lambda x, y: x * y),
+                     F.lit(0.0), lambda a, x: a + x)
+    cos_units = F.floor(dp / (F.sqrt("ssq") * F.sqrt("ssp")) * 1e6 + 0.5) \
+                 .cast("bigint")
+    pairs = pv.crossJoin(F.broadcast(qv)).select(
+        "query_id", "qw", "passage_id", cos_units.alias("cos_units"))
+    scores = (pairs.groupBy("query_id", "passage_id", "qw")
+              .agg(F.max("cos_units").alias("mx"))
+              .groupBy("query_id", "passage_id")
+              .agg(F.sum("mx").cast("bigint").alias("score_units")))
+    top = (scores.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("query_id")
+            .orderBy(F.desc("score_units"), F.asc("passage_id")))
+        .cast("int"))
+        .filter(F.col("rank") <= 3))
+    return top.select("query_id", "rank", "passage_id", "score_units")
