@@ -1052,3 +1052,141 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int"))
         .filter(F.col("rank") <= 3))
     return top.select("query_id", "rank", "passage_id", "score_units")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (sparse + dense)
+# ---------------------------------------------------------------------------
+
+_RRF_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    idf AS (
+        SELECT term,
+               CAST(FLOOR(1000000000000 /
+                          (COUNT(DISTINCT doc_id) * COUNT(DISTINCT doc_id)))
+                    AS BIGINT) AS w_units
+        FROM tf GROUP BY term),
+    qv AS (SELECT term, tf AS tf_q FROM tf WHERE doc_id = 0),
+    sparse AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY SUM(q.tf_q * d.tf * i.w_units) DESC, doc_id)
+                    AS INT) AS rank_sparse
+        FROM tf d JOIN qv q ON d.term = q.term
+                  JOIN idf i ON d.term = i.term
+        WHERE d.doc_id <> 0
+        GROUP BY d.doc_id
+        ORDER BY SUM(q.tf_q * d.tf * i.w_units) DESC, doc_id
+        LIMIT 20),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    expl AS (
+        SELECT e.vec_id, q.qv, e.embedding AS v,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+    dots AS (
+        SELECT vec_id,
+               SUM(CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS dp,
+               SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS qq,
+               SUM(CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS vv
+        FROM expl GROUP BY vec_id),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5)
+                            / 1e6 DESC, vec_id) AS INT) AS rank_dense
+        FROM dots
+        ORDER BY FLOOR(dp / (SQRT(qq) * SQRT(vv)) * 1e6 + 0.5) / 1e6 DESC,
+                 vec_id
+        LIMIT 20),
+    fused AS (
+        SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+               s.rank_sparse, de.rank_dense,
+               COALESCE(1000000 // (60 + s.rank_sparse), 0)
+               + COALESCE(1000000 // (60 + de.rank_dense), 0)
+                   AS rrf_units
+        FROM sparse s FULL OUTER JOIN dense de USING (doc_id))
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_units DESC, doc_id)
+                AS INT) AS rank,
+           doc_id, CAST(rrf_units AS BIGINT) AS rrf_units,
+           rank_sparse, rank_dense
+    FROM fused
+    ORDER BY rrf_units DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=_RRF_ORACLE,
+    doc="Hybrid search via reciprocal-rank fusion (Cormack et al. 2009 — "
+        "the standard lexical+vector combiner): the sparse leg ranks the "
+        "corpus against query doc 0 with the inverse-df-squared integer "
+        "scoring of q_tfidf_retrieval, the dense leg ranks embeddings "
+        "against vector 0 by rounded cosine (the q_sim_topk_bruteforce "
+        "discipline), both cut at top-20, and RRF fuses them: "
+        "score = sum over legs of 1e6 DIV (60 + rank) — INTEGER "
+        "arithmetic end-to-end, so the fusion is hash-exact (rank "
+        "positions, not raw scores, cross the leg boundary — the reason "
+        "RRF needs no score calibration between BM25-class and cosine-"
+        "class scales). Docs appearing in one leg only contribute that "
+        "leg's term. Scale shape: each leg is its own documented "
+        "operator (inverted-index join / brute-force-or-ANN); the fusion "
+        "itself is a full-outer join of two 20-row frames — free at any "
+        "corpus size.",
+    tags=("llm", "retrieval"),
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import similarity as S
+
+    d = load_par(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))  # feeds idf + query + corpus side
+    idf = (tf.groupBy("term")
+           .agg(F.count_distinct("doc_id").alias("df"))
+           .select("term", (F.lit(1_000_000_000_000).cast("long")
+                            / (F.col("df") * F.col("df")))
+                   .cast("long").alias("w_units")))
+    qv = (tf.filter(F.col("doc_id") == 0)
+          .select("term", F.col("tf").alias("tf_q")))
+    sp_top = (tf.filter(F.col("doc_id") != 0)
+              .join(F.broadcast(qv), "term").join(idf, "term")
+              .groupBy("doc_id")
+              .agg(F.sum(F.col("tf_q") * F.col("tf") * F.col("w_units"))
+                   .alias("score_units"))
+              .orderBy(F.col("score_units").desc(), "doc_id").limit(20))
+    sparse = sp_top.withColumn(
+        "rank_sparse",
+        F.row_number().over(Window.orderBy(F.desc("score_units"),
+                                           F.asc("doc_id"))).cast("int")) \
+        .select("doc_id", "rank_sparse")
+
+    e = load_par(spark, sf_dir, "embeddings")
+    q0 = (e.filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    dense = (S.topk_brute_force(e, q0, k=20)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.col("rank").cast("int").alias("rank_dense")))
+
+    fused = (sparse.join(dense, "doc_id", "full_outer")
+             .select(
+                 "doc_id", "rank_sparse", "rank_dense",
+                 (F.coalesce(F.expr("1000000 DIV (60 + rank_sparse)"),
+                             F.lit(0))
+                  + F.coalesce(F.expr("1000000 DIV (60 + rank_dense)"),
+                               F.lit(0))).cast("bigint")
+                 .alias("rrf_units")))
+    top = fused.orderBy(F.desc("rrf_units"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("rrf_units"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id", "rrf_units",
+                    "rank_sparse", "rank_dense"))
