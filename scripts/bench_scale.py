@@ -70,26 +70,35 @@ def amplify(spark, mult: int) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         dst = f"{out_dir}/{t}.parquet"
+        # per-table marker: third-decade builds run tens of minutes, so a
+        # killed build resumes at the first unwritten table
+        if os.path.exists(f"{out_dir}/_DONE_{t}"):
+            continue
         # registry.load handles events' TIMESTAMP(NANOS) rebuild; the
         # amplified copy is written back as standard micros
         base = load(spark, SF_DIR, t)
         if t not in SHIFTS:
             base.write.mode("overwrite").parquet(dst)
+            open(f"{out_dir}/_DONE_{t}", "w").close()
             continue
-        copies = []
-        for i in range(mult):
-            c = base
-            for col in SHIFTS[t]:
-                c = c.withColumn(col, F.col(col) + F.lit(i * KEYSHIFT))
-            if t == "documents":
-                c = c.withColumn(
-                    "text",
-                    F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}x$1"))
-            copies.append(c)
-        df = copies[0]
-        for c in copies[1:]:
-            df = df.unionByName(c)
+        # crossJoin with a copy-index range instead of a mult-way union:
+        # identical rows (shift cols by i*KEYSHIFT, prefix doc tokens with
+        # c{i}x), but the plan stays O(1) nodes — a 1000-way unionByName
+        # chain makes analysis itself the bottleneck at the third decade
+        copies = spark.range(mult).select(F.col("id").alias("__copy"))
+        df = base.crossJoin(F.broadcast(copies))
+        for col in SHIFTS[t]:
+            df = df.withColumn(col, F.col(col)
+                               + F.col("__copy") * F.lit(KEYSHIFT))
+        if t == "documents":
+            repl = F.concat(F.lit("c"), F.col("__copy").cast("string"),
+                            F.lit("x$1"))
+            df = df.withColumn(
+                "text", F.regexp_replace(F.col("text"), F.lit(r"(\S+)"),
+                                         repl))
+        df = df.drop("__copy")
         df.write.mode("overwrite").parquet(dst)
+        open(f"{out_dir}/_DONE_{t}", "w").close()
     open(os.path.join(out_dir, "_DONE"), "w").close()
     return out_dir
 
