@@ -452,7 +452,13 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
                      .alias("w"))
             .filter(F.col("w") != ""))
-    toks = toks.localCheckpoint(eager=True)  # feeds the counts + the join
+    # toks is deliberately NOT materialized: its two consumers (the
+    # counts aggregate and the score join) each re-derive the narrow
+    # explode from the column-pruned parquet scan, which measures CHEAPER
+    # than checkpointing corpus-sized token rows at every decade probed —
+    # 1.9/8.1/318 s with the checkpoint vs 1.95/5.6/83 s without at
+    # sf0.1/100x/1000x (SCALE.md; the HITS two-copy lesson again:
+    # materializing data-sized intermediates loses on a shared heap)
     # ONE map-side-combined aggregate over the corpus yields the whole
     # model: per-word target and source counts together (fused r8 —
     # previously vsz / tgt / src / N_t / N_s each re-scanned the token
