@@ -641,9 +641,14 @@ def q_tfidf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # tf feeds idf, the query vector, and the corpus side — materialize once
-    # (localCheckpoint, not persist: blocks release on GC, no session leak)
-    tf = tf.localCheckpoint(eager=True)
+    # tf feeds idf, the query vector, and the corpus side — and is
+    # deliberately NOT materialized (r8, reversing the r7 choice): the
+    # qv/corpus legs filter on doc_id, a GROUPING key, so Catalyst pushes
+    # those predicates BELOW the re-derived aggregate onto the scan — the
+    # query-vector leg aggregates ~one document, not the corpus. A
+    # checkpoint blocks that pushdown and materializes corpus-sized
+    # (doc, term) rows: measured 228 s vs 165 s at the 1000x decade,
+    # tie at 100x and sf0.1 (SCALE.md)
     idf = (tf.groupBy("term")
            .agg(F.count_distinct("doc_id").alias("df"))
            .select("term", (F.lit(1_000_000_000_000).cast("long")

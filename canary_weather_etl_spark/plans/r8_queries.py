@@ -1154,9 +1154,11 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    # NOT materialized: the doc_id filters on the qv/corpus legs push
+    # below the re-derived aggregate (grouping-key predicate) — see
+    # q_tfidf_retrieval's measurement note
     tf = (toks.groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint(eager=True))  # feeds idf + query + corpus side
+          .agg(F.count(F.lit(1)).alias("tf")))
     idf = (tf.groupBy("term")
            .agg(F.count_distinct("doc_id").alias("df"))
            .select("term", (F.lit(1_000_000_000_000).cast("long")
