@@ -28,7 +28,14 @@ def events_dir(spark, sf_dir, tmp_path_factory):
 def _run_to_memory(stream_df, name: str, mode: str) -> None:
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False WITHOUT raising when the
+    # backlog hasn't drained — the test would then read a partial memory
+    # table and fail with an opaque set mismatch (observed once under a
+    # fully loaded machine). Surface stream errors, assert the drain.
+    terminated = q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    assert terminated, f"stream {name} did not drain within 300s"
 
 
 def test_stream_tumbling_equals_batch(spark, events_dir, sf_dir):
