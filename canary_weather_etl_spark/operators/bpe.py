@@ -244,3 +244,34 @@ def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]],
                                F.array().cast("array<bigint>"))
                     .alias(out_col))
             .withColumn("n_tokens", F.size(out_col).cast("bigint")))
+
+
+def bpe_decode_expr(vocab: dict[str, int], ids_col: str = "token_ids",
+                    unk: str = "⁇UNK⁇") -> F.Column:
+    """Invert ``bpe_encode_ids``: token-id array → whitespace-joined text.
+
+    One literal-array lookup per id, concatenate, split words on the
+    ``</w>`` marker — a narrow row-wise projection, no shuffle. Id -1 is
+    the encoder's UNK sentinel: (t+1)=0 would make element_at throw at
+    runtime, and INVALID_INDEX_OF_ZERO fires even under ``try_element_at``
+    (measured on Spark 4.1: index 0 is *invalid*, not "missing"), so the
+    sentinel takes an explicit lazy WHEN guard. Out-of-vocab input thus
+    degrades to a VISIBLE ``unk`` marker — a detectable roundtrip
+    mismatch, never a crashed query; ``try_element_at`` still covers
+    positive ids beyond the vocab."""
+    inv = {i: s for s, i in vocab.items()}
+    sym_arr = F.array(*[F.lit(inv[i]) for i in range(len(inv))])
+    return F.array_join(
+        F.filter(
+            F.split(
+                F.array_join(
+                    F.transform(ids_col,
+                                lambda t: F.when(t < 0, F.lit(unk))
+                                .otherwise(F.coalesce(
+                                    F.try_element_at(
+                                        sym_arr, (t + 1).cast("int")),
+                                    F.lit(unk)))),
+                    ""),
+                EOW),
+            lambda w: w != ""),
+        " ")

@@ -512,12 +512,16 @@ def estimate_allpairs_candidates(sets: DataFrame) -> int:
     document frequency). One explode + one two-level aggregate — shingle-
     keyed, map-side combined — returns that sum as a bounded driver
     scalar. O(corpus shingles) work, no joins."""
+    # integral arithmetic throughout: float division would make the sum a
+    # double and lose exactness above ~2^53 candidates — right where the
+    # budget comparison matters. df·(df−1) is even, so summing it and
+    # halving once at the end is exact in bigint.
     row = (sets.select(F.explode("sh").alias("shingle"))
            .groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-           .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2)
-                .cast("bigint").alias("c"))
+           .agg((F.sum(F.col("df") * (F.col("df") - 1)).cast("bigint"))
+                .alias("c2"))
            .collect())
-    return int(row[0]["c"] or 0)
+    return int(row[0]["c2"] or 0) // 2
 
 
 def near_dup_pairs_exact(df: DataFrame, id_col: str, text_col: str,

@@ -550,7 +550,11 @@ def pq_train_codebooks(qdf: DataFrame, m: int = 2, k: int = 4,
 
     Public method: Jégou et al., 'Product Quantization for Nearest
     Neighbor Search' (TPAMI 2011)."""
-    dims = len(qdf.select("qvec").head()["qvec"])
+    head = qdf.select("qvec").head()
+    if head is None:  # explicit, not an opaque NoneType TypeError
+        raise ValueError("pq_train_codebooks: input frame is empty — "
+                         "cannot derive dims or seed codebooks")
+    dims = len(head["qvec"])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     sublen = dims // m

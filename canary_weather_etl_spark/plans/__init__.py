@@ -32,50 +32,49 @@ from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-8 rotation, per the r7 verdict's #1
-# directive ("burn down the driver-sample debt"): front-load (a) the 32
-# r7-authored entries that were staged at positions 51+ last round and so
-# have NO external driver row yet (each locally hash-green via
-# drive_contract in r7 and 8 of them judge-verified green); (b) the 8
-# r6-late entries deferred twice (same local-green status, strongest
-# independent pytest evidence); (c) the first 10 of the 48-entry
-# r4-sampled block — the oldest external rows in the tree. Positions 51+
-# as enumerated here: the remaining 38 r4-sampled entries, then the 47
-# r7-sampled entries (fresh CORRECTNESS_r07 rows), then everything
-# unlisted (the r5-sampled block and the new r8 queries, whose evidence
-# this round is the committed drive_contract sweeps). r9 rotation plan BY
-# EVIDENCE AGE, not this enumeration: 38 r4-tail + 12 oldest r5-sampled
-# fill the 50; re-list explicitly next round.
+# hard external correctness row. Round-9 rotation, per the r8 verdict's #1
+# directive: front-load (a) the 15 r8-authored entries that have never had
+# a driver row (each green in the judge's own full 250-query sweep at r8);
+# (b) the 11 r6-era entries whose round artifacts were never committed —
+# the last never-driver-sampled entries in the registry; (c) the first 24
+# of the 36-entry r3-vintage block, the oldest external rows in the tree.
+# After this round no registry entry lacks a driver row and nothing is
+# older than r4 evidence. Positions 51+ as enumerated here: the remaining
+# 12 r3-vintage entries, then the 38 r4-sampled entries; everything
+# unlisted (r5/r7/r8-sampled blocks, all with fresh rows) trails in
+# registration order. r10 rotation plan BY EVIDENCE AGE: 12 r3-tail +
+# 38 r4-sampled fill the 50.
 _DRIVER_PRIORITY = (
-    # (a) the 32 r7-authored, never-driver-sampled entries
-    "q_hits_bipartite", "q_data_expectations", "q_snapshot_diff",
-    "q_listagg_topn", "q_degree_histogram", "q_corpus_novelty",
-    "q_concurrency_peak", "q_event_transitions",
-    "q_time_weighted_avg", "q_rfm_segmentation",
-    "q_source_overlap", "q_seasonal_baseline",
-    "q_top_paths", "q_ab_test_zscore",
-    "q_basket_pairs", "q_chisq_independence",
-    "q_daily_autocorr", "q_benford_digits",
-    "q_mannwhitney_u", "q_cusum_changepoint",
-    "q_longest_streak", "q_gini_concentration",
-    "q_funnel_latency", "q_skew_audit",
-    "q_attribution_linear", "q_rolling_active_users",
-    "q_abc_classification",
-    "q_kendall_tau", "q_spearman_corr",
-    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    # (b) the 8 twice-deferred r6-late entries
-    "q_partition_fingerprint", "q_session_funnel",
-    "q_jsonl_quarantine", "q_watermark_late_audit", "q_incremental_recompute",
-    "q_cdc_chunk_dedup", "q_embedding_dim_stats", "q_anomaly_mad_approx",
-    # (c) the 10 oldest r4-sampled entries (external rows now 4 rounds old)
-    "q1_groupby_avg",
-    "q2_groupby2_topk", "q3_filtered_groupby_avg",
-    "q_projection_derived", "q_filter_null_empty", "q_distinct_pairs",
-    "q_topk_global", "q_scalar_string", "q_cms_heavy_hitters",
-    "q_join_inner_fact",
-    # positions 51+ — the r9 priority head: the remaining 38 r4-sampled
-    # entries, then the r5-sampled block (r7-sampled and new-r8 entries
+    # (a) the 15 r8-authored, never-driver-sampled entries
+    "q_bpe_encode_ids", "q_pq_adc_topk", "q_dsir_importance",
+    "q_setjoin_auto_regime", "q_stream_upsert_readback",
+    "q_capped_balance", "q_inventory_clamped",
+    "q_maxsim_late_interaction", "q_hybrid_rrf",
+    "q_tokenizer_fertility", "q_epoch_repeat_mix", "q_temperature_mix",
+    "q_ann_filtered_topk", "q_pq_semantic_buckets",
+    "q_bpe_decode_roundtrip",
+    # (b) the 11 r6-era never-driver-sampled entries
+    "q_kcore_peel", "q_nearest_view", "q_manifest_sink_read",
+    "q_boolean_retrieval", "q_anomaly_mad", "q_cdc_chunking",
+    "q_grid_knn", "q_parameterized_sql", "q_pmi_bigrams",
+    "q_shingle_containment", "q_skyline_pareto",
+    # (c) the first 24 of the r3-vintage block (external rows 6 rounds old)
+    "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
+    "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
+    "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
+    "q_lm_quality_score", "q_arrays_zip_explode", "q_sql_facade",
+    "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
+    "q_time_rollup", "q_percentiles", "q_stats_moments",
+    "q_data_quality_profile", "q_pivot", "q_gap_fill_calendar",
+    "q_events_funnel", "q_events_cohort_retention",
+    # positions 51+ — the r10 priority head: the remaining 12 r3-vintage
+    # entries, then the 38 r4-sampled entries (r5/r7/r8-sampled blocks
     # trail, ordered by evidence age)
+    "q_zorder_key", "q_global_rank", "q_weather_flatten_om",
+    "q_weather_flatten_vc", "q_weather_clean_build",
+    "q_weather_upsert_newwins", "q_split_train_val",
+    "q_domain_mix_weights", "q_vocab_coverage", "q_contamination_ngrams",
+    "q_csv_roundtrip", "q_jsonl_roundtrip",
     "q_join_broadcast_dims", "q_join_left_anti",
     "q_join_left_semi", "q_join_left_outer", "q_join_full_outer",
     "q_cross_join", "q_union_by_name", "q_except_all",

@@ -1338,7 +1338,8 @@ def q_stream_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # sink dir not created yet
         time.sleep(0.2)
     q.stop()
-    q.awaitTermination(30)
+    from ..streaming.jobs import drain
+    drain(q, 30)  # checked wait-for-stop: surfaces q.exception(), no silent timeout
     return spark.read.parquet(out)
 
 

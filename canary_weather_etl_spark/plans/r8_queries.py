@@ -179,7 +179,7 @@ def q_stream_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..streaming.jobs import stream_upsert_sink
+    from ..streaming.jobs import drain, stream_upsert_sink
 
     e = load(spark, sf_dir, "events")
     daily = (e.groupBy("user_id", F.to_date("ts").alias("date"))
@@ -210,15 +210,17 @@ def q_stream_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b1.coalesce(2).write.mode("overwrite").parquet(drops)
     schema = spark.read.parquet(drops).schema
-    q = stream_upsert_sink(
+    # drain() (streaming/jobs.py) asserts awaitTermination returned True
+    # and re-raises q.exception() — a silent timeout here would read a
+    # partial table and fail later as an opaque hash mismatch, or start
+    # the second query against a checkpoint the first still holds.
+    drain(stream_upsert_sink(
         spark.readStream.schema(schema).parquet(drops), table, ckpt,
-        keys=("user_id", "date"))
-    q.awaitTermination(120)
+        keys=("user_id", "date")))
     b2.coalesce(2).write.mode("append").parquet(drops)
-    q = stream_upsert_sink(
+    drain(stream_upsert_sink(
         spark.readStream.schema(schema).parquet(drops), table, ckpt,
-        keys=("user_id", "date"))
-    q.awaitTermination(120)
+        keys=("user_id", "date")))
 
     return (spark.read.parquet(table)
             .select("user_id", "date", F.col("metric").cast("bigint")
@@ -692,23 +694,13 @@ def q_inventory_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "tokenizer"),
 )
 def q_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import bpe_encode_ids
+    from ..operators.bpe import bpe_decode_expr, bpe_encode_ids
     docs = load_par(spark, sf_dir, "documents")
     enc = bpe_encode_ids(docs, _BPE_MERGES, _BPE_VOCAB)
-    # reverse vocabulary as one literal array indexed by token id
-    inv = {i: s for s, i in _BPE_VOCAB.items()}
-    sym_arr = F.array(*[F.lit(inv[i]) for i in range(len(inv))])
-    decoded = F.array_join(
-        F.filter(
-            F.split(
-                F.array_join(
-                    F.transform("token_ids",
-                                lambda t: F.element_at(
-                                    sym_arr, (t + 1).cast("int"))),
-                    ""),
-                "</w>"),
-            lambda w: w != ""),
-        " ")
+    # bpe_decode_expr degrades OOV ids (-1 sentinel / beyond-vocab) to a
+    # visible UNK marker — a detectable mismatch, never a crashed query
+    # (OOV totality pinned in tests/test_r8_ops.py)
+    decoded = bpe_decode_expr(_BPE_VOCAB)
     norm = (docs.select(
         "doc_id",
         F.array_join(

@@ -55,18 +55,15 @@ def q_stream_restart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.write.mode("overwrite").parquet(src)
 
         def drain() -> None:
+            # J.drain fails loudly: letting a still-active query's
+            # checkpoint be reused by the next drain() is a concurrent-query
+            # error or checkpoint corruption, not a clean timeout
             stream = J.read_events_stream(spark, src, base.schema)
-            q = (stream.writeStream.format("parquet")
-                 .option("path", table)
-                 .option("checkpointLocation", ckpt)
-                 .outputMode("append")
-                 .trigger(availableNow=True).start())
-            if not q.awaitTermination(120):
-                # fail loudly: letting a still-active query's checkpoint be
-                # reused by the next drain() is a concurrent-query error or
-                # checkpoint corruption, not a clean timeout
-                q.stop()
-                raise TimeoutError("stream drain did not finish in 120s")
+            J.drain(stream.writeStream.format("parquet")
+                    .option("path", table)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True).start())
 
         drain()                              # stream sees only A
         b.write.mode("append").parquet(src)  # A files still in place

@@ -49,14 +49,24 @@ def _sql_pair(name: str, spark_tables: tuple[str, ...], sql: str):
     CONSTRAINT: the rename is a plain ``\\b``-bounded regex over the whole
     SQL text, so it would also rewrite a bare lowercase table name inside
     a string literal or comment (e.g. ``WHERE note = 'see orders'``).
-    Current pack queries contain no such literal; when adding queries,
-    either keep literals free of bare table names or switch this helper
-    to registering views under the bare names in an isolated temp schema."""
+    ENFORCED at registration time below: a table name found inside a
+    single-quoted literal or a ``--`` comment raises immediately (import
+    error, not a silent wrong rewrite). When a future query genuinely
+    needs such a literal, switch this helper to registering views under
+    the bare names in an isolated temp schema instead."""
 
     import re
 
+    # genuine literal/comment spans only — a naive '...name...' regex
+    # false-positives by spanning the gap BETWEEN two literals
+    protected = [m.group(0) for m in re.finditer(r"'[^']*'|--[^\n]*", sql)]
     spark_sql = sql
     for t in spark_tables:
+        if any(re.search(rf"\b{t}\b", span) for span in protected):
+            raise ValueError(
+                f"_sql_pair({name!r}): table name {t!r} appears inside a "
+                "string literal or comment — the whole-text rename would "
+                "corrupt it; isolate views instead")
         # \b-bounded: must not rewrite identifiers that merely CONTAIN a
         # table name ("supplier_no" ⊃ "supplier" — observed, Q15)
         spark_sql = re.sub(rf"\b{t}\b", f"{t}_tpch", spark_sql)

@@ -21,6 +21,30 @@ from pyspark.sql import functions as F
 from ..functions import exact_sum
 
 
+def drain(q, timeout: int = 120) -> None:
+    """Block until streaming query ``q`` terminates; fail LOUDLY otherwise.
+
+    ``awaitTermination(timeout)`` returns False WITHOUT raising when the
+    query is still running — a silent timeout lets the caller read a
+    partial sink, or start a second query against the same checkpoint
+    while the first still holds it (observed once as an opaque
+    set-mismatch flake under full machine load). Every drain in this repo
+    routes through here: surface ``q.exception()`` first, then assert the
+    True return, and always stop the query before raising so the
+    checkpoint is released for whatever runs next.
+    """
+    finished = q.awaitTermination(timeout)
+    exc = q.exception()
+    if exc is not None:
+        q.stop()
+        raise exc
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish in "
+            f"{timeout}s")
+
+
 def read_events_stream(spark: SparkSession, path: str,
                        schema, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over parquet/json event drops (the reference's

@@ -239,3 +239,104 @@ def test_epoch_repeat_mix_invariants(spark):
         thr = format((sn % 8) * 8192, "04x")
         assert n == 1 + sn // 8 + (1 if h4 < thr else 0)
         assert 1 <= n <= 4  # epochs capped at 3.375 for src19
+
+
+def test_stream_upsert_replay_idempotent(spark, tmp_path):
+    """Streaming upsert end-to-end + idempotence replay (r8 verdict #7):
+    two overlapping batches land new-wins through stream_upsert_sink; then
+    batch2's drop is RE-RUN through a fresh stream (fresh checkpoint)
+    against the same table. The table content must be unchanged, and
+    partitions batch2 never touches must be BYTE-identical — the upsert
+    rewrites only touched partitions, so at 100 TB a replayed window
+    costs O(touched partitions), never a table rewrite."""
+    import hashlib
+    import os
+
+    from canary_weather_etl_spark.streaming.jobs import (drain,
+                                                         stream_upsert_sink)
+
+    def mk(rows):
+        return (spark.createDataFrame(rows, ["location", "date", "metric"])
+                .withColumn("date", F.to_date("date"))
+                .withColumn("island", F.lit("isl"))
+                .withColumn("location_name", F.col("location"))
+                .withColumn("year", F.year("date"))
+                .withColumn("month", F.month("date")))
+
+    # rows1 spans TWO partitions (2024-01, 2024-02); rows2 touches only 02
+    rows1 = ([("loc_a", f"2024-01-{i:02d}", 1.0) for i in range(1, 11)]
+             + [("loc_a", f"2024-02-{i:02d}", 1.0) for i in range(1, 6)])
+    rows2 = [("loc_a", f"2024-02-{i:02d}", 2.0) for i in range(3, 9)]
+
+    drops = str(tmp_path / "drops")
+    table = str(tmp_path / "table")
+    mk(rows1).coalesce(1).write.mode("overwrite").parquet(drops)
+    schema = spark.read.parquet(drops).schema
+    drain(stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(drops), table,
+        str(tmp_path / "ckpt1"), keys=("location", "date")))
+    mk(rows2).coalesce(1).write.mode("append").parquet(drops)
+    drain(stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(drops), table,
+        str(tmp_path / "ckpt1"), keys=("location", "date")))
+
+    def file_hashes():
+        out = {}
+        for root, _, files in os.walk(table):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, table)] = \
+                            hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    def content():
+        return sorted(
+            (r["location"], str(r["date"]), r["metric"])
+            for r in spark.read.parquet(table)
+            .select("location", "date", "metric").collect())
+
+    before_files, before_rows = file_hashes(), content()
+    # new-wins landed before we test the replay
+    assert ("loc_a", "2024-02-04", 2.0) in before_rows
+    assert ("loc_a", "2024-01-04", 1.0) in before_rows
+    assert len(before_rows) == 10 + 8
+
+    # replay: SAME batch2 rows, fresh drop dir, fresh checkpoint
+    drops2 = str(tmp_path / "drops_replay")
+    mk(rows2).coalesce(1).write.mode("overwrite").parquet(drops2)
+    drain(stream_upsert_sink(
+        spark.readStream.schema(schema).parquet(drops2), table,
+        str(tmp_path / "ckpt_replay"), keys=("location", "date")))
+
+    assert content() == before_rows  # logically unchanged
+    after_files = file_hashes()
+    untouched = {p: h for p, h in before_files.items() if "month=1" in p}
+    assert untouched  # the January partition exists and has files
+    assert {p: h for p, h in after_files.items() if "month=1" in p} \
+        == untouched  # byte-identical: replay never rewrote it
+
+
+def test_bpe_decode_oov_degrades_to_unk_marker(spark):
+    """Decode totality: out-of-vocab characters (id -1 sentinel) must
+    surface as a VISIBLE UNK marker, never a runtime crash — element_at's
+    INVALID_INDEX_OF_ZERO fires even under try_element_at for (t+1)=0, so
+    the sentinel path needs the explicit WHEN guard inside
+    bpe_decode_expr."""
+    from canary_weather_etl_spark.operators.bpe import (bpe_decode_expr,
+                                                        bpe_encode_ids)
+    from canary_weather_etl_spark.plans.r8_queries import (_BPE_MERGES,
+                                                           _BPE_VOCAB)
+    # digits are not in the character vocab → -1 ids from the encoder
+    docs = spark.createDataFrame([(1, "the 123 cat")], ["doc_id", "text"])
+    enc = bpe_encode_ids(docs, _BPE_MERGES, _BPE_VOCAB)
+    ids = enc.collect()[0]["token_ids"]
+    assert -1 in ids  # fixture really exercises the OOV path
+    out = enc.select(bpe_decode_expr(_BPE_VOCAB).alias("t")).collect()
+    assert "⁇UNK⁇" in out[0]["t"]          # visible, detectable
+    # and a beyond-vocab positive id also degrades, not crashes
+    big = spark.createDataFrame([(1, [10**6])],
+                                "doc_id INT, token_ids ARRAY<BIGINT>")
+    assert big.select(bpe_decode_expr(_BPE_VOCAB).alias("t")) \
+        .collect()[0]["t"] == "⁇UNK⁇"

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from canary_weather_etl_spark.plans.registry import load
+from canary_weather_etl_spark.streaming.jobs import drain
 from canary_weather_etl_spark.sources.bucketing import bucketed_join, write_bucketed
 from canary_weather_etl_spark.streaming.stateful import running_user_totals
 
@@ -61,7 +62,7 @@ def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
     q = (running_user_totals(stream)
          .writeStream.format("memory").queryName("totals")
          .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    drain(q)
 
     rows = spark.sql("SELECT * FROM totals").collect()
     # one emission per batch that saw the user; final cumulative = 20 events
@@ -193,7 +194,7 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
         q = (running_user_totals_tws(stream)
              .writeStream.format("memory").queryName("totals_tws")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        drain(q)
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 

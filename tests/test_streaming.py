@@ -28,14 +28,11 @@ def events_dir(spark, sf_dir, tmp_path_factory):
 def _run_to_memory(stream_df, name: str, mode: str) -> None:
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
-    # awaitTermination(timeout) returns False WITHOUT raising when the
-    # backlog hasn't drained — the test would then read a partial memory
+    # J.drain: awaitTermination(timeout) returns False WITHOUT raising when
+    # the backlog hasn't drained — the test would then read a partial memory
     # table and fail with an opaque set mismatch (observed once under a
     # fully loaded machine). Surface stream errors, assert the drain.
-    terminated = q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    assert terminated, f"stream {name} did not drain within 300s"
+    J.drain(q, 300)
 
 
 def test_stream_tumbling_equals_batch(spark, events_dir, sf_dir):
@@ -92,13 +89,13 @@ def test_stream_upsert_sink_matches_batch_upsert(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     schema = spark.read.parquet(drops).schema
     stream = spark.readStream.schema(schema).parquet(drops)
-    q = J.stream_upsert_sink(stream, table, ckpt, keys=("location", "date"))
-    q.awaitTermination(120)
+    J.drain(J.stream_upsert_sink(stream, table, ckpt,
+                                 keys=("location", "date")))
 
     mk(rows2).coalesce(1).write.mode("append").parquet(drops)
     stream = spark.readStream.schema(schema).parquet(drops)
-    q = J.stream_upsert_sink(stream, table, ckpt, keys=("location", "date"))
-    q.awaitTermination(120)
+    J.drain(J.stream_upsert_sink(stream, table, ckpt,
+                                 keys=("location", "date")))
 
     final = spark.read.parquet(table)
     assert final.count() == 15
@@ -140,7 +137,7 @@ def test_stream_weather_ingest_matches_batch(spark, tmp_path):
     out = str(tmp_path / "clean")
     q = stream_weather_ingest(spark, f"{raw}/*/*/2*.json", out,
                               str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    J.drain(q)
 
     got = spark.read.parquet(out)
     assert got.count() == 2 * 7
@@ -215,7 +212,7 @@ def test_stream_corpus_dedupe_by_fingerprint(spark, tmp_path):
     q = (stream.withWatermark("ts", "1 hour").dropDuplicates(["fp"])
          .writeStream.format("memory").queryName("corpus_dedup")
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    J.drain(q)
     out = spark.sql("SELECT * FROM corpus_dedup")
     # one survivor per distinct fingerprint — NOTE: fewer than 50, because
     # the bag-of-words fingerprint also collapses same-words-different-order
@@ -243,12 +240,11 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
 
     def drain():
         stream = J.read_events_stream(spark, src, base.schema)
-        q = (stream.writeStream.format("parquet")
-             .option("path", table)
-             .option("checkpointLocation", ckpt)
-             .outputMode("append")
-             .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        J.drain(stream.writeStream.format("parquet")
+                .option("path", table)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True).start())
 
     drain()
     n_after_a = spark.read.parquet(table).count()
@@ -394,7 +390,7 @@ def _drain_sequence_stream(spark, name, checkpoint, end, batch,
             break
         _time.sleep(0.2)
     q.stop()
-    q.awaitTermination(30)
+    J.drain(q, 30)
 
 
 def test_sequence_stream_reader_drains_exactly_once(spark, tmp_path):
@@ -439,7 +435,7 @@ def test_sequence_stream_reader_checkpoint_restart(spark, tmp_path):
                 pass  # sink dir not created yet
             _time.sleep(0.2)
         q.stop()
-        q.awaitTermination(30)
+        J.drain(q, 30)
 
     run(stop_at=20)
     n1 = spark.read.parquet(out).count()
@@ -483,7 +479,7 @@ def test_rocksdb_state_store_dedupe(spark, tmp_path):
              .writeStream.format("memory").queryName("rocksdedup")
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        J.drain(q)
         n = spark.sql("SELECT COUNT(*) AS n FROM rocksdedup") \
             .collect()[0]["n"]
         assert n == 150

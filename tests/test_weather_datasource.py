@@ -9,6 +9,7 @@ import json
 import pytest
 
 from canary_weather_etl_spark.plans.registry import load
+from canary_weather_etl_spark.streaming.jobs import drain
 from canary_weather_etl_spark.sources.weather_datasource import (
     HAS_DATASOURCE_API, WeatherApiDataSource)
 
@@ -161,7 +162,7 @@ def test_manifest_stream_sink_exactly_once(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(120)
+    drain(q)
 
     got = read_manifest_jsonl(spark, sink, "event_id BIGINT, user_id BIGINT")
     assert got.count() == base.count()
