@@ -149,3 +149,35 @@ def kmeans_cluster_profile(asg: DataFrame) -> DataFrame:
                  F.sum("dist_units").alias("inertia_units"),
                  F.min(F.struct("dist_units", "vec_id"))
                  .getField("vec_id").alias("medoid_vec_id")))
+
+
+def semantic_dedup(qdf: DataFrame, k: int = 8,
+                   iterations: int = 2) -> DataFrame:
+    """Embedding-space SEMANTIC dedup: Lloyd k-means over the quantized
+    vectors, then keep each cluster's medoid (closest member, ties to the
+    smaller vec_id) as the cluster's sole survivor — near-duplicate and
+    paraphrase groups collapse to one representative even when no n-gram
+    overlap exists for MinHash/SimHash to catch.
+
+    Returns one row per SURVIVOR: (cluster_id, vec_id, n_collapsed,
+    inertia_units) — n_collapsed is how many members the survivor stands
+    for, inertia_units the cluster's integer within-cluster scatter
+    (a quality signal: tight cluster → safe collapse; loose → review k).
+
+    Scale shape: reuses kmeans_fixed's zero-shuffle assignment and k·dims
+    update shuffle; the medoid pick is ONE more map-side-combined
+    aggregate over the final assignment (min struct (dist, vec_id) per
+    cluster) — no new corpus-sized state, no join. At 100 TB, k grows
+    with corpus diversity; see the module docstring's large-k note
+    (switch assignment to a broadcast join + min_by at k in the
+    thousands). Deterministic end-to-end: integer distances, total
+    tie-breaks, so the survivor set is bit-stable across partitionings
+    and retries — a dedup pass you can re-run idempotently.
+    """
+    asg, _cent = kmeans_fixed(qdf, k=k, iterations=iterations)
+    return (asg.groupBy("cluster_id")
+            .agg(F.min(F.struct("dist_units", "vec_id"))
+                 .getField("vec_id").alias("vec_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_collapsed"),
+                 F.sum("dist_units").cast("bigint")
+                 .alias("inertia_units")))

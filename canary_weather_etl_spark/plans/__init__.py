@@ -28,6 +28,7 @@ from . import r7_queries   # noqa: E402,F401  kmeans/BFS/PPJoin/winsorize/SQL-UD
 from . import tpch          # noqa: E402,F401  classic TPC-H pack (all 22)
 from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalization
 from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / r8 ops
+from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
@@ -58,7 +59,9 @@ _DRIVER_PRIORITY = (
     "q_boolean_retrieval", "q_anomaly_mad", "q_cdc_chunking",
     "q_grid_knn", "q_parameterized_sql", "q_pmi_bigrams",
     "q_shingle_containment", "q_skyline_pareto",
-    # (c) the first 24 of the r3-vintage block (external rows 6 rounds old)
+    # new-in-r9 entries (driver row in their birth round, no new debt)
+    "q_semantic_dedup",
+    # (c) the first 23 of the r3-vintage block (external rows 6 rounds old)
     "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
     "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
     "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
@@ -66,10 +69,11 @@ _DRIVER_PRIORITY = (
     "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
     "q_time_rollup", "q_percentiles", "q_stats_moments",
     "q_data_quality_profile", "q_pivot", "q_gap_fill_calendar",
-    "q_events_funnel", "q_events_cohort_retention",
-    # positions 51+ — the r10 priority head: the remaining 12 r3-vintage
+    "q_events_funnel",
+    # positions 51+ — the r10 priority head: the remaining 13 r3-vintage
     # entries, then the 38 r4-sampled entries (r5/r7/r8-sampled blocks
     # trail, ordered by evidence age)
+    "q_events_cohort_retention",
     "q_zorder_key", "q_global_rank", "q_weather_flatten_om",
     "q_weather_flatten_vc", "q_weather_clean_build",
     "q_weather_upsert_newwins", "q_split_train_val",

@@ -35,11 +35,14 @@ from .registry import load, load_par, register
 # --- fixed-point k-means (Lloyd) ---------------------------------------------
 
 def _kmeans_oracle(k: int = 4, iterations: int = 3,
-                   scale: int = 1_000_000) -> str:
+                   scale: int = 1_000_000,
+                   final_select: str | None = None) -> str:
     """Unrolled-iteration SQL twin of operators.clustering.kmeans_fixed:
     same quantization, same init (vec_id < k), same argmin tie-break
     (dist, cid), same FLOOR(sum/n) centroid update, same empty-cluster
-    carry (LEFT JOIN + COALESCE)."""
+    carry (LEFT JOIN + COALESCE). ``final_select`` swaps the tail query
+    over the exposed CTEs (afin = final assignment with dist, med =
+    per-cluster medoid) — q_semantic_dedup reuses the whole prefix."""
     parts = [f"""
     q AS (
         SELECT vec_id, u.ord AS ord,
@@ -99,14 +102,18 @@ def _kmeans_oracle(k: int = 4, iterations: int = 3,
                                       ORDER BY dist, vec_id) AS rn
             FROM afin) WHERE rn = 1
     )""")
-    return f"""
-    WITH {','.join(parts)}
+    if final_select is None:
+        final_select = """
     SELECT a.cid AS cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(a.dist) AS BIGINT) AS inertia_units,
            MIN(m.medoid_vec_id) AS medoid_vec_id
     FROM afin a JOIN med m ON m.cid = a.cid
     GROUP BY a.cid
+    """
+    return f"""
+    WITH {','.join(parts)}
+    {final_select}
     """
 
 
