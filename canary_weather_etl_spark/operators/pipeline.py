@@ -83,7 +83,19 @@ def curate_corpus(
     dup_pairs = verify_pairs_jaccard(sets, cands,
                                      threshold=near_dup_threshold)
     drop_ids = dup_pairs.select(F.col("b").alias(id_col)).distinct()
-    survivors = exact.join(drop_ids, on=id_col, how="left_anti")
+    # Survivor ids come from the ALREADY-materialized shingle table, and
+    # their text from a semi-join against the RAW scan — never from a
+    # second run of `exact`'s lineage. Two reasons, both measured at the
+    # 1000x decade (SCALE.md r9): (a) the regex-heavy quality/lang gate
+    # is the pipeline's most expensive scan (83 s of the 336 s total at
+    # 1000x) and re-deriving `exact` for the chunk stage ran it twice;
+    # (b) dropDuplicates picks an ARBITRARY survivor per hash group, so
+    # two computations of `exact` may disagree — deriving ids from the
+    # checkpoint pins ONE consistent exact-dedup survivor choice for the
+    # near-dup branch and the chunk stage alike.
+    survivor_ids = (sets.select(F.col("doc").alias(id_col))
+                    .join(drop_ids, on=id_col, how="left_anti"))
+    survivors = docs.join(survivor_ids, on=id_col, how="left_semi")
 
     # 4. stratified source mixing (data-mix weights)
     if mix_fractions:

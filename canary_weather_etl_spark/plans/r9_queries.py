@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import clustering as C
+from ..operators import similarity as S
 from .r7_queries import _kmeans_oracle
 from .registry import load, load_par, register
 
@@ -70,3 +71,127 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(docs, keep.vec_id == docs.doc_id)
             .select("cluster_id", "doc_id", "source",
                     "n_collapsed", "inertia_units"))
+
+
+# ---------------------------------------------------------------------------
+# Observation API: QC metrics harvested on the pipeline's OWN pass
+# ---------------------------------------------------------------------------
+
+def _observe_oracle() -> str:
+    from .llm import _SQL_TOKENS, _sql_lang_id
+    tok = _SQL_TOKENS.format(c="text")
+    q_ok = (f"(len({tok}) >= 20 "
+            f"AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) "
+            f"AS DOUBLE) / len({tok}) <= 12.0 "
+            f"AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) "
+            f"AS DOUBLE) / length(text) <= 0.3)")
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(COUNT(CASE WHEN NOT q_ok THEN 1 END) AS BIGINT)
+               AS quality_fail,
+           CAST(COUNT(CASE WHEN q_ok AND NOT l_ok THEN 1 END) AS BIGINT)
+               AS lang_fail,
+           CAST(COUNT(CASE WHEN q_ok AND l_ok THEN 1 END) AS BIGINT)
+               AS rows_out
+    FROM (SELECT {q_ok} AS q_ok,
+                 {_sql_lang_id()} IN ('en', 'und') AS l_ok
+          FROM documents)
+    """
+
+
+@register(
+    "q_observe_quality_gate",
+    oracle=_observe_oracle(),
+    doc="df.observe() surface: the curation quality/language gate "
+        "(operators/pipeline.observed_quality_gate) with its funnel "
+        "bookkeeping — rows-in, quality failures, language failures, "
+        "rows-out — accumulated ON the filter's own pass and returned as "
+        "the result row. The action is a noop-format write: one full "
+        "scan, zero result movement. At 100 TB this is the difference "
+        "between free per-stage audit metrics and a count() per stage "
+        "that re-executes the lineage. Oracle is the same conditional "
+        "aggregate over the shared SQL twins of quality_ok/lang_id.",
+    tags=("llm", "curation", "observe"),
+)
+def q_observe_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline import observed_quality_gate
+    docs = load_par(spark, sf_dir, "documents")
+    gated, obs = observed_quality_gate(docs)
+    gated.write.format("noop").mode("overwrite").save()
+    m = obs.get  # four bounded driver scalars
+    return spark.createDataFrame(
+        [(int(m["rows_in"]), int(m["quality_fail"]),
+          int(m["lang_fail"]), int(m["rows_out"]))],
+        "rows_in BIGINT, quality_fail BIGINT, lang_fail BIGINT, "
+        "rows_out BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination by embedding cosine (semantic contamination)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_eval_decontamination",
+    oracle="""
+    WITH ev AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id < 5),
+    cand AS (SELECT vec_id, embedding AS v
+             FROM embeddings WHERE vec_id >= 5),
+    expl AS (SELECT qid, vec_id, qv, v,
+                    unnest(generate_series(1, len(v))) AS i
+             FROM ev, cand),
+    dots AS (SELECT qid, vec_id,
+                    SUM(CAST(qv[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS dp,
+                    SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)) AS qq,
+                    SUM(CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)) AS vv
+             FROM expl GROUP BY qid, vec_id),
+    best AS (SELECT vec_id, qid, dp / (SQRT(qq) * SQRT(vv)) AS c,
+                    ROW_NUMBER() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY dp / (SQRT(qq) * SQRT(vv)) DESC, qid) AS rn
+             FROM dots)
+    SELECT d.doc_id, d.source, b.qid AS eval_id,
+           FLOOR(b.c * 1e6 + 0.5) / 1e6 AS cos_sim
+    FROM best b JOIN documents d ON d.doc_id = b.vec_id
+    WHERE b.rn = 1 AND b.c >= 0.30
+    """,
+    doc="Semantic eval-set DECONTAMINATION: flag training documents whose "
+        "embedding is too close (cosine >= 0.30) to ANY held-out eval "
+        "vector (the fixture query set, vec_id < 5) — the embedding-space "
+        "complement of q_contamination_ngrams, catching paraphrased "
+        "leakage that n-gram matching misses. Emits one row per "
+        "contaminated doc with its nearest eval id (ties to the smaller "
+        "id); the clean set is the anti-join. Exact brute-force: 5 eval "
+        "vectors broadcast, candidates stream through the scan once, "
+        "dot/norm folds JVM-side in deterministic element order (the "
+        "q_cosine_pairs_exact arithmetic, so the double threshold "
+        "compare is bit-identical in both engines). At 100 TB the eval "
+        "side stays driver-small and the corpus is never shuffled — the "
+        "max-cos aggregate is map-side combinable on doc_id.",
+    tags=("llm", "similarity", "curation"),
+)
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import round_det
+    emb = load_par(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    ev = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("qid"),
+                  S.as_double("embedding").alias("qv"))
+          .withColumn("qn", S.l2_norm(F.col("qv"))))
+    cand = (emb.filter(F.col("vec_id") >= 5)
+            .select("vec_id", S.as_double("embedding").alias("v"))
+            .withColumn("vn", S.l2_norm(F.col("v"))))
+    scored = (cand.join(F.broadcast(ev), F.lit(True))
+              .select("vec_id", "qid",
+                      (S.dot(F.col("qv"), F.col("v"))
+                       / (F.col("qn") * F.col("vn"))).alias("c")))
+    # max cos per candidate, ties to the SMALLER eval id (max of -qid)
+    best = (scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("c").alias("c"),
+                                (-F.col("qid")).alias("nq"))).alias("b"))
+            .select("vec_id", F.col("b.c").alias("c"),
+                    (-F.col("b.nq")).alias("eval_id")))
+    return (best.filter(F.col("c") >= 0.30)
+            .join(docs, best.vec_id == docs.doc_id)
+            .select("doc_id", "source", "eval_id",
+                    round_det("c", 6).alias("cos_sim")))

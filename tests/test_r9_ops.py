@@ -57,3 +57,46 @@ def test_semantic_dedup_idempotent_on_survivors(spark):
     again = C.semantic_dedup(kept, k=4, iterations=2)
     assert again.count() == 4
     assert sorted(r["n_collapsed"] for r in again.collect()) == [1, 1, 1, 1]
+
+
+def test_observe_quality_gate_funnel_identity(spark):
+    """The observed funnel partitions rows-in exactly, and rows_out
+    equals the gated frame's own count — the metrics describe the very
+    pass that produced the output, not a second scan's view."""
+    from canary_weather_etl_spark.operators.pipeline import (
+        observed_quality_gate)
+    sf = "/root/testdata/sf0.001"
+    docs = load_par(spark, sf, "documents")
+    gated, obs = observed_quality_gate(docs)
+    n_out = gated.count()
+    m = obs.get
+    assert m["rows_in"] == docs.count()
+    assert m["rows_out"] == n_out
+    assert m["rows_in"] == m["quality_fail"] + m["lang_fail"] + m["rows_out"]
+
+
+def test_eval_decontamination_matches_numpy(spark):
+    """Flagged set == numpy brute-force: exactly the candidates whose max
+    cosine vs the 5 eval vectors clears 0.30, each with the argmax eval id
+    (ties to the smaller id)."""
+    import numpy as np
+
+    from canary_weather_etl_spark.plans.registry import REGISTRY
+    sf = "/root/testdata/sf0.001"
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in load_par(spark, sf, "embeddings").collect()}
+    ev = {i: v for i, v in emb.items() if i < 5}
+    expected = {}
+    for vid, v in emb.items():
+        if vid < 5:
+            continue
+        best = max((float(np.dot(q, v)
+                          / (np.linalg.norm(q) * np.linalg.norm(v))), -qid)
+                   for qid, q in ev.items())
+        if best[0] >= 0.30:
+            expected[vid] = -best[1]
+
+    got = {r["doc_id"]: r["eval_id"] for r in
+           REGISTRY["q_eval_decontamination"].fn(spark, sf).collect()}
+    assert got == expected
+    assert expected  # fixture actually exercises the flagged path
