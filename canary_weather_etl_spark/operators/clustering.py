@@ -181,3 +181,46 @@ def semantic_dedup(qdf: DataFrame, k: int = 8,
                  F.count(F.lit(1)).cast("bigint").alias("n_collapsed"),
                  F.sum("dist_units").cast("bigint")
                  .alias("inertia_units")))
+
+
+def semantic_dedup_threshold(qdf: DataFrame, emb: DataFrame,
+                             k: int = 8, iterations: int = 2,
+                             threshold: float = 0.40,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style thresholded semantic dedup (Abbas et al. 2023,
+    public method): k-means clusters bound the quadratic, then WITHIN
+    each cluster every pair with cosine >= ``threshold`` drops its
+    higher id — the same drop-b-side policy as the LSH near-dup stage
+    (operators/pipeline.curate_corpus), so the two dedup families share
+    one survivor rule. Gentler than ``semantic_dedup`` (which keeps ONE
+    medoid per cluster): only genuinely-close neighbors collapse.
+
+    Returns survivors: (cluster_id, vec_id).
+
+    Scale shape — the published SemDeDup argument, Spark-first: the
+    corpus-wide O(n²) cosine join becomes k cluster-local joins via ONE
+    equi-join on cluster_id (candidates = Σ C(|cluster|,2), controlled
+    by k); assignment itself is kmeans_fixed's zero-shuffle fold. Raise
+    k as the corpus grows to keep clusters bounded; the equi-join
+    shuffles (id, cluster, vector) rows once on cluster_id.
+    """
+    from .similarity import as_double, dot, l2_norm
+
+    asg, _cent = kmeans_fixed(qdf, k=k, iterations=iterations)
+    ve = (asg.select("vec_id", "cluster_id")
+          .join(emb.select(F.col(id_col).alias("vec_id"),
+                           as_double(vec_col).alias("v")), "vec_id")
+          .withColumn("n", l2_norm(F.col("v"))))
+    l = ve.select(F.col("vec_id").alias("a"), F.col("cluster_id"),
+                  F.col("v").alias("va"), F.col("n").alias("na"))
+    r = ve.select(F.col("vec_id").alias("b"),
+                  F.col("cluster_id").alias("cid_b"),
+                  F.col("v").alias("vb"), F.col("n").alias("nb"))
+    drops = (l.join(r, (F.col("cluster_id") == F.col("cid_b"))
+                    & (F.col("a") < F.col("b")))
+             .where((dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))) >= threshold)
+             .select("b").distinct())
+    return (asg.join(drops, asg.vec_id == drops.b, "left_anti")
+            .select("cluster_id", "vec_id"))

@@ -195,3 +195,58 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(docs, best.vec_id == docs.doc_id)
             .select("doc_id", "source", "eval_id",
                     round_det("c", 6).alias("cos_sim")))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style thresholded semantic dedup (clusters bound the quadratic)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THR_FINAL = """
+    , ve AS (SELECT a.vec_id, a.cid, e.embedding AS v
+             FROM afin a JOIN embeddings e ON e.vec_id = a.vec_id),
+    prs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                   l.v AS va, r.v AS vb
+            FROM ve l JOIN ve r ON l.cid = r.cid AND l.vec_id < r.vec_id),
+    ex AS (SELECT a, b, va, vb, unnest(generate_series(1, len(va))) AS i
+           FROM prs),
+    dots AS (SELECT a, b,
+                    SUM(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS dp,
+                    SUM(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)) AS aa,
+                    SUM(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)) AS bb
+             FROM ex GROUP BY a, b),
+    drops AS (SELECT DISTINCT b FROM dots
+              WHERE dp / (SQRT(aa) * SQRT(bb)) >= 0.40)
+    SELECT f.cid AS cluster_id, d.doc_id, d.source
+    FROM afin f
+    JOIN documents d ON d.doc_id = f.vec_id
+    WHERE f.vec_id NOT IN (SELECT b FROM drops)
+"""
+
+
+@register(
+    "q_semdedup_threshold",
+    oracle=_kmeans_oracle(k=8, iterations=2,
+                          final_select=_SEMDEDUP_THR_FINAL),
+    doc="SemDeDup-style THRESHOLDED semantic dedup (Abbas et al. 2023, "
+        "public method; operators/clustering.semantic_dedup_threshold): "
+        "k-means clusters bound the quadratic, then within each cluster "
+        "every pair with cosine >= 0.40 drops its higher id — the same "
+        "drop-b-side survivor rule as the LSH near-dup stage, so both "
+        "dedup families compose consistently. Gentler than "
+        "q_semantic_dedup's one-medoid-per-cluster. Oracle reuses the "
+        "unrolled k-means prefix + a within-cluster pair join + NOT "
+        "EXISTS tail — bit-exact (the cosine folds run in deterministic "
+        "element order in both engines). Scale: the corpus-wide O(n^2) "
+        "cosine join becomes ONE equi-join on cluster_id with "
+        "Sigma C(|cluster|,2) candidates, controlled by k — the "
+        "published SemDeDup argument, Spark-first.",
+    tags=("llm", "dedup", "clustering", "similarity"),
+)
+def q_semdedup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_par(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
+    surv = C.semantic_dedup_threshold(qdf, emb, k=8, iterations=2,
+                                      threshold=0.40)
+    return (surv.join(docs, surv.vec_id == docs.doc_id)
+            .select("cluster_id", "doc_id", "source"))
