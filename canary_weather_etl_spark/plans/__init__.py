@@ -61,17 +61,18 @@ _DRIVER_PRIORITY = (
     "q_shingle_containment", "q_skyline_pareto",
     # new-in-r9 entries (driver row in their birth round, no new debt)
     "q_semantic_dedup", "q_observe_quality_gate", "q_eval_decontamination",
-    # (c) the first 21 of the r3-vintage block (external rows 6 rounds old)
+    "q_semdedup_threshold",
+    # (c) the first 20 of the r3-vintage block (external rows 6 rounds old)
     "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
     "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
     "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
     "q_lm_quality_score", "q_arrays_zip_explode", "q_sql_facade",
     "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
     "q_time_rollup", "q_percentiles", "q_stats_moments",
-    "q_data_quality_profile",
-    # positions 51+ — the r10 priority head: the remaining 15 r3-vintage
+    # positions 51+ — the r10 priority head: the remaining 16 r3-vintage
     # entries, then the 38 r4-sampled entries (r5/r7/r8-sampled blocks
     # trail, ordered by evidence age)
+    "q_data_quality_profile",
     "q_pivot", "q_gap_fill_calendar",
     "q_events_funnel", "q_events_cohort_retention",
     "q_zorder_key", "q_global_rank", "q_weather_flatten_om",
