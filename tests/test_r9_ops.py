@@ -100,3 +100,46 @@ def test_eval_decontamination_matches_numpy(spark):
            REGISTRY["q_eval_decontamination"].fn(spark, sf).collect()}
     assert got == expected
     assert expected  # fixture actually exercises the flagged path
+
+
+def test_semdedup_threshold_matches_numpy(spark):
+    """Survivor set == numpy brute-force replay of the drop-b-side rule:
+    a doc is dropped iff SOME smaller-id doc in its k-means cluster has
+    cosine >= tau with it; consequently survivors are pairwise < tau
+    within every cluster."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    emb_df = load_par(spark, sf, "embeddings")
+    qdf = C.quantize_vectors(emb_df).localCheckpoint(eager=True)
+    k, iters, tau = 8, 2, 0.40
+    asg, _ = C.kmeans_fixed(qdf, k=k, iterations=iters)
+    cluster = {r["vec_id"]: r["cluster_id"] for r in
+               asg.select("vec_id", "cluster_id").collect()}
+    vec = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb_df.collect()}
+
+    def cos(a, b):
+        return float(np.dot(vec[a], vec[b])
+                     / (np.linalg.norm(vec[a]) * np.linalg.norm(vec[b])))
+
+    expected = set()
+    for v in sorted(vec):
+        dropped = any(cos(a, v) >= tau for a in sorted(vec)
+                      if a < v and cluster[a] == cluster[v])
+        if not dropped:
+            expected.add(v)
+
+    surv = C.semantic_dedup_threshold(qdf, emb_df, k=k, iterations=iters,
+                                      threshold=tau)
+    got = {r["vec_id"] for r in surv.collect()}
+    assert got == expected
+    assert len(got) < len(vec)  # fixture actually drops something
+    # survivors pairwise below tau within each cluster
+    by_c = {}
+    for v in got:
+        by_c.setdefault(cluster[v], []).append(v)
+    for vs in by_c.values():
+        for i, a in enumerate(sorted(vs)):
+            for b in sorted(vs)[i + 1:]:
+                assert cos(a, b) < tau
