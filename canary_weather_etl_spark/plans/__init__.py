@@ -37,14 +37,15 @@ from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 # directive: front-load (a) the 15 r8-authored entries that have never had
 # a driver row (each green in the judge's own full 250-query sweep at r8);
 # (b) the 11 r6-era entries whose round artifacts were never committed —
-# the last never-driver-sampled entries in the registry; (c) the first 24
-# of the 36-entry r3-vintage block, the oldest external rows in the tree.
-# After this round no registry entry lacks a driver row and nothing is
-# older than r4 evidence. Positions 51+ as enumerated here: the remaining
-# 12 r3-vintage entries, then the 38 r4-sampled entries; everything
-# unlisted (r5/r7/r8-sampled blocks, all with fresh rows) trails in
-# registration order. r10 rotation plan BY EVIDENCE AGE: 12 r3-tail +
-# 38 r4-sampled fill the 50.
+# the last never-driver-sampled entries in the registry; then the 5
+# new-in-r9 queries (driver row in their birth round, no new debt);
+# (c) the first 19 of the 36-entry r3-vintage block, the oldest external
+# rows in the tree. After this round no registry entry lacks a driver
+# row and nothing is older than r4 evidence. Positions 51+ as enumerated
+# here: the remaining 17 r3-vintage entries, then the 38 r4-sampled
+# entries; everything unlisted (r5/r7/r8-sampled blocks, all with fresh
+# rows) trails in registration order. r10 rotation plan BY EVIDENCE AGE:
+# 17 r3-tail + 33 oldest r4-sampled fill the 50.
 _DRIVER_PRIORITY = (
     # (a) the 15 r8-authored, never-driver-sampled entries
     "q_bpe_encode_ids", "q_pq_adc_topk", "q_dsir_importance",
@@ -61,15 +62,15 @@ _DRIVER_PRIORITY = (
     "q_shingle_containment", "q_skyline_pareto",
     # new-in-r9 entries (driver row in their birth round, no new debt)
     "q_semantic_dedup", "q_observe_quality_gate", "q_eval_decontamination",
-    "q_semdedup_threshold",
-    # (c) the first 20 of the r3-vintage block (external rows 6 rounds old)
+    "q_semdedup_threshold", "q_semdedup_auto_k",
+    # (c) the first 19 of the r3-vintage block (external rows 6 rounds old)
     "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
     "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
     "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
     "q_lm_quality_score", "q_arrays_zip_explode", "q_sql_facade",
     "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
     "q_time_rollup", "q_percentiles", "q_stats_moments",
-    # positions 51+ — the r10 priority head: the remaining 16 r3-vintage
+    # positions 51+ — the r10 priority head: the remaining 17 r3-vintage
     # entries, then the 38 r4-sampled entries (r5/r7/r8-sampled blocks
     # trail, ordered by evidence age)
     "q_data_quality_profile",

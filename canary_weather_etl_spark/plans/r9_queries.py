@@ -250,3 +250,35 @@ def q_semdedup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.40)
     return (surv.join(docs, surv.vec_id == docs.doc_id)
             .select("cluster_id", "doc_id", "source"))
+
+
+@register(
+    "q_semdedup_auto_k",
+    oracle=_kmeans_oracle(k=8, iterations=2,
+                          final_select=_SEMDEDUP_THR_FINAL),
+    doc="q_semdedup_threshold with ENGINE-CHOSEN k (operators/clustering."
+        "semantic_dedup_auto): k = max(8, n // 64) keeps mean cluster "
+        "size ~constant so the within-cluster PAIR volume is ~n*32 — "
+        "linear — where the fixed-k=8 variant degenerates quadratically "
+        "(measured: fixed-k aborted after 45 min at 100x, SCALE.md r9). "
+        "The assignment path is regime-chosen too: literal-centroid "
+        "codegen to k<=50, broadcast-join + min-struct beyond (constant "
+        "plan size; the two paths are pytest-pinned bit-equal). Honest "
+        "limit, measured: with k prop. to n the assignment itself does "
+        "n*k folds per round, so exact threshold dedup stays "
+        "superlinear — the linear production paths are q_cosine_near_dup "
+        "(hyperplane-LSH candidates + exact verify) and "
+        "q_pq_semantic_buckets' coarse pass; this operator is the "
+        "mid-scale exact tool and the verifier behind them. At sf0.01 "
+        "(n=500) the rule resolves to k=8, so the oracle is the same "
+        "unrolled prefix as q_semdedup_threshold.",
+    tags=("llm", "dedup", "clustering", "similarity"),
+)
+def q_semdedup_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_par(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
+    surv = C.semantic_dedup_auto(qdf, emb, target_cluster=64,
+                                 iterations=2, threshold=0.40)
+    return (surv.join(docs, surv.vec_id == docs.doc_id)
+            .select("cluster_id", "doc_id", "source"))

@@ -143,3 +143,61 @@ def test_semdedup_threshold_matches_numpy(spark):
         for i, a in enumerate(sorted(vs)):
             for b in sorted(vs)[i + 1:]:
                 assert cos(a, b) < tau
+
+
+def test_kmeans_joined_assignment_bit_equal(spark):
+    """The broadcast-join assignment path (large-k regime) is bit-equal
+    to the literal-centroid codegen path on shared k: same assignments,
+    same distances, same final centroids."""
+    sf = "/root/testdata/sf0.001"
+    qdf = C.quantize_vectors(load_par(spark, sf, "embeddings")) \
+        .localCheckpoint(eager=True)
+    k, iters = 20, 2
+    a1, c1 = C.kmeans_fixed(qdf, k=k, iterations=iters)
+    a2, c2 = C.kmeans_fixed_joined(qdf, k=k, iterations=iters)
+    assert c1 == c2
+    r1 = {(r["vec_id"], r["cluster_id"], r["dist_units"])
+          for r in a1.collect()}
+    r2 = {(r["vec_id"], r["cluster_id"], r["dist_units"])
+          for r in a2.collect()}
+    assert r1 == r2
+
+
+def test_semdedup_auto_k_regimes(spark):
+    """The auto-k chooser: target_cluster=64 on the 200-vector fixture
+    resolves to k=8 (literal path) and equals semantic_dedup_threshold
+    at k=8; target_cluster=2 forces k=100 (join path) and still returns
+    a valid survivor partition."""
+    sf = "/root/testdata/sf0.001"
+    emb = load_par(spark, sf, "embeddings")
+    qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
+    n = qdf.count()
+
+    auto = {r["vec_id"] for r in
+            C.semantic_dedup_auto(qdf, emb, target_cluster=64,
+                                  iterations=2).collect()}
+    fixed = {r["vec_id"] for r in
+             C.semantic_dedup_threshold(qdf, emb, k=max(8, n // 64),
+                                        iterations=2).collect()}
+    assert auto == fixed  # same k -> same result, chooser adds nothing
+
+    # force the JOIN-assignment regime (k = n//2 > 50) and replay the
+    # drop rule in numpy against that clustering — exact, end-to-end
+    import numpy as np
+    big_k = C.semantic_dedup_auto(qdf, emb, target_cluster=2,
+                                  iterations=2).collect()
+    ids = [r["vec_id"] for r in big_k]
+    assert len(ids) == len(set(ids))  # one row per survivor
+    asg, _ = C.kmeans_fixed_joined(qdf, k=n // 2, iterations=2)
+    cluster = {r["vec_id"]: r["cluster_id"] for r in asg.collect()}
+    vec = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in emb.collect()}
+
+    def cos(a, b):
+        return float(np.dot(vec[a], vec[b])
+                     / (np.linalg.norm(vec[a]) * np.linalg.norm(vec[b])))
+
+    expected = {v for v in vec
+                if not any(cluster[a] == cluster[v] and cos(a, v) >= 0.40
+                           for a in vec if a < v)}
+    assert set(ids) == expected
