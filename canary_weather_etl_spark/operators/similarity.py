@@ -204,6 +204,79 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     return pairs
 
 
+def planted_hyperplanes(probes: int, bits: int, dim: int,
+                        tag: str = "hyperplane") -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane tensor [probe][bit][dim], derived from
+    sha256 parity of the coordinates — NOT Spark's xxhash64, so an oracle
+    engine can replay the exact same planes as literals. Pure Python,
+    computed once at plan-build time (probes·bits·dim small constants)."""
+    import hashlib
+
+    def sign(p: int, j: int, i: int) -> float:
+        h = hashlib.sha256(f"{tag}:{p}:{j}:{i}".encode()).digest()
+        return 1.0 if h[0] % 2 == 0 else -1.0
+
+    return [[[sign(p, j, i) for i in range(dim)]
+             for j in range(bits)] for p in range(probes)]
+
+
+def hyperplane_signature_planted(vec: F.Column,
+                                 plane_rows: list[list[float]]) -> F.Column:
+    """Like `hyperplane_signature`, but the hyperplanes are explicit ±1
+    literal arrays (from `planted_hyperplanes`) instead of xxhash64-derived —
+    the signature becomes engine-portable: any SQL engine given the same
+    literals computes the same buckets, so LSH candidate generation itself
+    can be differentially tested (r9 verdict #4)."""
+    sig = F.lit(0)
+    for j, row in enumerate(plane_rows):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in row]),
+                       lambda x, r: x * r),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig
+
+
+def cosine_near_dup_pairs_planted(embeddings: DataFrame,
+                                  threshold: float = 0.95,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  planes: list[list[list[float]]] | None = None,
+                                  dim: int = 64, bits: int = 10,
+                                  probes: int = 4,
+                                  round_to: int = 6) -> DataFrame:
+    """`cosine_near_dup_pairs` with PLANTED literal hyperplanes and a
+    deterministically rounded score — the fully-oracle-able variant: bucket
+    assignment, candidate set, and verified cosines are all replayable in
+    plain SQL from the same literals. Same 100 TB shape (banded equi
+    self-join on (probe, bucket), exact rescoring on candidates only)."""
+    if planes is None:
+        planes = planted_hyperplanes(probes, bits, dim)
+    from ..functions import round_det
+
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             as_double(vec_col).alias("v"))
+    bucketed = base.select(
+        "*",
+        F.posexplode(F.array(*[
+            hyperplane_signature_planted(F.col("v"), plane_rows)
+            for plane_rows in planes
+        ])).alias("probe", "bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(r, (F.col("l.probe") == F.col("r.probe"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        .distinct()
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("raw"))
+        .filter(F.col("raw") >= threshold)
+        .select("a", "b", round_det("raw", round_to).alias("cos_sim"))
+    )
+
+
 def train_ivf_quantizer(embeddings: DataFrame, n_lists: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         seed: int = 42) -> DataFrame:

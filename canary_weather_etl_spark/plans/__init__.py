@@ -33,46 +33,27 @@ from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-9 rotation, per the r8 verdict's #1
-# directive: front-load (a) the 15 r8-authored entries that have never had
-# a driver row (each green in the judge's own full 250-query sweep at r8);
-# (b) the 11 r6-era entries whose round artifacts were never committed —
-# the last never-driver-sampled entries in the registry; then the 5
-# new-in-r9 queries (driver row in their birth round, no new debt);
-# (c) the first 19 of the 36-entry r3-vintage block, the oldest external
-# rows in the tree. After this round no registry entry lacks a driver
-# row and nothing is older than r4 evidence. Positions 51+ as enumerated
-# here: the remaining 17 r3-vintage entries, then the 38 r4-sampled
-# entries; everything unlisted (r5/r7/r8-sampled blocks, all with fresh
-# rows) trails in registration order. r10 rotation plan BY EVIDENCE AGE:
-# 17 r3-tail + 33 oldest r4-sampled fill the 50.
+# hard external correctness row. Round-10 rotation, per the r9 verdict's
+# #1/#2/#4 directives: position 1 is `q_bpe_encode_ids` — the r9 sample's
+# one red row (the driver's pandas canonicalizer cannot hash its former
+# array<bigint> column; the result is now flattened to a space-joined
+# string on both engine and oracle sides) — so CORRECTNESS_r10 proves the
+# fix. Position 2 is `q_cosine_near_dup`, newly converted from rows-only
+# to a full SQL oracle (verdict #4), so its first hash row lands in the
+# same round. Then BY EVIDENCE AGE: the 17 r3-vintage entries whose
+# driver rows are 7 rounds old, then the 31 oldest r4-sampled entries —
+# filling the 50. Positions 51+: the remaining 7 r4-sampled entries
+# (r11's rotation head), then the r5/r7-sampled blocks in evidence-age
+# order; everything unlisted (r8/r9-fresh rows) trails in registration
+# order. After r10 nothing in the registry carries a driver row older
+# than r4, and r11's 7-entry r4 tail + the r5 block cycles the whole
+# registry within ~5 rounds, as planned in r9.
 _DRIVER_PRIORITY = (
-    # (a) the 15 r8-authored, never-driver-sampled entries
-    "q_bpe_encode_ids", "q_pq_adc_topk", "q_dsir_importance",
-    "q_setjoin_auto_regime", "q_stream_upsert_readback",
-    "q_capped_balance", "q_inventory_clamped",
-    "q_maxsim_late_interaction", "q_hybrid_rrf",
-    "q_tokenizer_fertility", "q_epoch_repeat_mix", "q_temperature_mix",
-    "q_ann_filtered_topk", "q_pq_semantic_buckets",
-    "q_bpe_decode_roundtrip",
-    # (b) the 11 r6-era never-driver-sampled entries
-    "q_kcore_peel", "q_nearest_view", "q_manifest_sink_read",
-    "q_boolean_retrieval", "q_anomaly_mad", "q_cdc_chunking",
-    "q_grid_knn", "q_parameterized_sql", "q_pmi_bigrams",
-    "q_shingle_containment", "q_skyline_pareto",
-    # new-in-r9 entries (driver row in their birth round, no new debt)
-    "q_semantic_dedup", "q_observe_quality_gate", "q_eval_decontamination",
-    "q_semdedup_threshold", "q_semdedup_auto_k",
-    # (c) the first 19 of the r3-vintage block (external rows 6 rounds old)
-    "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
-    "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
-    "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
-    "q_lm_quality_score", "q_arrays_zip_explode", "q_sql_facade",
-    "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
-    "q_time_rollup", "q_percentiles", "q_stats_moments",
-    # positions 51+ — the r10 priority head: the remaining 17 r3-vintage
-    # entries, then the 38 r4-sampled entries (r5/r7/r8-sampled blocks
-    # trail, ordered by evidence age)
+    # the r9 red row, re-headed so the flatten fix gets its green row
+    "q_bpe_encode_ids",
+    # newly SQL-oracled (was rows-only): first hash row this round
+    "q_cosine_near_dup",
+    # the 17 r3-vintage entries — oldest driver rows in the tree
     "q_data_quality_profile",
     "q_pivot", "q_gap_fill_calendar",
     "q_events_funnel", "q_events_cohort_retention",
@@ -81,6 +62,7 @@ _DRIVER_PRIORITY = (
     "q_weather_upsert_newwins", "q_split_train_val",
     "q_domain_mix_weights", "q_vocab_coverage", "q_contamination_ngrams",
     "q_csv_roundtrip", "q_jsonl_roundtrip",
+    # the 31 oldest r4-sampled entries
     "q_join_broadcast_dims", "q_join_left_anti",
     "q_join_left_semi", "q_join_left_outer", "q_join_full_outer",
     "q_cross_join", "q_union_by_name", "q_except_all",
@@ -91,7 +73,10 @@ _DRIVER_PRIORITY = (
     "q_multimodal_embed_topk", "q_dedup_embedding_clusters",
     "q_random_projection", "q_array_composite", "q_events_scalar_composite",
     "q_unpivot_bool_profile", "q_variant_json", "q_merge_intervals",
-    "q_asof_join_staleness", "q_approx_percentile", "q_sessionize",
+    "q_asof_join_staleness", "q_approx_percentile",
+    # positions 51+ — the r11 rotation head: the remaining 7 r4-sampled
+    # entries, then the r5/r7-sampled blocks by evidence age
+    "q_sessionize",
     "q_partition_stats", "q_histogram", "q_string_date_hash_composite",
     "q_api_datasource_scan", "q_orc_roundtrip", "q_stream_restart_dedup",
     # r7-sampled entries with fresh CORRECTNESS_r07 rows

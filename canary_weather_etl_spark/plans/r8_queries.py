@@ -104,7 +104,12 @@ _BPE_IDS_ORACLE = _BPE_ENC_PREFIX + """,
         FROM wpos w JOIN wids wi ON wi.word = w.word
         GROUP BY w.doc_id)
     SELECT d.doc_id,
-           COALESCE(di.tids, CAST([] AS BIGINT[])) AS token_ids,
+           -- space-joined id STRING, not BIGINT[]: the external driver's
+           -- pandas canonicalizer sorts result columns and cannot hash
+           -- list cells (the r9 red row) — flatten on BOTH sides.
+           -- DuckDB's array_to_string of an EMPTY list is NULL, so the
+           -- empty-document case needs the outer COALESCE to ''.
+           COALESCE(array_to_string(di.tids, ' '), '') AS token_ids,
            CAST(COALESCE(len(di.tids), 0) AS BIGINT) AS n_tokens
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN docids di USING (doc_id)
@@ -126,13 +131,23 @@ _BPE_IDS_ORACLE = _BPE_ENC_PREFIX + """,
         "the merges as leftmost-replace-to-fixpoint over space-joined "
         "symbols inside one recursive CTE — provably the same greedy "
         "non-overlapping scan as the engine's JVM fold (and pinned "
-        "against a from-scratch Python encoder in tests).",
+        "against a from-scratch Python encoder in tests). The registry "
+        "RESULT flattens the id array to a space-joined string: the "
+        "driver's pandas canonicalizer cannot hash list cells, and the "
+        "registry contract (test_registry_contract) forbids top-level "
+        "complex result columns; the operator itself still returns the "
+        "real array<bigint> artifact.",
     tags=("llm", "tokenizer"), bench=True,
 )
 def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_encode_ids
     docs = load_par(spark, sf_dir, "documents")
-    return bpe_encode_ids(docs, _BPE_MERGES, _BPE_VOCAB)
+    ids = bpe_encode_ids(docs, _BPE_MERGES, _BPE_VOCAB)
+    return ids.select(
+        "doc_id",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ")
+        .alias("token_ids"),
+        "n_tokens")
 
 
 # ---------------------------------------------------------------------------
