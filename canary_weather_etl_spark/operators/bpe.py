@@ -255,18 +255,33 @@ def bpe_decode_expr(vocab: dict[str, int], ids_col: str = "token_ids",
     the encoder's UNK sentinel: (t+1)=0 would make element_at throw at
     runtime, and INVALID_INDEX_OF_ZERO fires even under ``try_element_at``
     (measured on Spark 4.1: index 0 is *invalid*, not "missing"), so the
-    sentinel takes an explicit lazy WHEN guard. Out-of-vocab input thus
-    degrades to a VISIBLE ``unk`` marker — a detectable roundtrip
-    mismatch, never a crashed query; ``try_element_at`` still covers
-    positive ids beyond the vocab."""
+    sentinel takes an explicit lazy WHEN guard. Any id outside
+    [0, len(vocab)) — negative sentinels, beyond-vocab ids, and ids past
+    int32 whose (t+1) cast would THROW under ANSI mode (ADVICE r9) — is
+    caught by the same WHEN before the cast is ever evaluated, so
+    out-of-vocab input degrades to a VISIBLE ``unk`` marker — a
+    detectable roundtrip mismatch, never a crashed query.
+
+    Build-time precondition: ``vocab`` ids must be dense 0..len-1 (the
+    inverse lookup is a positional literal array); a gapped or
+    duplicated-id vocab raises here with the offending ids, not a
+    KeyError mid-comprehension."""
     inv = {i: s for s, i in vocab.items()}
+    if sorted(inv) != list(range(len(vocab))):
+        bad = sorted(set(inv) ^ set(range(len(vocab))))[:10]
+        raise ValueError(
+            f"bpe_decode_expr requires dense token ids 0..{len(vocab) - 1} "
+            f"with no duplicates; got {len(inv)} distinct ids over "
+            f"{len(vocab)} symbols (first gaps/extras: {bad})")
     sym_arr = F.array(*[F.lit(inv[i]) for i in range(len(inv))])
+    n = len(inv)
     return F.array_join(
         F.filter(
             F.split(
                 F.array_join(
                     F.transform(ids_col,
-                                lambda t: F.when(t < 0, F.lit(unk))
+                                lambda t: F.when((t < 0) | (t >= n),
+                                                 F.lit(unk))
                                 .otherwise(F.coalesce(
                                     F.try_element_at(
                                         sym_arr, (t + 1).cast("int")),

@@ -211,10 +211,13 @@ def _within_cluster_drop_survivors(asg, emb, threshold: float,
 
 
 def semantic_dedup_threshold(qdf: DataFrame, emb: DataFrame,
-                             k: int = 8, iterations: int = 2,
+                             k: int | None = None, iterations: int = 2,
                              threshold: float = 0.40,
+                             target_cluster: int = 64,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             allow_fixed_k_quadratic: bool = False
+                             ) -> DataFrame:
     """SemDeDup-style thresholded semantic dedup (Abbas et al. 2023,
     public method): k-means clusters bound the quadratic, then WITHIN
     each cluster every pair with cosine >= ``threshold`` drops its
@@ -225,13 +228,37 @@ def semantic_dedup_threshold(qdf: DataFrame, emb: DataFrame,
 
     Returns survivors: (cluster_id, vec_id).
 
+    SAFE BY DEFAULT (r9 verdict #2 → r10): ``k=None`` routes through
+    the ENGINE-CHOSEN regime (``semantic_dedup_auto``) — k scales with
+    corpus size so mean cluster size stays ~``target_cluster`` and the
+    within-cluster pair join stays ~n·target/2. A FIXED small k is the
+    measured quadratic trap (cluster size grows with corpus: k=8 made
+    the pair join n²/8 and ABORTED at 45 min at 100x, SCALE.md r9), so
+    passing an explicit ``k`` now requires the caller to also pass
+    ``allow_fixed_k_quadratic=True`` — the same engine-decides-regimes
+    discipline as the r8 set-join chooser (dedup.set_similarity_join's
+    candidate probe). The linear 100 TB paths remain hyperplane-LSH
+    (similarity.cosine_near_dup_pairs) and PQ coarse buckets.
+
     Scale shape — the published SemDeDup argument, Spark-first: the
     corpus-wide O(n²) cosine join becomes k cluster-local joins via ONE
     equi-join on cluster_id (candidates = Σ C(|cluster|,2), controlled
-    by k); assignment itself is kmeans_fixed's zero-shuffle fold. Raise
-    k as the corpus grows to keep clusters bounded; the equi-join
-    shuffles (id, cluster, vector) rows once on cluster_id.
+    by k); assignment is the regime-chosen literal-fold / broadcast-join
+    path; the equi-join shuffles (id, cluster, vector) rows once on
+    cluster_id.
     """
+    if k is None:
+        return semantic_dedup_auto(qdf, emb, target_cluster=target_cluster,
+                                   iterations=iterations, threshold=threshold,
+                                   id_col=id_col, vec_col=vec_col)
+    if not allow_fixed_k_quadratic:
+        raise ValueError(
+            "semantic_dedup_threshold with a FIXED k makes the "
+            "within-cluster pair join ~n^2/k — measured ABORT at 45 min "
+            "at 100x with k=8 (SCALE.md r9). Omit k to let the engine "
+            "choose (k = max(8, n // target_cluster), pair volume "
+            "~n*target/2), or pass allow_fixed_k_quadratic=True if the "
+            "corpus is genuinely small/bounded.")
     asg, _cent = kmeans_fixed(qdf, k=k, iterations=iterations)
     return _within_cluster_drop_survivors(asg, emb, threshold,
                                           id_col, vec_col)

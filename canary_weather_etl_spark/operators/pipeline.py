@@ -65,6 +65,16 @@ def curate_corpus(
 
     Near-dup policy: within each verified near-dup pair, the higher id is
     dropped (keep-first). Exact dups collapse on the 64-bit content hash.
+
+    PRECONDITION: ``id_col`` must be UNIQUE in ``docs`` (ADVICE r9). The
+    chunk stage rebuilds survivor text by semi-joining the RAW scan on
+    checkpoint-derived survivor ids (the r9 fix that stopped the regex
+    gate running twice); with a duplicated id carrying DIFFERENT text,
+    that semi-join would readmit every copy even though the
+    gate/exact-dedup lineage excluded some. Dedup upstream on your real
+    key before calling — a defensive dropDuplicates(id) here would pick
+    an arbitrary copy and silently reintroduce exactly the
+    survivor-nondeterminism class this pipeline was fixed to remove.
     """
     # 1. quality + language gate — narrow filters, pushed onto the scan
     gated = (

@@ -201,6 +201,21 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup-style thresholded semantic dedup (clusters bound the quadratic)
 # ---------------------------------------------------------------------------
 
+def _assert_auto_k_is_8(emb: DataFrame, qname: str) -> None:
+    """Both semdedup registry entries plant an UNROLLED k=8 oracle, valid
+    only while the auto chooser's k = max(8, n // 64) resolves to 8
+    (n <= 576). The fixture is 500 rows at sf0.01; if the harness ever
+    runs these at a larger SF the oracle would silently diverge — fail
+    LOUDLY as a setup error instead (ADVICE r9)."""
+    n = emb.count()  # bounded driver scalar, mirrors the chooser's probe
+    if n > 576:
+        raise RuntimeError(
+            f"{qname}: fixture has n={n} embeddings, so the engine-chosen "
+            "k = max(8, n // 64) > 8 and the planted k=8 oracle no longer "
+            "describes the query — re-derive the oracle k from the "
+            "fixture size before running at this scale factor")
+
+
 _SEMDEDUP_THR_FINAL = """
     , ve AS (SELECT a.vec_id, a.cid, e.embedding AS v
              FROM afin a JOIN embeddings e ON e.vec_id = a.vec_id),
@@ -239,14 +254,22 @@ _SEMDEDUP_THR_FINAL = """
         "element order in both engines). Scale: the corpus-wide O(n^2) "
         "cosine join becomes ONE equi-join on cluster_id with "
         "Sigma C(|cluster|,2) candidates, controlled by k — the "
-        "published SemDeDup argument, Spark-first.",
+        "published SemDeDup argument, Spark-first. r10 (r9 verdict #2): "
+        "the DEFAULT path is now the engine-chosen-k regime — this entry "
+        "calls the operator with NO k, so the registered query can no "
+        "longer be the measured 45-min-abort fixed-k path (explicit k "
+        "requires allow_fixed_k_quadratic=True). At sf0.01 (n=500) the "
+        "chooser resolves to k=8, so the planted oracle is unchanged; a "
+        "loud in-query guard fails as a SETUP error if the fixture ever "
+        "outgrows the k=8 regime (n > 576).",
     tags=("llm", "dedup", "clustering", "similarity"),
 )
 def q_semdedup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_par(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
+    _assert_auto_k_is_8(emb, "q_semdedup_threshold")
     qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
-    surv = C.semantic_dedup_threshold(qdf, emb, k=8, iterations=2,
+    surv = C.semantic_dedup_threshold(qdf, emb, iterations=2,
                                       threshold=0.40)
     return (surv.join(docs, surv.vec_id == docs.doc_id)
             .select("cluster_id", "doc_id", "source"))
@@ -271,12 +294,14 @@ def q_semdedup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_pq_semantic_buckets' coarse pass; this operator is the "
         "mid-scale exact tool and the verifier behind them. At sf0.01 "
         "(n=500) the rule resolves to k=8, so the oracle is the same "
-        "unrolled prefix as q_semdedup_threshold.",
+        "unrolled prefix as q_semdedup_threshold; an in-query guard "
+        "fails LOUDLY as a setup error if n > 576 (ADVICE r9).",
     tags=("llm", "dedup", "clustering", "similarity"),
 )
 def q_semdedup_auto_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_par(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
+    _assert_auto_k_is_8(emb, "q_semdedup_auto_k")
     qdf = C.quantize_vectors(emb).localCheckpoint(eager=True)
     surv = C.semantic_dedup_auto(qdf, emb, target_cluster=64,
                                  iterations=2, threshold=0.40)

@@ -32,17 +32,25 @@ def drain(q, timeout: int = 120) -> None:
     routes through here: surface ``q.exception()`` first, then assert the
     True return, and always stop the query before raising so the
     checkpoint is released for whatever runs next.
+
+    ``awaitTermination`` itself RAISES StreamingQueryException when the
+    query already failed (ADVICE r9) — the try/finally keeps the
+    stop-before-raising contract on that path too: a failed query still
+    gets stopped (releasing its checkpoint) and the original error
+    propagates.
     """
-    finished = q.awaitTermination(timeout)
-    exc = q.exception()
-    if exc is not None:
+    try:
+        finished = q.awaitTermination(timeout)
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish in "
+                f"{timeout}s")
+    except BaseException:
         q.stop()
-        raise exc
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {q.name or q.id} did not finish in "
-            f"{timeout}s")
+        raise
 
 
 def read_events_stream(spark: SparkSession, path: str,

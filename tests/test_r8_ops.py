@@ -340,3 +340,17 @@ def test_bpe_decode_oov_degrades_to_unk_marker(spark):
                                 "doc_id INT, token_ids ARRAY<BIGINT>")
     assert big.select(bpe_decode_expr(_BPE_VOCAB).alias("t")) \
         .collect()[0]["t"] == "⁇UNK⁇"
+    # ids at/past int32 (ADVICE r9): (t+1).cast('int') would THROW under
+    # ANSI mode — the t >= len(vocab) WHEN guard must short-circuit the
+    # cast entirely, so even 2^31-1 and 2^40 decode to the unk marker
+    huge = spark.createDataFrame([(1, [2**31 - 1, 2**40])],
+                                 "doc_id INT, token_ids ARRAY<BIGINT>")
+    assert huge.select(bpe_decode_expr(_BPE_VOCAB).alias("t")) \
+        .collect()[0]["t"] == "⁇UNK⁇⁇UNK⁇"
+    # gapped or duplicated-id vocabs fail at expression-BUILD time with
+    # the dense-ids message, not a KeyError mid-lookup
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dense token ids"):
+        bpe_decode_expr({"a": 0, "b": 2})
+    with _pytest.raises(ValueError, match="dense token ids"):
+        bpe_decode_expr({"a": 0, "b": 0})

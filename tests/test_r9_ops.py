@@ -131,7 +131,8 @@ def test_semdedup_threshold_matches_numpy(spark):
             expected.add(v)
 
     surv = C.semantic_dedup_threshold(qdf, emb_df, k=k, iterations=iters,
-                                      threshold=tau)
+                                      threshold=tau,
+                                      allow_fixed_k_quadratic=True)
     got = {r["vec_id"] for r in surv.collect()}
     assert got == expected
     assert len(got) < len(vec)  # fixture actually drops something
@@ -178,8 +179,22 @@ def test_semdedup_auto_k_regimes(spark):
                                   iterations=2).collect()}
     fixed = {r["vec_id"] for r in
              C.semantic_dedup_threshold(qdf, emb, k=max(8, n // 64),
-                                        iterations=2).collect()}
+                                        iterations=2,
+                                        allow_fixed_k_quadratic=True)
+             .collect()}
     assert auto == fixed  # same k -> same result, chooser adds nothing
+
+    # r10 (r9 verdict #2): the DEFAULT path is the auto-k regime —
+    # omitting k routes through the chooser and equals the explicit
+    # auto call; an explicit fixed k without the acknowledgment flag
+    # REFUSES (the measured 45-min-abort path cannot be reached by
+    # accident), mirroring dedup.set_similarity_join's regime pin
+    default = {r["vec_id"] for r in
+               C.semantic_dedup_threshold(qdf, emb, iterations=2).collect()}
+    assert default == auto
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quadratic"):
+        C.semantic_dedup_threshold(qdf, emb, k=8, iterations=2)
 
     # force the JOIN-assignment regime (k = n//2 > 50) and replay the
     # drop rule in numpy against that clustering — exact, end-to-end
