@@ -100,19 +100,34 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
 
 
 def minhash_signatures_from_sets(sets: DataFrame,
-                                 num_hashes: int = 32) -> DataFrame:
+                                 num_hashes: int = 32,
+                                 portable_hash: bool = False) -> DataFrame:
     """Same signature as `minhash_signatures`, computed row-wise from the
     shingle-set array (array_min over a transform) — a narrow projection,
-    no explode, no shuffle."""
+    no explode, no shuffle.
+
+    ``portable_hash=True`` swaps the seeded xxhash64 permutations for
+    ``md5(i || ':' || shingle)`` hex strings (min is the lexicographic min,
+    identical in any engine) so a SQL oracle can rebuild the exact
+    signature — the same portability trade as content_defined_chunks'
+    md5 mode (dedup.py:371). The default stays xxhash64: 8-byte
+    signature entries instead of 32-char strings."""
+    if portable_hash:
+        def h(s, i):
+            return F.md5(F.concat(F.lit(f"{i}:"), s))
+    else:
+        def h(s, i):
+            return F.xxhash64(s, F.lit(i))
     sig = F.array(*[
-        F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform("sh", lambda s, i=i: h(s, i)))
         for i in range(num_hashes)
     ])
     return sets.select("doc", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
-                        num_hashes: int = 32) -> DataFrame:
+                        num_hashes: int = 32,
+                        portable_hash: bool = False) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs agreeing
     on any full band become a candidate pair. Output (a, b) with a < b.
 
@@ -122,18 +137,27 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
 
     Band hashes are flat xxhash64 calls over statically-indexed signature
     elements (rows-per-band resolved at plan-build time) — one codegen'd
-    hash per band, no slice/cast/concat chain.
+    hash per band, no slice/cast/concat chain. ``portable_hash=True``
+    (for md5-string signatures) builds the band key as
+    ``md5(b || '|' || sig[b*rows] || '|' || ...)`` — reproducible in SQL.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+    if portable_hash:
+        def band_key(b):
+            return F.md5(F.concat_ws(
+                "|", F.lit(str(b)),
+                *[F.col("signature")[b * rows + j] for j in range(rows)]))
+    else:
+        def band_key(b):
+            return F.xxhash64(
+                *[F.col("signature")[b * rows + j] for j in range(rows)],
+                F.lit(b))
     banded = sigs.select(
         "doc",
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("signature")[b * rows + j] for j in range(rows)],
-                       F.lit(b))
-            for b in range(bands)
-        ])).alias("band", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)]))
+        .alias("band", "band_hash"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -200,9 +224,17 @@ def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
 
 def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
                            n: int = 2, num_hashes: int = 32, bands: int = 8,
-                           threshold: float = 0.7) -> DataFrame:
+                           threshold: float = 0.7,
+                           portable_hash: bool = False) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH candidates → exact
-    Jaccard verification ≥ threshold. The canonical LLM-corpus near-dedup."""
+    Jaccard verification ≥ threshold. The canonical LLM-corpus near-dedup.
+
+    ``portable_hash=True`` uses md5-string permutations/band keys so the
+    whole pipeline (signatures → banding → candidate join → verification)
+    is bit-reproducible by a SQL oracle; the xxhash64 default is the
+    throughput path (the verified output differs only through which
+    candidate pairs the hash family surfaces — verification itself is
+    exact either way)."""
     # materialized once (localCheckpoint, not cache — its blocks release
     # on GC, so a long session running many queries doesn't accumulate
     # cached partitions): the set frame feeds signature banding (self-join
@@ -210,13 +242,13 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
     # ngram+hash projection recomputes 4x (no shuffle boundary means no
     # exchange reuse).
     sets = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sigs = minhash_signatures_from_sets(sets, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
+    sigs = minhash_signatures_from_sets(sets, num_hashes, portable_hash)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes, portable_hash)
     return verify_pairs_jaccard(sets, cands, threshold=threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, portable_hash: bool = False) -> DataFrame:
     """SimHash per doc: hash each token, sum ±1 per bit position weighted by
     term frequency, bit b of the result = sign of the sum. Near-dup docs
     land at small Hamming distance. One explode + one groupBy (the per-bit
@@ -228,14 +260,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     corpus/2^(bits/(max_hamming+1)) rows per bucket stays small, and
     32 bits (8-bit bands) saturates around 10⁴ docs (SCALE.md sizing
     rule). Pass bits=32 explicitly only for tiny corpora where the
-    narrower aggregate is worth the quadratic cliff."""
+    narrower aggregate is worth the quadratic cliff.
+
+    ``portable_hash=True`` derives the per-token hash from md5's first
+    15 hex digits (60 usable bits, so it requires ``bits <= 60``) —
+    bit-reproducible by a SQL oracle (`CAST('0x' || substr(md5(tok),1,15)
+    AS BIGINT)` in DuckDB, ``conv(substring(md5(tok),1,15),16,10)``
+    here); the xxhash64 default is the throughput path."""
     if not 1 <= bits <= 64:
         raise ValueError("bits must be in [1, 64]")
+    if portable_hash and bits > 60:
+        raise ValueError("portable_hash draws 60 bits from md5's first "
+                         f"15 hex digits; bits={bits} > 60")
+    tok_hash = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                .cast("long") if portable_hash else F.xxhash64("tok"))
     toks = (
         df.select(F.col(id_col).alias("doc"),
                   F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                     TOKEN_SPLIT_RE)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", tok_hash)
     )
     one = F.lit(1).cast("long")
     bit_aggs = [
@@ -299,11 +342,17 @@ def simhash_candidate_pairs(sim: DataFrame, bits: int = 64,
 
 
 def near_dup_pairs_simhash(df: DataFrame, id_col: str, text_col: str,
-                           bits: int = 64, max_hamming: int = 3) -> DataFrame:
+                           bits: int = 64, max_hamming: int = 3,
+                           portable_hash: bool = False) -> DataFrame:
     """SimHash near-dup pipeline at 100 TB shape: signatures (one explode +
     one groupBy) → pigeonhole band buckets (equi self-join, exact recall)
-    → Hamming verification on candidates only. Output (a, b, hamming)."""
-    sig = simhash(df, id_col, text_col, bits).localCheckpoint(eager=True)
+    → Hamming verification on candidates only. Output (a, b, hamming).
+
+    ``portable_hash=True``: md5-derived 60-bit-max token hashes so a SQL
+    oracle rebuilds the identical signature; banding/verification are
+    hash-agnostic (pigeonhole recall stays exact at any width)."""
+    sig = simhash(df, id_col, text_col, bits,
+                  portable_hash).localCheckpoint(eager=True)
     cands = simhash_candidate_pairs(sig, bits, max_hamming)
     out = (
         cands

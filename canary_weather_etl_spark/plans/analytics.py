@@ -289,22 +289,62 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1,
+                    "src4": 0.0}
+_STRAT_DEFAULT = 0.5
+_STRAT_SALT = "strat:"
+
+
+def _strat_threshold(frac: float) -> str:
+    """Hex threshold for content-hash Bernoulli: keep a row iff
+    md5(salt || id) < threshold. md5 hex strings compare as the 128-bit
+    numbers they spell, so the literal floor(frac * 2^128) in 32 hex
+    digits selects exactly a `frac` slice of the uniform hash space.
+    frac >= 1 returns 'g' (> any hex char: keep everything); frac <= 0
+    returns '0'*32 (nothing hashes strictly below the zero string)."""
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "0" * 32
+    return format(int(frac * (1 << 128)), "032x")
+
+
+def _strat_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{_strat_threshold(f)}'"
+        for s, f in sorted(_STRAT_FRACTIONS.items()))
+    return (f"CASE source {whens} "
+            f"ELSE '{_strat_threshold(_STRAT_DEFAULT)}' END")
+
+
 @register(
     "q_stratified_sample",
-    oracle=None,  # RNG is engine-specific; proportions asserted in pytest
-    doc="Stratified sampling (sampleBy on documents.source) — the "
-        "data-mixing primitive for LLM corpus curation: per-stratum "
-        "fractions, seeded/deterministic, no shuffle (per-row Bernoulli "
-        "against the stratum's threshold).",
-    tags=("llm", "sampling", "approx"),
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE md5('{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)) < {_strat_case_sql()}
+    """,
+    doc="Stratified sampling over documents.source — the data-mixing "
+        "primitive for LLM corpus curation. r10: seeded-RNG sampleBy "
+        "replaced by CONTENT-HASH Bernoulli (keep iff md5(salt || doc_id) "
+        "< per-stratum hex threshold = floor(frac * 2^128)): per-row, no "
+        "shuffle, and — unlike RNG sampling — deterministic across "
+        "engines, re-runs, repartitioning and cluster sizes, which is the "
+        "reproducibility property a training-data pipeline actually needs "
+        "(the same doc set admits on every rebuild; changing the salt IS "
+        "the reseed). Upgrades the entry from rows-only to a full SQL "
+        "oracle. Also drops the old distinct().collect() stratum probe: "
+        "unseen strata fall through to the CASE default threshold.",
+    tags=("llm", "sampling"),
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1,
-                 "src4": 0.0}
-    present = [r["source"] for r in d.select("source").distinct().collect()]
-    fr = {s: fractions.get(s, 0.5) for s in present}
-    return d.sampleBy("source", fr, seed=42).select("doc_id", "source")
+    thr = F.lit(_strat_threshold(_STRAT_DEFAULT))
+    for s, f in sorted(_STRAT_FRACTIONS.items()):
+        thr = F.when(F.col("source") == s,
+                     F.lit(_strat_threshold(f))).otherwise(thr)
+    keep = F.md5(F.concat(F.lit(_STRAT_SALT),
+                          F.col("doc_id").cast("string"))) < thr
+    return d.filter(keep).select("doc_id", "source")
 
 
 @register(

@@ -354,39 +354,137 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_LSH_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc, shingle FROM (
+            SELECT doc, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc, t, unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc
+    ), mins AS (
+        -- permutation p of 32: min over the doc's shingles of
+        -- md5(p || ':' || shingle) — the engine's portable_hash signature
+        SELECT doc, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+        FROM grams, UNNEST(range(0, 32)) AS tp(p)
+        GROUP BY doc, p
+    ), sig AS (
+        SELECT doc, list(mh ORDER BY p) AS s FROM mins GROUP BY doc
+    ), bands AS (
+        -- band b of 8 = md5 over 'b|h0|h1|h2|h3' (4 rows per band)
+        SELECT doc, b,
+               md5(CAST(b AS VARCHAR) || '|' ||
+                   array_to_string(s[b*4+1 : b*4+4], '|')) AS bv
+        FROM sig, UNNEST(range(0, 8)) AS tb(b)
+    ), cands AS (
+        SELECT DISTINCT l.doc AS a, r.doc AS b
+        FROM bands l JOIN bands r
+          ON l.b = r.b AND l.bv = r.bv AND l.doc < r.doc
+    ), common AS (
+        SELECT c.a, c.b, COUNT(*) AS cmn
+        FROM cands c
+        JOIN grams ga ON ga.doc = c.a
+        JOIN grams gb ON gb.doc = c.b AND gb.shingle = ga.shingle
+        GROUP BY c.a, c.b
+    )
+    SELECT c.a, c.b,
+           CAST(cmn AS DOUBLE) / (sa.sz + sb.sz - cmn) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc = c.a
+    JOIN sizes sb ON sb.doc = c.b
+    WHERE CAST(cmn AS DOUBLE) / (sa.sz + sb.sz - cmn) >= 0.5
+"""
+
+
 @register(
     "q_dedup_minhash_lsh",
-    oracle=None,  # xxhash64-seeded signatures are engine-specific
+    oracle=_MINHASH_LSH_SQL,
     doc="MinHash(32 perms) + LSH(8 bands) near-dup pipeline with exact "
         "Jaccard verification ≥0.5 (operators/dedup.near_dup_pairs_minhash)."
-        " pytest asserts recall vs the exact q_ngram_jaccard_pairs result.",
+        " r10: runs the operator's portable_hash basis (md5-string "
+        "permutations and band keys, identical in any engine), which "
+        "upgrades this entry from rows-only to a FULL SQL oracle — the "
+        "DuckDB twin rebuilds signatures, banding, the candidate join and "
+        "exact verification bit-for-bit. The xxhash64 basis stays the "
+        "operator default for raw throughput (8-byte signature entries); "
+        "pytest asserts the recall floor vs exact q_ngram_jaccard_pairs "
+        "for BOTH hash bases.",
     tags=("llm", "dedup", "approx"), bench=True,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
     return D.near_dup_pairs_minhash(d, "doc_id", "text",
-                                    n=2, num_hashes=32, bands=8, threshold=0.5)
+                                    n=2, num_hashes=32, bands=8,
+                                    threshold=0.5, portable_hash=True)
+
+
+_SIMHASH_SQL = r"""
+    WITH toks AS (
+        -- term-frequency weighted: tokens deliberately NOT distinct
+        SELECT doc_id AS doc, unnest(
+            string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks
+    ), bitsums AS (
+        SELECT doc, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, UNNEST(range(0, 60)) AS tb(bit)
+        GROUP BY doc, bit
+    ), sig AS (
+        SELECT doc,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                        ELSE 0 END) AS simhash
+        FROM bitsums GROUP BY doc
+    ), banded AS (
+        -- pigeonhole: 4 bands x 15 bits; Hamming <= 3 => >= 1 equal band
+        SELECT doc, b, (simhash >> (b * 15)) & 32767 AS bv
+        FROM sig, UNNEST(range(0, 4)) AS tb(b)
+    ), cands AS (
+        SELECT DISTINCT l.doc AS a, r.doc AS b
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bv = r.bv AND l.doc < r.doc
+    )
+    SELECT c.a, c.b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cands c
+    JOIN sig sa ON sa.doc = c.a
+    JOIN sig sb ON sb.doc = c.b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
 
 
 @register(
     "q_dedup_simhash",
-    oracle=None,  # hash-specific
-    doc="SimHash(64-bit, the at-scale default) near-dup pairs within "
-        "Hamming distance 3 — the other classic near-dup family, at the "
-        "100 TB shape: pigeonhole banding (4×16-bit chunks; Hamming ≤3 ⇒ "
-        "≥1 identical chunk, so recall is exact) → equi self-join on "
-        "(band, band_val) → bit_count(xor) verification on candidates "
-        "only. 64-bit signatures keep band buckets sparse past 10⁴ docs "
-        "(corpus/2^16 per bucket; the 32-bit width SCALE.md's sizing rule "
-        "flags quadratic is an explicit opt-in for tiny corpora). No "
-        "BroadcastNestedLoopJoin anywhere in the plan; pytest asserts set "
-        "equality with the brute-force all-pairs result.",
+    oracle=_SIMHASH_SQL,
+    doc="SimHash near-dup pairs within Hamming distance 3 — the other "
+        "classic near-dup family, at the 100 TB shape: pigeonhole banding "
+        "(width/4-bit chunks; Hamming ≤3 ⇒ ≥1 identical chunk, so recall "
+        "is exact) → equi self-join on (band, band_val) → bit_count(xor) "
+        "verification on candidates only. r10: runs the operator's "
+        "portable_hash basis (60-bit md5-derived token hashes, 4×15-bit "
+        "bands) which upgrades the entry from rows-only to a FULL SQL "
+        "oracle — DuckDB rebuilds the tf-weighted bit sums, signature "
+        "assembly, banding and Hamming verify bit-for-bit. The operator "
+        "default stays xxhash64@64-bit for throughput (buckets stay "
+        "sparse past 10⁴ docs either way: corpus/2^15 per bucket at 60 "
+        "bits); the 32-bit width SCALE.md's sizing rule flags quadratic "
+        "remains an explicit opt-in. No BroadcastNestedLoopJoin anywhere "
+        "in the plan; pytest asserts set equality with the brute-force "
+        "all-pairs result for both hash bases.",
     tags=("llm", "dedup", "approx"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
-    return D.near_dup_pairs_simhash(d, "doc_id", "text",
-                                    bits=64, max_hamming=3)
+    out = D.near_dup_pairs_simhash(d, "doc_id", "text",
+                                   bits=60, max_hamming=3,
+                                   portable_hash=True)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @register(

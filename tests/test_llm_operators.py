@@ -25,7 +25,12 @@ def emb(spark, sf_dir):
     return load(spark, sf_dir, "embeddings").cache()
 
 
-def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+@pytest.mark.parametrize("portable", [False, True],
+                         ids=["xxhash64", "md5-portable"])
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs, portable):
+    """Both hash bases must clear the recall floor: xxhash64 is the
+    operator throughput default, md5-portable is the SQL-oracle basis the
+    registered q_dedup_minhash_lsh runs (r10)."""
     sh = D.shingle_table(docs, "doc_id", "text", n=2)
     exact = {(r["a"], r["b"]) for r in
              D.exact_jaccard(sh, threshold=0.5).collect()}
@@ -33,7 +38,8 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
     found = {(r["a"], r["b"]) for r in
              D.near_dup_pairs_minhash(docs, "doc_id", "text",
                                       n=2, num_hashes=32, bands=8,
-                                      threshold=0.5).collect()}
+                                      threshold=0.5,
+                                      portable_hash=portable).collect()}
     # verification step guarantees precision = 1.0 (jaccard recomputed
     # exactly); banding with 8 bands x 4 rows has >99% recall at j>=0.7
     # and good recall at 0.5
@@ -79,6 +85,26 @@ def test_simhash_banded_pairs_match_bruteforce(spark, docs):
     assert banded == brute, (
         f"banding lost/added pairs: missing={sorted(brute - banded)[:5]} "
         f"extra={sorted(banded - brute)[:5]}")
+
+
+def test_simhash_portable_matches_bruteforce_and_validates(spark, docs):
+    """The md5-portable 60-bit basis (the registered q_dedup_simhash run,
+    r10): banded pipeline equals the all-pairs scan of its own signatures
+    (60-bit values are non-negative, no mask needed), and the >60-bit
+    portable request fails loudly at build time."""
+    sim = D.simhash(docs, "doc_id", "text", bits=60, portable_hash=True)
+    sigs = {r["doc"]: r["simhash"] for r in sim.collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    ids = sorted(sigs)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    banded = {(r["a"], r["b"]) for r in
+              D.near_dup_pairs_simhash(docs, "doc_id", "text", bits=60,
+                                       max_hamming=3,
+                                       portable_hash=True).collect()}
+    assert banded == brute
+    with pytest.raises(ValueError, match="60"):
+        D.simhash(docs, "doc_id", "text", bits=64, portable_hash=True)
 
 
 def test_heavy_hitters_plan_is_distributed_topk(spark, sf_dir):
