@@ -126,7 +126,8 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", dim: int = 64,
              bits: int = 4, probes: int = 8,
-             round_to: int | None = 6) -> DataFrame:
+             round_to: int | None = 6,
+             planes: list[list[list[float]]] | None = None) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing an LSH bucket with
     the query under any of `probes` independent signature functions; exact
     cosine + rank only on candidates. The join is equi (bucket = signature
@@ -139,19 +140,30 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     probes recover it. Defaults (4, 8) target unclustered corpora where top
     neighbors sit near cos≈0.4 (p≈0.63 → ~70% recall) — the worst case;
     real embedding corpora cluster much tighter, so production settings
-    raise `bits` to shrink candidate sets."""
+    raise `bits` to shrink candidate sets.
+
+    ``planes`` (a [probe][bit][dim] ±1 tensor from `planted_hyperplanes`)
+    swaps the xxhash64-derived hyperplanes for literals — bucket
+    assignment becomes engine-portable so the whole ANN query is
+    SQL-oracle-able; recall behavior is identical in distribution (both
+    plane families are iid random signs)."""
     cand = embeddings.select(F.col(id_col).alias("vec_id"),
                              as_double(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        as_double(vec_col).alias("qv"))
+    if planes is not None:
+        probes = len(planes)
+
+    def sig(vcol: str, p: int) -> F.Column:
+        if planes is not None:
+            return hyperplane_signature_planted(F.col(vcol), planes[p])
+        return hyperplane_signature(F.col(vcol), dim, bits, seed=1000 + p)
 
     def with_buckets(df: DataFrame, vcol: str, out: str) -> DataFrame:
         return df.select(
             "*",
-            F.posexplode(F.array(*[
-                hyperplane_signature(F.col(vcol), dim, bits, seed=1000 + p)
-                for p in range(probes)
-            ])).alias(f"{out}_probe", out),
+            F.posexplode(F.array(*[sig(vcol, p) for p in range(probes)]))
+            .alias(f"{out}_probe", out),
         )
 
     cb = with_buckets(cand, "v", "bucket")

@@ -29,6 +29,7 @@ from . import tpch          # noqa: E402,F401  classic TPC-H pack (all 22)
 from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalization
 from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / r8 ops
 from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
+from . import r10_queries   # noqa: E402,F401  containment / quality logit
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
@@ -40,19 +41,25 @@ from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 # string on both engine and oracle sides) — so CORRECTNESS_r10 proves the
 # fix. Position 2 is `q_cosine_near_dup`, newly converted from rows-only
 # to a full SQL oracle (verdict #4), so its first hash row lands in the
-# same round. Then BY EVIDENCE AGE: the 17 r3-vintage entries whose
-# driver rows are 7 rounds old, then the 31 oldest r4-sampled entries —
-# filling the 50. Positions 51+: the remaining 7 r4-sampled entries
+# same round. Positions 3-4: the two queries NEW in r10
+# (q_containment_pairs, q_quality_logit_score) get driver rows at birth.
+# Then BY EVIDENCE AGE: the 17 r3-vintage entries whose driver rows are
+# 7 rounds old, then the oldest r4-sampled entries — the first 29 of
+# them fill the 50. Positions 51+: the remaining 9 r4-sampled entries
 # (r11's rotation head), then the r5/r7-sampled blocks in evidence-age
 # order; everything unlisted (r8/r9-fresh rows) trails in registration
 # order. After r10 nothing in the registry carries a driver row older
-# than r4, and r11's 7-entry r4 tail + the r5 block cycles the whole
+# than r4, and r11's 9-entry r4 tail + the r5 block cycles the whole
 # registry within ~5 rounds, as planned in r9.
 _DRIVER_PRIORITY = (
     # the r9 red row, re-headed so the flatten fix gets its green row
     "q_bpe_encode_ids",
     # newly SQL-oracled (was rows-only): first hash row this round
     "q_cosine_near_dup",
+    # new in r10 (driver rows at birth); the three r10 rows-only
+    # conversions (minhash/simhash/stratified) carry recent driver rows
+    # already, so they wait for their natural age-order turn
+    "q_containment_pairs", "q_quality_logit_score",
     # the 17 r3-vintage entries — oldest driver rows in the tree
     "q_data_quality_profile",
     "q_pivot", "q_gap_fill_calendar",

@@ -593,20 +593,88 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_brute_force(e, q, k=10)
 
 
+def _ann_lsh_planes() -> list[list[list[float]]]:
+    """±1 hyperplane tensor for the ANN-LSH registry entry — sha256-parity
+    literals (own tag, decorrelated from the near-dup planes) shared
+    between the Spark query and its SQL oracle."""
+    return S.planted_hyperplanes(probes=8, bits=4, dim=64, tag="annlsh")
+
+
+def _planes_sql(planes: list[list[list[float]]]) -> str:
+    rows = ", ".join(
+        f"({p}, {j}, [{', '.join(str(int(x)) + '.0' for x in row)}])"
+        for p, probe in enumerate(planes)
+        for j, row in enumerate(probe))
+    return f"planes(p, j, r) AS (VALUES {rows})"
+
+
+_ANN_LSH_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    {_planes_sql(_ann_lsh_planes())},
+    proj AS (
+        SELECT b.id, pl.p, pl.j,
+               list_aggregate(list_transform(list_zip(b.v, pl.r),
+                   z -> struct_extract(z, 1) * struct_extract(z, 2)),
+                   'sum') AS pr
+        FROM base b CROSS JOIN planes pl),
+    sig AS (
+        SELECT id, p,
+               CAST(SUM(CASE WHEN pr >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM proj GROUP BY id, p),
+    cand AS (
+        SELECT DISTINCT qs.id AS query_id, cs.id AS vec_id
+        FROM sig qs JOIN sig cs
+          ON cs.p = qs.p AND cs.bucket = qs.bucket AND cs.id <> qs.id
+        WHERE qs.id < 5),
+    vv AS (
+        SELECT c.query_id, c.vec_id, qb.v AS qv, cb.v AS cv
+        FROM cand c JOIN base qb ON qb.id = c.query_id
+                    JOIN base cb ON cb.id = c.vec_id),
+    expl AS (
+        SELECT query_id, vec_id, qv, cv,
+               unnest(generate_series(1, len(qv))) AS i
+        FROM vv),
+    dots AS (
+        SELECT query_id, vec_id, SUM(qv[i] * cv[i]) AS dp,
+               SUM(qv[i] * qv[i]) AS aa, SUM(cv[i] * cv[i]) AS bb
+        FROM expl GROUP BY query_id, vec_id),
+    scored AS (
+        SELECT query_id, vec_id,
+               FLOOR(dp / (SQRT(aa) * SQRT(bb)) * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM dots),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
 @register(
     "q_sim_ann_lsh",
-    oracle=None,  # LSH bucketing is hash-specific; recall checked in pytest
+    oracle=_ANN_LSH_ORACLE,
     doc="Approximate top-10 via random-hyperplane LSH buckets (4 bits, 8 "
         "probes — tuned for the unclustered fixture, the LSH worst case) + "
         "exact rescoring of candidates only (operators/similarity.topk_lsh)."
-        " The 100 TB shape: equi-join on bucket instead of a cross product.",
+        " The 100 TB shape: equi-join on bucket instead of a cross product."
+        " r10: runs PLANTED sha256-parity hyperplane literals (identical "
+        "in distribution to the xxhash64-derived default), upgrading the "
+        "entry from rows-only to a FULL SQL oracle — the DuckDB twin "
+        "replays bucket assignment, the per-probe candidate join, exact "
+        "cosine rescoring and the rank cut bit-for-bit. Recall floors "
+        "stay pytest-asserted on the operator's default basis.",
     tags=("llm", "similarity", "approx"),
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_par(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return S.topk_lsh(e, q, k=10, dim=64, bits=4, probes=8)
+    return S.topk_lsh(e, q, k=10, planes=_ann_lsh_planes())
 
 
 @register(

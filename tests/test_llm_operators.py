@@ -137,11 +137,19 @@ def test_text_repetition_short_docs_no_abort(spark, tmp_path):
     assert out[5]["too_repetitive"]
 
 
-def test_ann_lsh_recall_vs_brute_force(spark, emb):
+@pytest.mark.parametrize("basis", ["xxhash64", "planted"])
+def test_ann_lsh_recall_vs_brute_force(spark, emb, basis):
+    """Both hyperplane families clear the recall floor: xxhash64-derived
+    (operator default) and the planted sha256-parity literals the
+    registered q_sim_ann_lsh runs for its SQL oracle (r10) — iid random
+    signs either way, so recall is the same in distribution."""
+    planes = (S.planted_hyperplanes(probes=8, bits=4, dim=64, tag="annlsh")
+              if basis == "planted" else None)
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     exact = S.topk_brute_force(emb, q, k=10).collect()
-    approx = S.topk_lsh(emb, q, k=10, dim=64, bits=4, probes=8).collect()
+    approx = S.topk_lsh(emb, q, k=10, dim=64, bits=4, probes=8,
+                        planes=planes).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
