@@ -99,6 +99,23 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
                        .alias("signature"))
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-hash constants for the portable MinHash
+    permutations — sha256-derived literals (NOT engine hashes), so the
+    Spark expressions and the SQL oracle embed the identical numbers.
+    a_i in [1, P-1], b_i in [0, P-1]."""
+    import hashlib
+
+    def draw(tag: str, i: int, lo: int) -> int:
+        h = hashlib.sha256(f"minhash:{tag}:{i}".encode()).digest()
+        return lo + int.from_bytes(h[:8], "big") % (MINHASH_P - lo)
+
+    return [(draw("a", i, 1), draw("b", i, 0)) for i in range(num_hashes)]
+
+
 def minhash_signatures_from_sets(sets: DataFrame,
                                  num_hashes: int = 32,
                                  portable_hash: bool = False) -> DataFrame:
@@ -107,21 +124,40 @@ def minhash_signatures_from_sets(sets: DataFrame,
     no explode, no shuffle.
 
     ``portable_hash=True`` swaps the seeded xxhash64 permutations for
-    ``md5(i || ':' || shingle)`` hex strings (min is the lexicographic min,
-    identical in any engine) so a SQL oracle can rebuild the exact
-    signature — the same portability trade as content_defined_chunks'
-    md5 mode (dedup.py:371). The default stays xxhash64: 8-byte
-    signature entries instead of 32-char strings."""
+    the textbook universal-hash construction over ONE md5 per shingle:
+    h = the first 7 hex digits of md5(shingle) as a 28-bit int,
+    permutation i = (a_i·h + b_i) mod P with P = 2^31−1 and
+    sha256-derived literal constants (`minhash_perm_constants`) — every
+    op replays exactly in any SQL engine, and the products stay under
+    2^60 so the arithmetic is overflow-safe int64. One md5 + 32
+    multiply-mods per shingle instead of 32 md5s (the r10 first cut):
+    measured back at xxhash64-level cost. The default stays xxhash64."""
     if portable_hash:
-        def h(s, i):
-            return F.md5(F.concat(F.lit(f"{i}:"), s))
+        # materialize the md5-derived base hashes as their own projection
+        # so the 32 permutation transforms share ONE md5 pass per row
+        # (inlined into each F.array element they would re-evaluate 32x)
+        hs = F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+            .cast("long"))
+        based = sets.select("doc", hs.alias("hs"))
+        ab = minhash_perm_constants(num_hashes)
+
+        def perm(a: int, b: int):
+            # one-arg closure: a two-parameter transform lambda would
+            # receive the element INDEX as its second argument
+            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+        sig = F.array(*[
+            F.array_min(F.transform("hs", perm(a, b))) for a, b in ab
+        ])
+        return based.select("doc", sig.alias("signature"))
     else:
-        def h(s, i):
-            return F.xxhash64(s, F.lit(i))
-    sig = F.array(*[
-        F.array_min(F.transform("sh", lambda s, i=i: h(s, i)))
-        for i in range(num_hashes)
-    ])
+        sig = F.array(*[
+            F.array_min(F.transform(
+                "sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ])
     return sets.select("doc", sig.alias("signature"))
 
 
@@ -138,17 +174,22 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
     Band hashes are flat xxhash64 calls over statically-indexed signature
     elements (rows-per-band resolved at plan-build time) — one codegen'd
     hash per band, no slice/cast/concat chain. ``portable_hash=True``
-    (for md5-string signatures) builds the band key as
-    ``md5(b || '|' || sig[b*rows] || '|' || ...)`` — reproducible in SQL.
-    """
+    (for the universal-hash integer signatures) folds the band key as a
+    polynomial rolling hash mod P (seeded with the band index, 1000003
+    multiplier — products < 2^62, overflow-safe) — pure arithmetic,
+    reproducible in SQL. Band-key collisions only ADD candidates, which
+    exact verification then rejects, so the 2^-31 collision rate costs
+    recall nothing."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     if portable_hash:
         def band_key(b):
-            return F.md5(F.concat_ws(
-                "|", F.lit(str(b)),
-                *[F.col("signature")[b * rows + j] for j in range(rows)]))
+            bv = F.lit(b).cast("long")
+            for j in range(rows):
+                bv = (bv * F.lit(1_000_003)
+                      + F.col("signature")[b * rows + j]) % F.lit(MINHASH_P)
+            return bv
     else:
         def band_key(b):
             return F.xxhash64(

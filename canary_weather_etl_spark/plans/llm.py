@@ -354,7 +354,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_LSH_SQL = r"""
+def _minhash_ab_sql(num_hashes: int = 32) -> str:
+    """The engine's sha256-derived (a_i, b_i) universal-hash constants as
+    a VALUES table — identical literals on both sides by construction."""
+    from ..operators.dedup import minhash_perm_constants
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b)
+                     in enumerate(minhash_perm_constants(num_hashes)))
+    return f"ab(p, a, b) AS (VALUES {rows})"
+
+
+def _minhash_band_fold_sql(b: int, rows: int = 4,
+                           p: int = 2_147_483_647) -> str:
+    """Replay lsh_candidate_pairs' polynomial band fold:
+    bv = b; bv = (bv*1000003 + sig[idx]) % P per band element."""
+    bv = str(b)
+    for j in range(rows):
+        bv = f"(({bv}) * 1000003 + s[{b * rows + j + 1}]) % {p}"
+    return bv
+
+
+_MINHASH_LSH_SQL = rf"""
     WITH toks AS (
         SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS t
         FROM documents
@@ -366,19 +385,23 @@ _MINHASH_LSH_SQL = r"""
         )
     ), sizes AS (
         SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc
+    ), {_minhash_ab_sql(32)}, hs AS (
+        -- ONE md5 per shingle: first 7 hex digits as a 28-bit int
+        SELECT doc, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+        FROM grams
     ), mins AS (
-        -- permutation p of 32: min over the doc's shingles of
-        -- md5(p || ':' || shingle) — the engine's portable_hash signature
-        SELECT doc, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
-        FROM grams, UNNEST(range(0, 32)) AS tp(p)
-        GROUP BY doc, p
+        -- permutation p of 32: the universal-hash min (a_p*h + b_p) mod P
+        SELECT doc, ab.p, MIN((ab.a * hs.h + ab.b) % 2147483647) AS mh
+        FROM hs CROSS JOIN ab
+        GROUP BY doc, ab.p
     ), sig AS (
         SELECT doc, list(mh ORDER BY p) AS s FROM mins GROUP BY doc
     ), bands AS (
-        -- band b of 8 = md5 over 'b|h0|h1|h2|h3' (4 rows per band)
+        -- band b of 8: polynomial fold over its 4 signature elements
         SELECT doc, b,
-               md5(CAST(b AS VARCHAR) || '|' ||
-                   array_to_string(s[b*4+1 : b*4+4], '|')) AS bv
+               CASE b {' '.join(
+                   f"WHEN {b} THEN {_minhash_band_fold_sql(b)}"
+                   for b in range(8))} END AS bv
         FROM sig, UNNEST(range(0, 8)) AS tb(b)
     ), cands AS (
         SELECT DISTINCT l.doc AS a, r.doc AS b
@@ -405,14 +428,18 @@ _MINHASH_LSH_SQL = r"""
     oracle=_MINHASH_LSH_SQL,
     doc="MinHash(32 perms) + LSH(8 bands) near-dup pipeline with exact "
         "Jaccard verification ≥0.5 (operators/dedup.near_dup_pairs_minhash)."
-        " r10: runs the operator's portable_hash basis (md5-string "
-        "permutations and band keys, identical in any engine), which "
-        "upgrades this entry from rows-only to a FULL SQL oracle — the "
-        "DuckDB twin rebuilds signatures, banding, the candidate join and "
-        "exact verification bit-for-bit. The xxhash64 basis stays the "
-        "operator default for raw throughput (8-byte signature entries); "
-        "pytest asserts the recall floor vs exact q_ngram_jaccard_pairs "
-        "for BOTH hash bases.",
+        " r10: runs the operator's portable_hash basis — ONE md5 per "
+        "shingle (first 7 hex digits as a 28-bit int) + the textbook "
+        "universal-hash permutations (a_i·h + b_i) mod 2^31−1 with "
+        "sha256-derived literal constants, band keys as polynomial folds "
+        "mod the same prime — which upgrades this entry from rows-only "
+        "to a FULL SQL oracle: the DuckDB twin rebuilds signatures, "
+        "banding, the candidate join and exact verification bit-for-bit "
+        "from the same literals, and the arithmetic permutations keep "
+        "the cost at xxhash64 level (the md5-per-permutation first cut "
+        "was +0.7 s at sf0.1, BENCHNOTES r10). The xxhash64 basis stays "
+        "the operator default; pytest asserts the recall floor vs exact "
+        "q_ngram_jaccard_pairs for BOTH hash bases.",
     tags=("llm", "dedup", "approx"), bench=True,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
