@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = (
     # conversions (minhash/simhash/stratified) carry recent driver rows
     # already, so they wait for their natural age-order turn
     "q_containment_pairs", "q_quality_logit_score",
+    "q_stream_corpus_admission",
     # the 17 r3-vintage entries — oldest driver rows in the tree
     "q_data_quality_profile",
     "q_pivot", "q_gap_fill_calendar",

@@ -180,3 +180,27 @@ def test_quality_logit_plan_is_one_narrow_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_stream_admission_sees_prior_batch_admits(spark, tmp_path):
+    """The property that makes it INCREMENTAL: a batch-2 doc whose only
+    near-dup partner is a batch-1 ADMIT must come back near_dup — the
+    corpus state evolved between micro-batches. Also: exact dup of a
+    seed-corpus doc is flagged, and seed docs never appear in the log."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "s"),   # batch A: admit
+        (3, "completely different words here now", "s"),   # batch A: exact
+        (1, "alpha beta gamma delta epsilon eta", "s"),    # batch B
+        (2, "completely different words here now", "s"),   # seed corpus
+        (5, "unrelated seed content entirely other", "s"),  # seed corpus
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           REGISTRY["q_stream_corpus_admission"].fn(
+               spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 3}              # seed docs never screened
+    assert out[0]["verdict"] == "admit"
+    assert out[3]["verdict"] == "exact_dup"   # byte-equal to seed doc 2
+    # doc 1's only partner is doc 0 — admitted in the PREVIOUS batch
+    assert out[1]["verdict"] == "near_dup" and out[1]["n_near"] == 1
