@@ -337,6 +337,110 @@ def persist_ivf_quantizer(embeddings: DataFrame, path: str, n_lists: int = 8,
     return spark.read.parquet(path)
 
 
+def train_ivf_quantizer_fixed(embeddings: DataFrame, n_lists: int = 8,
+                              iterations: int = 2,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF coarse quantizer: the repo's integer fixed-point
+    Lloyd (clustering.kmeans_fixed) instead of MLlib KMeans — bit-
+    reproducible across engines, partitionings and retries, so an IVF
+    query over it is FULLY SQL-oracle-able (the r8 PQ-ADC discipline).
+    Same train-once/persist contract as `train_ivf_quantizer`; returns
+    (list_id int, centroid array<bigint>) in 1e6 fixed-point units."""
+    from .clustering import kmeans_fixed, quantize_vectors
+
+    spark = embeddings.sparkSession
+    qdf = quantize_vectors(embeddings, id_col, vec_col)
+    _asg, cent = kmeans_fixed(qdf, k=n_lists, iterations=iterations)
+    rows = [(int(cid), [int(v) for v in vec])
+            for cid, vec in sorted(cent.items())]
+    return spark.createDataFrame(rows,
+                                 "list_id int, centroid array<bigint>")
+
+
+def persist_ivf_quantizer_fixed(embeddings: DataFrame, path: str,
+                                n_lists: int = 8, iterations: int = 2,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """`persist_ivf_quantizer`'s train-once/_SUCCESS-gated contract for
+    the deterministic fixed-point quantizer."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    spark = embeddings.sparkSession
+    committed = (not path.startswith("/")
+                 or os.path.isfile(os.path.join(path, "_SUCCESS")))
+    if committed:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            pass  # path missing → train below; other errors surface
+    cdf = train_ivf_quantizer_fixed(embeddings, n_lists, iterations,
+                                    id_col, vec_col)
+    cdf.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def topk_ivf_fixed(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str = "query_id", n_lists: int = 8,
+                   n_probe: int = 4, iterations: int = 2,
+                   round_to: int = 6,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """`topk_ivf` over the DETERMINISTIC fixed-point quantizer: corpus
+    assignment and query probing are integer L2 folds against the
+    (persisted) centroid-units table — broadcast crossJoin of n_lists
+    rows + one window per side, ties to (dist, list_id) exactly like
+    kmeans_fixed's argmin — then exact cosine rescoring on candidates
+    with the deterministic rounding. Every stage replays in SQL: the
+    oracle reuses q_kmeans_lloyd's unrolled-iteration prefix and probes
+    the SAME final centroids."""
+    from pyspark.sql import Window
+
+    from .clustering import quantize_vectors
+
+    cdf = centroids if centroids is not None else train_ivf_quantizer_fixed(
+        embeddings, n_lists, iterations, id_col, vec_col)
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             as_double(vec_col).alias("v"))
+    qbase = queries.select(F.col(query_id_col).alias("query_id"),
+                           as_double(vec_col).alias("qv"))
+    cq = quantize_vectors(embeddings, id_col, vec_col)
+    qq = (quantize_vectors(queries, query_id_col, vec_col)
+          .withColumnRenamed("vec_id", "query_id"))
+
+    def nearest(df: DataFrame, idc: str, n: int) -> DataFrame:
+        scored = (df.crossJoin(F.broadcast(cdf))
+                  .withColumn("d2", F.aggregate(
+                      F.zip_with("qvec", "centroid",
+                                 lambda a, b: (a - b) * (a - b)),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)))
+        w = Window.partitionBy(idc).orderBy(F.asc("d2"), F.asc("list_id"))
+        return (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= n).select(idc, "list_id"))
+
+    assigned = nearest(cq, "vec_id", 1)
+    probes = nearest(qq, "query_id", n_probe)
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(base, "vec_id").join(qbase, "query_id")
+        .select("query_id", "vec_id",
+                cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    if round_to is not None:
+        from ..functions import round_det
+        scored = scored.withColumn("cos", round_det("cos", round_to))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.col("cos").alias("cos_sim"))
+    )
+
+
 def topk_ivf(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_lists: int = 8,

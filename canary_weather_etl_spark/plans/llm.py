@@ -907,25 +907,86 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_bytes", "sha256")
 
 
+_IVF_FIXED_TAIL = """
+    , qprobe AS (
+        SELECT qq.query_id, c.cid,
+               CAST(SUM((qq.qv - c.cv) * (qq.qv - c.cv)) AS BIGINT) AS dist
+        FROM (SELECT vec_id AS query_id, ord, qv FROM q WHERE vec_id < 5) qq
+        JOIN c2 c ON c.ord = qq.ord
+        GROUP BY 1, 2),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT query_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist, cid) AS rn
+            FROM qprobe) WHERE rn <= 4),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probe p JOIN afin a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id),
+    base AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    vv AS (
+        SELECT c.query_id, c.vec_id, qb.v AS qv2, cb.v AS cv2
+        FROM cand c JOIN base qb ON qb.id = c.query_id
+                    JOIN base cb ON cb.id = c.vec_id),
+    expl AS (
+        SELECT query_id, vec_id, qv2, cv2,
+               unnest(generate_series(1, len(qv2))) AS i
+        FROM vv),
+    dots AS (
+        SELECT query_id, vec_id, SUM(qv2[i] * cv2[i]) AS dp,
+               SUM(qv2[i] * qv2[i]) AS aa, SUM(cv2[i] * cv2[i]) AS bb
+        FROM expl GROUP BY 1, 2),
+    scored AS (
+        SELECT query_id, vec_id,
+               FLOOR(dp / (SQRT(aa) * SQRT(bb)) * 1e6 + 0.5) / 1e6
+                   AS cos_sim
+        FROM dots),
+    ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+        FROM scored)
+    SELECT query_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 10
+"""
+
+
+def _ivf_fixed_oracle() -> str:
+    from .r7_queries import _kmeans_oracle
+    return _kmeans_oracle(k=8, iterations=2, final_select=_IVF_FIXED_TAIL)
+
+
 @register(
     "q_sim_ann_ivf",
-    oracle=None,  # KMeans-trained quantizer; recall checked in pytest
-    doc="IVF-style approximate top-10: KMeans coarse quantizer (8 lists) "
-        "TRAINED ONCE and persisted as a centroid table "
-        "(operators/similarity.persist_ivf_quantizer) — the query plan "
-        "probes the 4 nearest lists per query via a broadcast of the "
-        "centroid parquet, with NO KMeans fit job inside the query. Exact "
-        "cosine rescoring on candidates only. The data-adaptive complement "
-        "to the hyperplane-LSH path.",
+    oracle=_ivf_fixed_oracle(),
+    doc="IVF-style approximate top-10: coarse quantizer (8 lists) TRAINED "
+        "ONCE and persisted as a centroid table — the query plan probes "
+        "the 4 nearest lists per query via a broadcast of the centroid "
+        "parquet, with NO clustering fit job inside the query. Exact "
+        "cosine rescoring on candidates only. The data-adaptive "
+        "complement to the hyperplane-LSH path. r10: the quantizer is "
+        "now the repo's DETERMINISTIC integer fixed-point Lloyd "
+        "(operators/similarity.train_ivf_quantizer_fixed wrapping "
+        "clustering.kmeans_fixed) instead of MLlib KMeans, which "
+        "upgrades the entry from rows-only to a FULL SQL oracle: "
+        "q_kmeans_lloyd's unrolled-iteration prefix rebuilds the SAME "
+        "final centroids, then the oracle replays integer-L2 probing, "
+        "the list equi-join and the rounded exact-cosine rank cut "
+        "(the r8 PQ-ADC discipline). The MLlib quantizer remains "
+        "available (train_ivf_quantizer) with its recall pytest.",
     tags=("llm", "similarity", "approx"),
 )
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_par(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
-    cdf = S.persist_ivf_quantizer(e, _ivf_quantizer_path(sf_dir),
-                                  n_lists=8, seed=42)
-    return S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4, centroids=cdf)
+    cdf = S.persist_ivf_quantizer_fixed(e, _ivf_quantizer_path(sf_dir),
+                                        n_lists=8, iterations=2)
+    return S.topk_ivf_fixed(e, q, k=10, n_lists=8, n_probe=4,
+                            iterations=2, centroids=cdf)
 
 
 def _ivf_quantizer_path(sf_dir: str) -> str:
@@ -939,9 +1000,11 @@ def _ivf_quantizer_path(sf_dir: str) -> str:
     import tempfile
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    # "fx" since r10: the deterministic fixed-point quantizer table —
+    # distinct name so a stale MLlib-era table is never read back
     return os.path.join(tempfile.gettempdir(),
                         f"canary_ivf_u{os.getuid()}",
-                        f"quantizer_{tag}.parquet")
+                        f"quantizer_fx_{tag}.parquet")
 
 
 def _recall_rows(exact: DataFrame, approx: dict[str, DataFrame],
@@ -988,11 +1051,15 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("query_id"), "embedding")).cache()
     exact = S.topk_brute_force(e, q, k=10).select("query_id", "vec_id").cache()
     n_total = exact.count()  # 50-row ground truth — a metric-sized scalar
-    cdf = S.persist_ivf_quantizer(e, _ivf_quantizer_path(sf_dir),
-                                  n_lists=8, seed=42)
+    # same quantizer table + probe path as the registered q_sim_ann_ivf
+    # (the deterministic fixed-point trainer since r10), so this recall
+    # row measures exactly the path the oracled entry ships
+    cdf = S.persist_ivf_quantizer_fixed(e, _ivf_quantizer_path(sf_dir),
+                                        n_lists=8, iterations=2)
     approx = {
         "lsh": S.topk_lsh(e, q, k=10, dim=64, bits=4, probes=16),
-        "ivf": S.topk_ivf(e, q, k=10, n_lists=8, n_probe=4, centroids=cdf),
+        "ivf": S.topk_ivf_fixed(e, q, k=10, n_lists=8, n_probe=4,
+                                iterations=2, centroids=cdf),
         # out_dim=32/pool=60: unclustered random fixtures are JL's worst
         # case (cosine gaps shrink toward 0 as dims mix) — halving the
         # width with a 60-candidate re-rank pool is the honest operating

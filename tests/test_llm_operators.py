@@ -205,11 +205,19 @@ def test_multimodal_exact_dedup(spark, docs):
     assert all(g["keeper_id"] < 1000 for g in groups)
 
 
-def test_ivf_recall_vs_brute_force(spark, emb):
+@pytest.mark.parametrize("quantizer", ["mllib", "fixed"])
+def test_ivf_recall_vs_brute_force(spark, emb, quantizer):
+    """Both quantizer trainers clear the recall floor: MLlib KMeans (the
+    seeded operator option) and the deterministic integer fixed-point
+    Lloyd the registered q_sim_ann_ivf runs for its SQL oracle (r10)."""
     q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     exact = S.topk_brute_force(emb, q, k=10).collect()
-    approx = S.topk_ivf(emb, q, k=10, n_lists=8, n_probe=4).collect()
+    if quantizer == "fixed":
+        approx = S.topk_ivf_fixed(emb, q, k=10, n_lists=8, n_probe=4,
+                                  iterations=2).collect()
+    else:
+        approx = S.topk_ivf(emb, q, k=10, n_lists=8, n_probe=4).collect()
     exact_sets, approx_sets = {}, {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
