@@ -59,12 +59,22 @@ def curate_corpus(
     mix_fractions: dict[str, float] | None = None,
     source_col: str = "source",
     seed: int = 42,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Returns the curated chunk table:
     (doc_id, source, chunk_idx, chunk, chunk_tokens).
 
     Near-dup policy: within each verified near-dup pair, the higher id is
-    dropped (keep-first). Exact dups collapse on the 64-bit content hash.
+    dropped (keep-first). Exact dups collapse on the content hash with a
+    DETERMINISTIC keeper — min id per hash group (r10; dropDuplicates
+    picked an arbitrary survivor, the nondeterminism class the r9
+    checkpoint fix had to pin — now the choice is deterministic outright,
+    identical across engines, partitionings and retries).
+
+    ``portable_hash=True`` swaps xxhash64 for md5 as the exact-dedup key
+    and runs the MinHash stage on its universal-hash portable basis — the
+    WHOLE five-stage composition then replays bit-for-bit in a SQL
+    oracle (q_corpus_curation since r10). xxhash64 stays the default.
 
     PRECONDITION: ``id_col`` must be UNIQUE in ``docs`` (ADVICE r9). The
     chunk stage rebuilds survivor text by semi-joining the RAW scan on
@@ -82,14 +92,25 @@ def curate_corpus(
         .filter(lang_id(text_col).isin(*keep_langs))
     )
 
-    # 2. exact dedup on the content hash (8-byte shuffle key)
-    exact = gated.withColumn("__h", F.xxhash64(text_col)) \
-                 .dropDuplicates(["__h"]).drop("__h")
+    # 2. exact dedup on the content hash (8-byte shuffle key), keeper =
+    # min id per hash group: one window over the hash shuffle, no
+    # arbitrary-survivor nondeterminism
+    from pyspark.sql import Window
+
+    hash_key = (F.md5(F.col(text_col)) if portable_hash
+                else F.xxhash64(text_col))
+    wh = Window.partitionBy("__h")
+    exact = (gated.withColumn("__h", hash_key)
+             .withColumn("__keep", F.min(id_col).over(wh))
+             .filter(F.col(id_col) == F.col("__keep"))
+             .drop("__h", "__keep"))
 
     # 3. near-dup removal: LSH candidates → verified pairs → drop b-side
     sets = shingle_sets(exact, id_col, text_col, n=2).localCheckpoint(eager=True)
-    sigs = minhash_signatures_from_sets(sets, num_hashes=32)
-    cands = lsh_candidate_pairs(sigs, bands=8, num_hashes=32)
+    sigs = minhash_signatures_from_sets(sets, num_hashes=32,
+                                        portable_hash=portable_hash)
+    cands = lsh_candidate_pairs(sigs, bands=8, num_hashes=32,
+                                portable_hash=portable_hash)
     dup_pairs = verify_pairs_jaccard(sets, cands,
                                      threshold=near_dup_threshold)
     drop_ids = dup_pairs.select(F.col("b").alias(id_col)).distinct()

@@ -1434,20 +1434,110 @@ def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle() -> str:
+    """The WHOLE five-stage curation composition in SQL: gate → exact
+    dedup (min-id keeper per md5) → portable-MinHash/LSH near-dup drop →
+    chunking — every stage reuses the fragment its standalone oracle
+    already proved (q_observe_quality_gate's gate, q_dedup_minhash_lsh's
+    signature/band/verify arithmetic, q_text_chunking's window slice)."""
+    tok = _SQL_TOKENS.format(c="text")
+    q_ok = (f"(len({tok}) >= 20 "
+            f"AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) "
+            f"AS DOUBLE) / len({tok}) <= 12.0 "
+            f"AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) "
+            f"AS DOUBLE) / length(text) <= 0.3)")
+    band_case = " ".join(
+        f"WHEN {b} THEN {_minhash_band_fold_sql(b)}" for b in range(8))
+    return rf"""
+    WITH gated AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE {q_ok} AND {_sql_lang_id()} IN ('en', 'und')
+    ), exact AS (
+        SELECT doc_id, source, text FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+            FROM gated) WHERE doc_id = keep
+    ), toksx AS (
+        SELECT doc_id AS doc,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM exact
+    ), grams AS (
+        SELECT DISTINCT doc, shingle FROM (
+            SELECT doc, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc, t, unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toksx))
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc
+    ), {_minhash_ab_sql(32)}, hs AS (
+        SELECT doc, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+        FROM grams
+    ), mins AS (
+        SELECT doc, ab.p, MIN((ab.a * hs.h + ab.b) % 2147483647) AS mh
+        FROM hs CROSS JOIN ab
+        GROUP BY doc, ab.p
+    ), sig AS (
+        SELECT doc, list(mh ORDER BY p) AS s FROM mins GROUP BY doc
+    ), bands AS (
+        SELECT doc, b, CASE b {band_case} END AS bv
+        FROM sig, UNNEST(range(0, 8)) AS tb(b)
+    ), cands AS (
+        SELECT DISTINCT l.doc AS a, r.doc AS b
+        FROM bands l JOIN bands r
+          ON l.b = r.b AND l.bv = r.bv AND l.doc < r.doc
+    ), common AS (
+        SELECT c.a, c.b, COUNT(*) AS cmn
+        FROM cands c
+        JOIN grams ga ON ga.doc = c.a
+        JOIN grams gb ON gb.doc = c.b AND gb.shingle = ga.shingle
+        GROUP BY c.a, c.b
+    ), dropped AS (
+        SELECT DISTINCT c.b AS doc_id
+        FROM common c
+        JOIN sizes sa ON sa.doc = c.a
+        JOIN sizes sb ON sb.doc = c.b
+        WHERE CAST(cmn AS DOUBLE) / (sa.sz + sb.sz - cmn) >= 0.5
+    ), survivors AS (
+        SELECT e.* FROM exact e
+        WHERE NOT EXISTS (SELECT 1 FROM dropped d
+                          WHERE d.doc_id = e.doc_id)
+    ), stoks AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM survivors
+    )
+    SELECT doc_id, source,
+           CAST((s - 1) / 30 AS INT) AS chunk_idx,
+           array_to_string(t[s:s+39], ' ') AS chunk,
+           CAST(len(t[s:s+39]) AS INT) AS chunk_tokens
+    FROM (SELECT doc_id, source, t,
+                 unnest(generate_series(1, greatest(len(t) - 10, 1), 30))
+                     AS s
+          FROM stoks)
+    """
+
+
 @register(
     "q_corpus_curation",
-    oracle=None,  # composes hash-specific near-dup removal + seeded sampling
+    oracle=_curation_oracle(),
     doc="The full curation pipeline composed end-to-end "
         "(operators/pipeline.curate_corpus): quality gate -> language "
         "filter -> exact hash dedup -> MinHash/LSH near-dup removal -> "
-        "chunking. Invariants (monotone row bookkeeping, no near-dup "
-        "survivors, chunk arithmetic) asserted in tests/test_llm_operators.",
+        "chunking. r10: upgraded from rows-only to a FULL SQL oracle — "
+        "the composition runs the portable hash basis (md5 exact-dedup "
+        "key with a DETERMINISTIC min-id keeper, universal-hash MinHash "
+        "permutations) and the oracle replays ALL FIVE stages from the "
+        "fragments their standalone oracles already proved "
+        "(q_observe_quality_gate's gate, q_dedup_minhash_lsh's "
+        "signature/band/verify arithmetic, q_text_chunking's slice). "
+        "The arbitrary-survivor exact dedup that forced rows-only is "
+        "gone in BOTH bases (min-id keeper). Invariants (monotone row "
+        "bookkeeping, no near-dup survivors, chunk arithmetic) remain "
+        "asserted in tests/test_llm_operators.",
     tags=("llm", "pipeline"), bench=True,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import curate_corpus
     d = load_par(spark, sf_dir, "documents")
-    return curate_corpus(d)
+    return curate_corpus(d, portable_hash=True)
 
 
 @register(
