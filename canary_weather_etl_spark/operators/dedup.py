@@ -352,7 +352,12 @@ def containment_pairs(shingles: DataFrame,
 
     if regime == "auto":
         # one probe job, three driver scalars: the two volume integrals
-        # + the recount multiplier
+        # + the recount multiplier. The prefix integral re-derives the
+        # ranking pass rather than checkpointing `pref` for the
+        # execution to reuse — measured (scripts/containment_zipf.py):
+        # the eager materialization saved nothing at 30k docs and LOST
+        # at 100k (the probe's agg pipelines with the ranking anyway),
+        # the same re-derive-narrow-state rule as the r8 DSIR lesson.
         probe = dftab.agg(
             F.sum(F.col("df") * F.col("df")).alias("v_naive"),
             F.sum("df").alias("gram_rows"),
