@@ -131,7 +131,11 @@ def minhash_signatures_from_sets(sets: DataFrame,
     op replays exactly in any SQL engine, and the products stay under
     2^60 so the arithmetic is overflow-safe int64. One md5 + 32
     multiply-mods per shingle instead of 32 md5s (the r10 first cut):
-    measured back at xxhash64-level cost. The default stays xxhash64."""
+    measured at-or-below xxhash64 cost at sf0.1 — but at the THIRD
+    decade the md5 leg dominates (94x vs 25x per unit at 1000x,
+    SCALE.md r10), so the xxhash64 default remains the at-scale
+    production basis; portable buys differential testability at
+    correctness scale."""
     if portable_hash:
         # materialize the md5-derived base hashes as their own projection
         # so the 32 permutation transforms share ONE md5 pass per row
