@@ -101,6 +101,21 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
 
+# r11 measured dead end (do NOT retry): replacing `%` with a Mersenne
+# fold (t = (x >> 31) + (x & P), conditional subtract) is the wrong fix
+# at BOTH evaluation sites. Inside the permutation lambdas it loses
+# because higher-order-function lambdas are CodegenFallback — evaluated
+# as interpreted expression trees where per-NODE overhead dominates, so
+# a 7-node fold costs more than one Remainder node regardless of what a
+# 64-bit divide costs in silicon. In the codegen'd band-key projection
+# it's worse: `when(t >= P, t - P).otherwise(t)` references t three
+# times, so chaining the fold per band element grows the expression
+# tree ~3^4 per band and the generated method burst the 64 KB Janino
+# limit (whole-stage codegen disabled for the plan — observed). The
+# actual third-decade fix is `_portable_minhash_agg_signatures`:
+# get the arithmetic OUT of interpreted lambdas and into a codegen'd
+# aggregate, where plain `%` is cheap.
+
 
 def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     """The (a_i, b_i) universal-hash constants for the portable MinHash
@@ -116,12 +131,68 @@ def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     return [(draw("a", i, 1), draw("b", i, 0)) for i in range(num_hashes)]
 
 
+def _portable_lambda_signatures(sets: DataFrame,
+                                num_hashes: int = 32) -> DataFrame:
+    """The r10 portable signature shape — array_min over per-permutation
+    transforms of a shared md5-derived base-hash projection. Kept for
+    the A/B in scripts/minhash_sig_probe.py: HOF lambdas are
+    CodegenFallback (interpreted per-node eval), which is exactly the
+    measured third-decade gap `_portable_minhash_agg_signatures`
+    closes. Not a production call site."""
+    hs = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("long"))
+    based = sets.select("doc", hs.alias("hs"))
+    ab = minhash_perm_constants(num_hashes)
+
+    def perm(a: int, b: int):
+        # one-arg closure: a two-parameter transform lambda would
+        # receive the element INDEX as its second argument
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(*[
+        F.array_min(F.transform("hs", perm(a, b))) for a, b in ab
+    ])
+    return based.select("doc", sig.alias("signature"))
+
+
+def _portable_minhash_agg_signatures(sets: DataFrame,
+                                     num_hashes: int = 32) -> DataFrame:
+    """Portable universal-hash MinHash signatures via explode + a
+    codegen'd 32-way MIN aggregate (the r11 third-decade fix).
+
+    Identical values to `_portable_lambda_signatures` — h = first 7 md5
+    hex digits as a 28-bit int, permutation i = (a_i·h + b_i) mod P,
+    P = 2^31−1, sha256-derived literal constants — but a different
+    physical plan: explode the shingle-set array, compute the base hash
+    ONCE per (doc, shingle) row in a codegen'd projection, then take
+    all 32 permutation mins in one hash aggregate. Declarative MIN aggs
+    over long arithmetic stay inside whole-stage codegen (primitive
+    longs, no boxing), whereas the transform/array_min lambda shape is
+    CodegenFallback — interpreted per-node eval whose dispatch overhead
+    dominated the 1000x signature stage (113.6 s vs xxhash64's 35.2 s
+    at 5M docs, SCALE.md r10). The added shuffle is key-reduced by the
+    map-side partial MIN to num_hashes longs per doc — ~1.3 GB at 5M
+    docs — and AQE coalesces it; measured wall at the third decade is
+    what scripts/minhash_sig_probe.py records."""
+    ab = minhash_perm_constants(num_hashes)
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long")
+    exploded = (sets.select("doc", F.explode("sh").alias("g"))
+                .select("doc", h.alias("h")))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))
+            .alias(f"h{i}") for i, (a, b) in enumerate(ab)]
+    sigs = exploded.groupBy("doc").agg(*aggs)
+    return sigs.select(
+        "doc",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def minhash_signatures_from_sets(sets: DataFrame,
                                  num_hashes: int = 32,
                                  portable_hash: bool = False) -> DataFrame:
-    """Same signature as `minhash_signatures`, computed row-wise from the
-    shingle-set array (array_min over a transform) — a narrow projection,
-    no explode, no shuffle.
+    """Same signature as `minhash_signatures`, computed from the
+    shingle-set array.
 
     ``portable_hash=True`` swaps the seeded xxhash64 permutations for
     the textbook universal-hash construction over ONE md5 per shingle:
@@ -129,39 +200,32 @@ def minhash_signatures_from_sets(sets: DataFrame,
     permutation i = (a_i·h + b_i) mod P with P = 2^31−1 and
     sha256-derived literal constants (`minhash_perm_constants`) — every
     op replays exactly in any SQL engine, and the products stay under
-    2^60 so the arithmetic is overflow-safe int64. One md5 + 32
-    multiply-mods per shingle instead of 32 md5s (the r10 first cut):
-    measured at-or-below xxhash64 cost at sf0.1 — but at the THIRD
-    decade the md5 leg dominates (94x vs 25x per unit at 1000x,
-    SCALE.md r10), so the xxhash64 default remains the at-scale
-    production basis; portable buys differential testability at
-    correctness scale."""
+    2^60 so the arithmetic is overflow-safe int64. Since r11 the
+    portable path routes through `_portable_minhash_agg_signatures`
+    (explode + codegen'd 32-way MIN aggregate): the r10 zero-shuffle
+    lambda projection paid interpreted CodegenFallback eval per
+    element×permutation, which was the WHOLE third-decade gap vs the
+    xxhash64 basis (SCALE.md r10/r11); one key-reduced partial-agg
+    shuffle buys fully codegen'd arithmetic. The xxhash64 default keeps
+    the zero-shuffle row-wise shape (one interpreted hash node per
+    element is near the interpreter floor)."""
     if portable_hash:
-        # materialize the md5-derived base hashes as their own projection
-        # so the 32 permutation transforms share ONE md5 pass per row
-        # (inlined into each F.array element they would re-evaluate 32x)
-        hs = F.transform(
-            "sh",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-            .cast("long"))
-        based = sets.select("doc", hs.alias("hs"))
-        ab = minhash_perm_constants(num_hashes)
+        return _portable_minhash_agg_signatures(sets, num_hashes)
 
-        def perm(a: int, b: int):
-            # one-arg closure: a two-parameter transform lambda would
-            # receive the element INDEX as its second argument
-            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+    def xperm(i: int):
+        # one-arg closure — the former `lambda s, i=i:` silently became a
+        # TWO-parameter transform lambda, so Spark bound the ELEMENT
+        # INDEX to `i` (shadowing the permutation seed) and every
+        # signature element per doc was the SAME single-permutation min.
+        # Found r11 by differential A/B against the explode+agg shape
+        # (scripts/minhash_sig_probe.py asserts both shapes bit-equal);
+        # the r10 lesson had fixed only the portable path's closures.
+        return lambda s: F.xxhash64(s, F.lit(i))
 
-        sig = F.array(*[
-            F.array_min(F.transform("hs", perm(a, b))) for a, b in ab
-        ])
-        return based.select("doc", sig.alias("signature"))
-    else:
-        sig = F.array(*[
-            F.array_min(F.transform(
-                "sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ])
+    sig = F.array(*[
+        F.array_min(F.transform("sh", xperm(i)))
+        for i in range(num_hashes)
+    ])
     return sets.select("doc", sig.alias("signature"))
 
 
@@ -330,8 +394,13 @@ def containment_pairs(shingles: DataFrame,
     ``auto`` probes both integrals from one ranking pass (driver
     scalars): V_naive = Σ df², V_prefix = prefix-join volume × (1 +
     2·avg set size) — the recount upper bound — and picks the smaller.
-    Both paths are pytest-pinned identical. At 100 TB the probe is one
-    metadata-cheap aggregate; a corpus with NO rare tail leaves exact
+    Both paths are pytest-pinned identical. The probe is NOT free: the
+    V_prefix integral executes the ranking pass (a full shuffle over the
+    shingle rows) into one bounded-output aggregate at plan-build time,
+    and the prefix execution re-derives that ranking (the measured
+    re-derive-vs-checkpoint no-win below) — so ``auto`` costs one extra
+    bounded-output job plus the intentional re-derive, not a metadata
+    scan (ADVICE r10). A corpus with NO rare tail leaves exact
     containment inherently near-all-pairs (measured: the flat-vocab
     fixture at 100× spilled past local disk) — the bounded-recall path
     there is a banded candidate generator + the prefix regime's exact
@@ -416,6 +485,70 @@ def containment_pairs(shingles: DataFrame,
         .withColumn("containment_units",
                     F.expr("1000000 * common DIV sz_contained"))
     )
+    return (out.filter(F.col("containment_units") >= threshold_units)
+            .select("contained", "container", "common", "sz_contained",
+                    "containment_units"))
+
+
+def containment_pairs_banded(sets: DataFrame,
+                             threshold_units: int = 800_000,
+                             num_hashes: int = 32, bands: int = 8,
+                             portable_hash: bool = True) -> DataFrame:
+    """BOUNDED-RECALL containment pairs — the 100 TB path for corpora
+    with NO rare tail, where BOTH exact regimes of `containment_pairs`
+    are inherently near-all-pairs (the flat-vocab fixture's measured
+    100x disk abort, SCALE.md r10): candidates come from the MinHash-LSH
+    band join (pairs agreeing on >= 1 of ``bands`` signature bands), the
+    verification tail is the prefix regime's EXACT recount — here as an
+    `array_intersect` over the candidates' shingle-set arrays, emitting
+    BOTH directions of every candidate pair with 1e6·common DIV sz >=
+    ``threshold_units``. Same output schema and integer fixed-point
+    semantics as `containment_pairs`; the only relaxation is WHICH pairs
+    are examined.
+
+    Why this completes where exact aborts: on a flat vocabulary any two
+    docs share ~|A|²/V shingles, so shingle-join candidate volume is
+    ~4-5% of n² no matter how the index is built — but a full BAND
+    collision needs signatures agreeing on all (num_hashes/bands)
+    permutation mins, probability ~ J^(rows) per band, so coincidental
+    low-Jaccard pairs vanish while near-identical pairs (mutual
+    containment) survive. The recall loss is exactly the asymmetric
+    corner: A tiny inside huge B has containment ~1 but Jaccard ~
+    |A|/|B|, which banding under-samples — pytest pins the measured
+    recall vs the exact operator on the fixture, and the honest scale
+    statement lives in SCALE.md.
+
+    ``portable_hash=True`` (default here, unlike the Jaccard pipeline)
+    keeps every stage SQL-replayable so the registry entry carries a
+    full oracle."""
+    sigs = minhash_signatures_from_sets(sets, num_hashes, portable_hash)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes, portable_hash)
+    joined = (
+        cands
+        .join(sets.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"),
+                          F.col("sz").alias("sz_a")), "a")
+        .join(sets.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"),
+                          F.col("sz").alias("sz_b")), "b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b"))
+                    .cast("long"))
+        .select("a", "b", "common", "sz_a", "sz_b")
+    )
+    # one candidate row fans into the two ordered directions, then the
+    # same fixed-point gate as the exact operator
+    both = joined.select(
+        F.explode(F.array(
+            F.struct(F.col("a").alias("contained"),
+                     F.col("b").alias("container"),
+                     F.col("common"),
+                     F.col("sz_a").cast("long").alias("sz_contained")),
+            F.struct(F.col("b").alias("contained"),
+                     F.col("a").alias("container"),
+                     F.col("common"),
+                     F.col("sz_b").cast("long").alias("sz_contained")),
+        )).alias("d")
+    ).select("d.*")
+    out = both.withColumn(
+        "containment_units", F.expr("1000000 * common DIV sz_contained"))
     return (out.filter(F.col("containment_units") >= threshold_units)
             .select("contained", "container", "common", "sz_contained",
                     "containment_units"))
@@ -569,6 +702,159 @@ def exact_jaccard_cross(sh_a: DataFrame, sh_b: DataFrame,
                     / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
     )
     return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus admission: persisted-postings screen (the 100 TB regime)
+# ---------------------------------------------------------------------------
+
+def admission_state_init(corpus: DataFrame, state_dir: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 2, buckets: int = 64) -> None:
+    """Seed the persisted admission state for `admission_screen_batch`'s
+    postings regime: ``state_dir/postings`` — (shingle, doc, sz) rows
+    partitioned by a shingle-hash ``bucket`` (routing only, results
+    never depend on it), and ``state_dir/hashes`` — distinct content
+    md5s for the exact gate. Built once from the seed corpus; every
+    admitted batch appends its own rows — the corpus TEXT is never
+    re-shingled after this."""
+    import os
+
+    sets = shingle_sets(corpus, id_col, text_col, n)
+    postings = (sets.select(F.col("doc"), "sz", F.explode("sh")
+                            .alias("shingle"))
+                .withColumn("bucket",
+                            F.pmod(F.xxhash64("shingle"), F.lit(buckets))))
+    (postings.write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "postings")))
+    (corpus.select(F.md5(text_col).alias("h")).distinct()
+     .write.mode("overwrite").parquet(os.path.join(state_dir, "hashes")))
+
+
+def admission_screen_batch(batch: DataFrame, corpus_dir: str,
+                           state_dir: str | None = None,
+                           regime: str = "auto",
+                           threshold: float = 0.5, n: int = 2,
+                           buckets: int = 64) -> DataFrame:
+    """One micro-batch of corpus admission (exact content gate + exact
+    cross-Jaccard near gate vs the CURRENT corpus), with an
+    ENGINE-CHOSEN cost regime — the same two-exact-plans discipline as
+    `containment_pairs` / `set_similarity_join`:
+
+    - ``rescan`` (the r10 shape, the correctness-scale twin): re-read
+      the corpus text and re-shingle it this batch. Per-batch cost is
+      O(corpus) regex/ngram work — fine while the corpus is small,
+      linear-in-corpus-per-batch at scale (the r10 verdict's named gap).
+    - ``postings`` (the 100 TB shape): equi-join the batch's shingles
+      against the PERSISTED postings table seeded by
+      `admission_state_init` and maintained by appends here — the
+      corpus text is never touched. Per-batch cost is O(batch shingles
+      x df-hit); the scan is pruned to the shingle-hash buckets the
+      batch actually touches (a bounded <= ``buckets`` driver list into
+      a partition-column IN filter). On a real deployment the postings
+      table lives in a format with point data-skipping; Hive-style
+      bucket partitions are the vanilla-parquet approximation.
+
+    Both regimes are EXACT and verdict-identical (pytest-pinned):
+    Jaccard is computed from the same integer counts either way, so the
+    SQL oracle is regime-independent. ``auto`` picks postings once the
+    persisted corpus outgrows the batch (corpus gram rows > 4x batch
+    gram rows — two cheap counts; below that the rescan's one-pass
+    shingle job beats the state-join bookkeeping, measured in
+    scripts/admission_scale.py). Without ``state_dir`` the screen is
+    the plain r10 rescan and maintains no state.
+
+    Returns the verdict frame (doc_id, text, verdict, n_near), eagerly
+    checkpointed; appends admitted docs to ``corpus_dir`` and, when
+    ``state_dir`` is given, their postings/hashes to the state tables —
+    so the NEXT batch sees this batch's admits, whichever regime it
+    picks."""
+    import os
+
+    if regime not in ("auto", "rescan", "postings"):
+        raise ValueError(f"unknown regime {regime!r}")
+    if state_dir is None and regime in ("postings",):
+        raise ValueError("postings regime requires state_dir")
+    sp = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)
+    bsets = shingle_sets(batch, "doc_id", "text", n)
+    bsh = (bsets.select(F.col("doc").alias("doc_id"),
+                        F.col("sz").alias("sz_a"),
+                        F.explode("sh").alias("shingle"))
+           .withColumn("bucket",
+                       F.pmod(F.xxhash64("shingle"), F.lit(buckets)))
+           .localCheckpoint(eager=True))
+
+    if state_dir is None:
+        regime = "rescan"
+    elif regime == "auto":
+        post_rows = sp.read.parquet(
+            os.path.join(state_dir, "postings")).count()
+        batch_rows = bsh.count()
+        regime = "postings" if post_rows > 4 * batch_rows else "rescan"
+
+    if regime == "postings":
+        hashes = sp.read.parquet(os.path.join(state_dir, "hashes"))
+        exact = (batch.select("doc_id", F.md5("text").alias("h"))
+                 .join(hashes, "h", "left_semi")
+                 .select("doc_id").distinct()
+                 .withColumn("is_exact", F.lit(True)))
+        touched = [r["bucket"]
+                   for r in bsh.select("bucket").distinct().collect()]
+        postings = (sp.read.parquet(os.path.join(state_dir, "postings"))
+                    .filter(F.col("bucket").isin(touched)))
+        common = (bsh.join(postings, "shingle")
+                  .groupBy("doc_id", F.col("doc").alias("b"))
+                  .agg(F.count(F.lit(1)).alias("common"),
+                       F.first("sz_a").alias("sz_a"),
+                       F.first("sz").alias("sz_b")))
+        near = (common
+                .withColumn("jaccard",
+                            F.col("common").cast("double")
+                            / (F.col("sz_a") + F.col("sz_b")
+                               - F.col("common")))
+                .filter(F.col("jaccard") >= threshold)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_near")))
+    else:
+        corpus = sp.read.parquet(corpus_dir).localCheckpoint(eager=True)
+        exact = (batch.select("doc_id", F.md5("text").alias("h"))
+                 .join(corpus.select(F.md5("text").alias("h")).distinct(),
+                       "h", "left_semi")
+                 .select("doc_id").distinct()
+                 .withColumn("is_exact", F.lit(True)))
+        near = (exact_jaccard_cross(
+                    shingle_table(batch, "doc_id", "text", n=n),
+                    shingle_table(corpus, "doc_id", "text", n=n),
+                    threshold=threshold)
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.count(F.lit(1)).alias("n_near")))
+
+    verdicts = (
+        batch.select("doc_id", "text")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id", "text",
+            F.when(F.col("is_exact"), "exact_dup")
+             .when(F.coalesce("n_near", F.lit(0)) > 0, "near_dup")
+             .otherwise("admit").alias("verdict"),
+            F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near"))
+        .localCheckpoint(eager=True))
+
+    admitted = verdicts.filter(F.col("verdict") == "admit")
+    (admitted.select("doc_id", "text")
+     .write.mode("append").parquet(corpus_dir))
+    if state_dir is not None:
+        adm_ids = admitted.select("doc_id")
+        (bsh.join(adm_ids, "doc_id", "left_semi")
+         .select(F.col("doc_id").alias("doc"), F.col("sz_a").alias("sz"),
+                 "shingle", "bucket")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(os.path.join(state_dir, "postings")))
+        (admitted.select(F.md5("text").alias("h")).distinct()
+         .write.mode("append").parquet(os.path.join(state_dir, "hashes")))
+    return verdicts
 
 
 def duplicated_span_table(df: DataFrame, id_col: str, text_col: str,

@@ -120,10 +120,11 @@ def curate_corpus(
     # 1000x decade (SCALE.md r9): (a) the regex-heavy quality/lang gate
     # is the pipeline's most expensive scan (83 s of the 336 s total at
     # 1000x) and re-deriving `exact` for the chunk stage ran it twice;
-    # (b) dropDuplicates picks an ARBITRARY survivor per hash group, so
-    # two computations of `exact` may disagree — deriving ids from the
-    # checkpoint pins ONE consistent exact-dedup survivor choice for the
-    # near-dup branch and the chunk stage alike.
+    # (b) even though the exact-dedup keeper is now the deterministic
+    # min-id window (not dropDuplicates' arbitrary pick), deriving ids
+    # from the checkpoint guarantees the near-dup branch and the chunk
+    # stage see the SAME survivor set without re-running the keeper's
+    # full-row hash shuffle a second time.
     survivor_ids = (sets.select(F.col("doc").alias(id_col))
                     .join(drop_ids, on=id_col, how="left_anti"))
     survivors = docs.join(survivor_ids, on=id_col, how="left_semi")

@@ -30,64 +30,43 @@ from . import cleaning      # noqa: E402,F401  PII redaction / URL canonicalizat
 from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / r8 ops
 from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 from . import r10_queries   # noqa: E402,F401  containment / quality logit
+from . import r11_queries   # noqa: E402,F401  banded containment / postings screen
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-10 rotation, per the r9 verdict's
-# #1/#2/#4 directives: position 1 is `q_bpe_encode_ids` — the r9 sample's
-# one red row (the driver's pandas canonicalizer cannot hash its former
-# array<bigint> column; the result is now flattened to a space-joined
-# string on both engine and oracle sides) — so CORRECTNESS_r10 proves the
-# fix. Position 2 is `q_cosine_near_dup`, newly converted from rows-only
-# to a full SQL oracle (verdict #4), so its first hash row lands in the
-# same round. Positions 3-4: the two queries NEW in r10
-# (q_containment_pairs, q_quality_logit_score) get driver rows at birth.
-# Then BY EVIDENCE AGE: the 17 r3-vintage entries whose driver rows are
-# 7 rounds old, then the oldest r4-sampled entries — the first 29 of
-# them fill the 50. Positions 51+: the remaining 9 r4-sampled entries
-# (r11's rotation head), then the r5/r7-sampled blocks in evidence-age
-# order; everything unlisted (r8/r9-fresh rows) trails in registration
-# order. After r10 nothing in the registry carries a driver row older
-# than r4, and r11's 9-entry r4 tail + the r5 block cycles the whole
-# registry within ~5 rounds, as planned in r9.
+# hard external correctness row. Round-11 rotation, per the r10 verdict's
+# #2 directive and the rotation plan it ratified: `q_try_functions` heads
+# the list (the only entry whose LATEST driver row is red — an r5
+# stringify artifact fixed in r6, sweep-green every round since, but
+# never re-sampled because it sat outside the priority head). Then the
+# three r4-sampled entries that just missed r10's 50-cut (old positions
+# 51-53), the r11-new entries at birth, the remaining 7 r4-sampled
+# entries, and the r7/r5-sampled blocks by evidence age. CORRECTNESS_r10
+# went 50/50 green (the first all-green sample), so after r11 no entry's
+# latest driver row is red or older than r5, and the r12 tail (the
+# remaining r5 block + r8/r9-fresh rows trailing in registration order)
+# completes the 5-round full-registry cycle planned in r9.
 _DRIVER_PRIORITY = (
-    # the r9 red row, re-headed so the flatten fix gets its green row
-    "q_bpe_encode_ids",
-    # newly SQL-oracled (was rows-only): first hash row this round
-    "q_cosine_near_dup",
-    # new in r10 (driver rows at birth); the three r10 rows-only
-    # conversions (minhash/simhash/stratified) carry recent driver rows
-    # already, so they wait for their natural age-order turn
-    "q_containment_pairs", "q_quality_logit_score",
-    "q_stream_corpus_admission",
-    # the 17 r3-vintage entries — oldest driver rows in the tree
-    "q_data_quality_profile",
-    "q_pivot", "q_gap_fill_calendar",
-    "q_events_funnel", "q_events_cohort_retention",
-    "q_zorder_key", "q_global_rank", "q_weather_flatten_om",
-    "q_weather_flatten_vc", "q_weather_clean_build",
-    "q_weather_upsert_newwins", "q_split_train_val",
-    "q_domain_mix_weights", "q_vocab_coverage", "q_contamination_ngrams",
-    "q_csv_roundtrip", "q_jsonl_roundtrip",
-    # the 31 oldest r4-sampled entries
-    "q_join_broadcast_dims", "q_join_left_anti",
-    "q_join_left_semi", "q_join_left_outer", "q_join_full_outer",
-    "q_cross_join", "q_union_by_name", "q_except_all",
-    "q_intersect_distinct", "q_intersect_all", "q_window_rank",
-    "q_window_rolling", "q_window_lag_delta", "q_rollup", "q_cube",
-    "q_events_tumbling", "q_events_sliding", "q_events_session",
-    "q_grouping_sets", "q_window_distribution", "q_correlated_subquery",
-    "q_multimodal_embed_topk", "q_dedup_embedding_clusters",
-    "q_random_projection", "q_array_composite", "q_events_scalar_composite",
-    "q_unpivot_bool_profile", "q_variant_json", "q_merge_intervals",
-    "q_asof_join_staleness", "q_approx_percentile",
-    # positions 51+ — the r11 rotation head: the remaining 7 r4-sampled
-    # entries, then the r5/r7-sampled blocks by evidence age
+    # Position 1 (r10 verdict #2): the ONLY registry entry whose latest
+    # driver row is red — a CORRECTNESS_r05 decimal-vs-float stringify
+    # artifact, reworked in r6 and sweep-green since, but never
+    # re-sampled because it was outside the priority head. Its green row
+    # this round retires the last red in the evidence chain.
+    "q_try_functions",
+    # Positions 2-4: the r4-sampled tail that JUST missed r10's 50-entry
+    # cut (priority positions 51-53 last round).
+    "q_merge_intervals", "q_asof_join_staleness", "q_approx_percentile",
+    # New in r11 — driver rows at birth.
+    "q_containment_zipf", "q_containment_banded_recall",
+    "q_stream_admission_postings", "q_sketch_error_bounds",
+    # The remaining 7 r4-sampled entries, then the r7-sampled block —
+    # every driver row below is r4/r5/r7-vintage (all sweep-green; this
+    # head + the r12 tail cycles the whole registry within 5 rounds as
+    # planned in r9).
     "q_sessionize",
     "q_partition_stats", "q_histogram", "q_string_date_hash_composite",
     "q_api_datasource_scan", "q_orc_roundtrip", "q_stream_restart_dedup",
-    # r7-sampled entries with fresh CORRECTNESS_r07 rows
     "q_kmeans_lloyd", "q_kmeans_assign_incremental", "q_bfs_reach",
     "q_setjoin_prefix_filter", "q_winsorize_robust", "q_sql_udf",
     "q_arrow_normalize", "q_zonemap_skipping", "q_lang_balanced_sample",
@@ -100,6 +79,8 @@ _DRIVER_PRIORITY = (
     "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19",
     "q_tpch_q21", "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
     "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
+    # positions 55+ — the r12 rotation head: the rest of the r5-sampled
+    # block in evidence-age order
     "q_perceptron_batch", "q_boilerplate_strip", "q_tpch_q2",
     "q_tpch_q12",
     "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",

@@ -1,0 +1,368 @@
+"""Round-11 registry queries.
+
+Closes the r10 verdict's operator gaps: the BOUNDED-RECALL containment
+path for flat-vocabulary corpora (banded candidates + exact recount —
+the corner where both exact regimes are inherently near-all-pairs), a
+driver-visible Zipf-corpus containment entry (the chooser's prefix side
+as a CORRECTNESS row, not just a script table), the streaming
+admission's persisted-postings screen (the 100 TB regime, exact and
+verdict-identical to the r10 rescan twin), and the sketch families'
+measured error bounds as driver-visible data rows (the q_sim_ann_recall
+pattern: the RESULT is the error measurement).
+
+Reference provenance: the reference repo (ilias-lp/canary-weather-etl
+README.md) ships none of these; they extend the engine's LLM-pipeline
+family (SURVEY.md §2.11) with public methods (MinHash-LSH banding,
+PPJoin-style recount, CMS/HLL/GK error analysis) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import sketch as SK
+from .llm import _minhash_ab_sql, _minhash_band_fold_sql
+from .r10_queries import _STREAM_ADMISSION_SQL
+from .registry import load, load_par, register
+
+# ---------------------------------------------------------------------------
+# Bounded-recall containment: banded candidates + exact recount
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_BANDED_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc, shingle FROM (
+            SELECT doc, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc, t, unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc
+    ), {_minhash_ab_sql(32)}, hs AS (
+        SELECT doc, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+        FROM grams
+    ), mins AS (
+        SELECT doc, ab.p, MIN((ab.a * hs.h + ab.b) % 2147483647) AS mh
+        FROM hs CROSS JOIN ab
+        GROUP BY doc, ab.p
+    ), sig AS (
+        SELECT doc, list(mh ORDER BY p) AS s FROM mins GROUP BY doc
+    ), bands AS (
+        SELECT doc, b,
+               CASE b {' '.join(
+                   f"WHEN {b} THEN {_minhash_band_fold_sql(b)}"
+                   for b in range(8))} END AS bv
+        FROM sig, UNNEST(range(0, 8)) AS tb(b)
+    ), cands AS (
+        SELECT DISTINCT l.doc AS a, r.doc AS b
+        FROM bands l JOIN bands r
+          ON l.b = r.b AND l.bv = r.bv AND l.doc < r.doc
+    ), cmn AS (
+        SELECT c.a, c.b, COUNT(*) AS common
+        FROM cands c
+        JOIN grams ga ON ga.doc = c.a
+        JOIN grams gb ON gb.doc = c.b AND gb.shingle = ga.shingle
+        GROUP BY c.a, c.b
+    ), dirs AS (
+        SELECT a AS contained, b AS container, common FROM cmn
+        UNION ALL
+        SELECT b AS contained, a AS container, common FROM cmn
+    )
+    SELECT d.contained, d.container, d.common,
+           s.sz AS sz_contained,
+           1000000 * d.common // s.sz AS containment_units
+    FROM dirs d JOIN sizes s ON s.doc = d.contained
+    WHERE 1000000 * d.common // s.sz >= 800000
+"""
+
+
+@register(
+    "q_containment_banded_recall",
+    oracle=_CONTAINMENT_BANDED_SQL,
+    doc="BOUNDED-RECALL containment pairs — the 100 TB path for corpora "
+        "with NO rare tail, where BOTH exact regimes of "
+        "q_containment_pairs are inherently near-all-pairs (the "
+        "flat-vocab fixture's measured 100x disk abort, SCALE.md r10; "
+        "this implements the banded design that row named): candidates "
+        "come from the portable MinHash-LSH band join, verification is "
+        "the EXACT fixed-point recount over candidate pairs only, both "
+        "directions emitted (operators/dedup.containment_pairs_banded). "
+        "A full band collision needs all 4 permutation mins of some "
+        "band to agree (probability ~ Jaccard^4 per band), so the "
+        "4-5%%-of-n² coincidental sharing pairs that sink the exact "
+        "plans vanish while near-identical (mutual-containment) pairs "
+        "survive; the recall loss is the asymmetric tiny-inside-huge "
+        "corner, pytest-measured vs the exact operator. The oracle "
+        "replays signatures, banding, candidates and recount "
+        "bit-for-bit from the same sha256-derived literals.",
+    tags=("llm", "dedup", "approx"),
+)
+def q_containment_banded_recall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    sets = D.shingle_sets(d, "doc_id", "text", n=2)
+    return D.containment_pairs_banded(sets, threshold_units=800_000,
+                                      num_hashes=32, bands=8,
+                                      portable_hash=True)
+
+
+# ---------------------------------------------------------------------------
+# Containment on a deterministic Zipf corpus: the chooser's prefix side
+# ---------------------------------------------------------------------------
+
+_ZIPF_CLASSES = 5     # boilerplate template classes (df grows with n)
+_ZIPF_BOIL = 20       # boilerplate tokens per doc
+_ZIPF_TAIL = 10       # unique-tail tokens per doc (the rare tail)
+_ZIPF_PLANT = 50      # every PLANT-th doc gets a contained twin
+_ZIPF_OFFSET = 1_000_000
+
+
+def _zipf_boil_sql() -> str:
+    return " || ' ' || ".join(
+        f"'boil{j}t' || CAST(doc_id % {_ZIPF_CLASSES} AS VARCHAR)"
+        for j in range(_ZIPF_BOIL))
+
+
+def _zipf_tail_sql() -> str:
+    return " || ' ' || ".join(
+        f"'u' || CAST(doc_id AS VARCHAR) || 'w{j}'"
+        for j in range(_ZIPF_TAIL))
+
+
+_CONTAINMENT_ZIPF_SQL = rf"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    corpus AS (
+        SELECT doc_id, {_zipf_boil_sql()} || ' ' || {_zipf_tail_sql()} AS text
+        FROM ids
+        UNION ALL
+        SELECT doc_id + {_ZIPF_OFFSET} AS doc_id, {_zipf_tail_sql()} AS text
+        FROM ids WHERE doc_id % {_ZIPF_PLANT} = 0
+    ), toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM corpus
+    ), grams AS (
+        SELECT DISTINCT doc_id AS doc, shingle FROM (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+                  FROM toks)
+        )
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS sz FROM grams GROUP BY doc
+    ), common AS (
+        SELECT l.doc AS contained, r.doc AS container, COUNT(*) AS common
+        FROM grams l JOIN grams r
+          ON l.shingle = r.shingle AND l.doc <> r.doc
+        GROUP BY 1, 2
+    )
+    SELECT c.contained, c.container, c.common,
+           s.sz AS sz_contained,
+           1000000 * c.common // s.sz AS containment_units
+    FROM common c JOIN sizes s ON s.doc = c.contained
+    WHERE 1000000 * c.common // s.sz >= 800000
+"""
+
+
+def _zipf_corpus(ids: DataFrame) -> DataFrame:
+    """Deterministic template+tail Zipf corpus from a doc_id column —
+    the same construction scripts/containment_zipf.py measures, shrunk
+    to registry scale and expressed identically in Spark and SQL (the
+    oracle rebuilds the text strings from the same literals)."""
+    boil = F.concat_ws(" ", *[
+        F.concat(F.lit(f"boil{j}t"),
+                 (F.col("doc_id") % _ZIPF_CLASSES).cast("string"))
+        for j in range(_ZIPF_BOIL)])
+    tail = F.concat_ws(" ", *[
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit(f"w{j}"))
+        for j in range(_ZIPF_TAIL)])
+    base = ids.select("doc_id", F.concat_ws(" ", boil, tail).alias("text"))
+    twins = (ids.filter(F.col("doc_id") % _ZIPF_PLANT == 0)
+             .select((F.col("doc_id") + _ZIPF_OFFSET).alias("doc_id"),
+                     tail.alias("text")))
+    return base.unionByName(twins)
+
+
+@register(
+    "q_containment_zipf",
+    oracle=_CONTAINMENT_ZIPF_SQL,
+    doc="Exact containment on a DETERMINISTIC ZIPF corpus — the other "
+        "side of the regime crossover as driver-visible evidence (the "
+        "synthetic documents fixture is flat-vocab, adversarial for "
+        "every inverted-index method, so the chooser's prefix side "
+        "previously lived only in scripts/containment_zipf.py's tables)."
+        " The corpus is template boilerplate (5 classes, df grows with "
+        "n) + a unique 10-token tail per doc + a contained twin every "
+        "50th doc, constructed bit-identically in Spark and SQL from "
+        "the same literals. The ENGINE-CHOSEN regime picks the prefix "
+        "filter here (v_prefix < v_naive at every driver scale factor — "
+        "the tails make rarest-shingle prefixes selective; "
+        "pytest-pinned, tests/test_r11_ops.py) and the result is the "
+        "planted twins at containment 1.0 — exact under either regime, "
+        "so the oracle is regime-independent (the semantic ground-truth "
+        "form).",
+    tags=("llm", "dedup"),
+)
+def q_containment_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_par(spark, sf_dir, "documents").select("doc_id")
+    sh = D.shingle_table(_zipf_corpus(ids), "doc_id", "text", n=2)
+    return D.containment_pairs(sh, threshold_units=800_000, regime="auto")
+
+
+# ---------------------------------------------------------------------------
+# Streaming admission: the persisted-postings screen (100 TB regime)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_admission_postings",
+    oracle=_STREAM_ADMISSION_SQL,
+    doc="STREAMING corpus admission via the PERSISTED-POSTINGS screen — "
+        "the 100 TB regime the r10 entry documented as design and r11 "
+        "implements as code (operators/dedup.admission_screen_batch, "
+        "regime='postings'): corpus state lives as a (shingle, doc, sz) "
+        "postings table partitioned by shingle-hash bucket plus a "
+        "content-md5 table, seeded once (admission_state_init); each "
+        "micro-batch equi-joins its OWN shingles against the postings "
+        "(scan pruned to the <= 64 buckets the batch touches) and "
+        "appends admitted docs' postings/hashes — the corpus text is "
+        "NEVER re-shingled after the seed, so per-batch cost is "
+        "O(batch-shingles x df-hit), not O(corpus). The screen is "
+        "EXACT and verdict-identical to the r10 rescan twin "
+        "(pytest-pinned), so this entry shares its oracle verbatim: "
+        "the SQL replays both micro-batch rounds against the evolving "
+        "corpus. Scale evidence: scripts/admission_scale.py holds the "
+        "batch fixed while the corpus grows 10x/100x and records that "
+        "per-batch wall tracks batch size under postings while the "
+        "rescan twin grows with the corpus.",
+    tags=("llm", "dedup", "streaming"),
+)
+def q_stream_admission_postings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import drain
+
+    d = load(spark, sf_dir, "documents")
+    corpus0 = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    batch_a = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batch_b = d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+
+    base = tempfile.mkdtemp(prefix="canary_admission_postings_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    drops = os.path.join(base, "drops")
+    corpus_dir = os.path.join(base, "corpus")
+    state_dir = os.path.join(base, "state")
+    verdicts_dir = os.path.join(base, "verdicts")
+    ckpt = os.path.join(base, "ckpt")
+    corpus0.write.mode("overwrite").parquet(corpus_dir)
+    D.admission_state_init(corpus0, state_dir, n=2)
+
+    def screen(batch: DataFrame, _batch_id: int) -> None:
+        verdicts = D.admission_screen_batch(
+            batch, corpus_dir, state_dir=state_dir, regime="postings",
+            threshold=0.5, n=2)
+        (verdicts.select("doc_id", "verdict", "n_near")
+         .write.mode("append").parquet(verdicts_dir))
+
+    schema = "doc_id BIGINT, text STRING"
+    for b in (batch_a, batch_b):
+        b.coalesce(1).write.mode("append").parquet(drops)
+        q = (spark.readStream.schema(schema).parquet(drops)
+             .writeStream.foreachBatch(screen)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        drain(q)
+
+    return spark.read.parquet(verdicts_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-family error bounds as driver-visible data rows
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sketch_error_bounds",
+    oracle=None,  # rows-only BY DESIGN: engine-defined sketch values
+    doc="Sketch-family MEASURED error vs the exact twin, as driver-"
+        "visible data rows (the q_sim_ann_recall pattern — the RESULT "
+        "is the error measurement, so the driver's row records the "
+        "quantitative claim, not just a row count): HLL "
+        "approx_count_distinct (rsd 0.05) vs exact COUNT DISTINCT over "
+        "events.user_id — err_ppm must sit within the 3-sigma 150000 "
+        "ppm bound; approx_percentile(0.5, accuracy 10000) vs the "
+        "element-rank it actually lands on in lineitem.l_extendedprice "
+        "— rank deviation must sit within the published n/accuracy "
+        "guarantee (100 ppm of n); the repo's CMS (width 2048, depth 4, "
+        "operators/sketch.py) point estimates vs exact event_type "
+        "counts — CMS never undercounts and the max overcount must sit "
+        "within the e/width expectation bound. Rows-only BY DESIGN: the "
+        "approx values are engine-defined (hash-seeded sketches a SQL "
+        "oracle cannot replay); the within_bound flags are additionally "
+        "pytest-asserted (tests/test_r11_ops.py).",
+    tags=("sketch", "approx"),
+)
+def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_par(spark, sf_dir, "events")
+    li = load_par(spark, sf_dir, "lineitem")
+
+    # HLL: relative cardinality error, 3-sigma bound at rsd=0.05
+    hll = ev.agg(
+        F.countDistinct("user_id").cast("double").alias("exact_v"),
+        F.approx_count_distinct("user_id", rsd=0.05).cast("double")
+        .alias("approx_v"))
+    hll = hll.select(
+        F.lit("hll_count_distinct").alias("family"),
+        "exact_v", "approx_v",
+        (F.lit(1_000_000.0) * F.abs(F.col("approx_v") - F.col("exact_v"))
+         / F.col("exact_v")).alias("err_ppm"),
+        F.lit(150_000.0).alias("bound_ppm"))
+
+    # approx_percentile: deviation of the landed element's RANK from the
+    # target rank, in ppm of n — the published guarantee is n/accuracy
+    apx = li.agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                 .alias("ap"), F.count(F.lit(1)).alias("n"))
+    pct = (li.crossJoin(F.broadcast(apx))
+           .agg(F.first("ap").alias("approx_v"),
+                F.first("n").alias("n"),
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("ap"), 1)
+                      .otherwise(0)).alias("rank_le")))
+    pct = pct.select(
+        F.lit("approx_percentile_p50").alias("family"),
+        (F.col("n") / 2.0).alias("exact_v"),
+        F.col("rank_le").cast("double").alias("approx_v"),
+        (F.lit(1_000_000.0)
+         * F.abs(F.col("rank_le") - F.col("n") / 2.0)
+         / F.col("n")).alias("err_ppm"),
+        F.lit(100.0).alias("bound_ppm"))
+
+    # CMS: max point-estimate overcount across the full event_type
+    # domain, in ppm of total rows; expectation bound e/width
+    sk = SK.cms_build(ev, "event_type", width=2048, depth=4)
+    est = SK.cms_estimate(sk, ev.select("event_type").distinct(),
+                          "event_type", width=2048, depth=4)
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_cnt"))
+    n_ev = ev.count()
+    cms = (est.join(exact, "event_type")
+           .agg(F.sum("true_cnt").cast("double").alias("exact_v"),
+                F.sum("est").cast("double").alias("approx_v"),
+                F.max(F.col("est") - F.col("true_cnt")).cast("double")
+                .alias("max_over")))
+    cms = cms.select(
+        F.lit("cms_point_estimate").alias("family"),
+        "exact_v", "approx_v",
+        (F.lit(1_000_000.0) * F.col("max_over") / F.lit(float(n_ev)))
+        .alias("err_ppm"),
+        F.lit(1_000_000.0 * 2.718281828 / 2048).alias("bound_ppm"))
+
+    out = hll.unionByName(pct).unionByName(cms)
+    return out.select("family", "exact_v", "approx_v", "err_ppm",
+                      "bound_ppm",
+                      (F.col("err_ppm") <= F.col("bound_ppm"))
+                      .alias("within_bound"))

@@ -204,11 +204,12 @@ def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assert_auto_k_is_8(emb: DataFrame, qname: str) -> None:
     """Both semdedup registry entries plant an UNROLLED k=8 oracle, valid
     only while the auto chooser's k = max(8, n // 64) resolves to 8
-    (n <= 576). The fixture is 500 rows at sf0.01; if the harness ever
-    runs these at a larger SF the oracle would silently diverge — fail
-    LOUDLY as a setup error instead (ADVICE r9)."""
+    (n <= 575 — at n=576, 576 // 64 = 9). The fixture is 500 rows at
+    sf0.01; if the harness ever runs these at a larger SF the oracle
+    would silently diverge — fail LOUDLY as a setup error instead
+    (ADVICE r9; boundary corrected per ADVICE r10)."""
     n = emb.count()  # bounded driver scalar, mirrors the chooser's probe
-    if n > 576:
+    if max(8, n // 64) != 8:
         raise RuntimeError(
             f"{qname}: fixture has n={n} embeddings, so the engine-chosen "
             "k = max(8, n // 64) > 8 and the planted k=8 oracle no longer "

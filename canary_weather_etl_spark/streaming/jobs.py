@@ -15,6 +15,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,7 +51,10 @@ def drain(q, timeout: int = 120) -> None:
                 f"streaming query {q.name or q.id} did not finish in "
                 f"{timeout}s")
     except BaseException:
-        q.stop()
+        # the cleanup stop can itself raise on an already-failed/closed
+        # query — never let it replace the root-cause error (ADVICE r10)
+        with contextlib.suppress(Exception):
+            q.stop()
         raise
 
 

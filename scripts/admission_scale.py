@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale probe for the streaming-admission screen regimes (SCALE.md r11).
+
+Holds the BATCH fixed while the persisted corpus grows 1x/10x/100x and
+times one screen invocation per regime:
+
+- rescan (the r10 twin): re-reads and RE-SHINGLES the whole corpus per
+  batch — per-batch wall should track corpus size.
+- postings (the r11 100 TB regime): equi-joins the batch's shingles
+  against the persisted postings state (seeded once by
+  admission_state_init; seed time reported separately as the amortized
+  one-off) — per-batch wall should track batch size + postings-hit.
+
+Corpus amplification follows scripts/scale_probe.py's discipline: union
+of copies with every token PREFIXED per copy, so copies share no
+shingles and corpus growth does not manufacture quadratic in-cluster
+pair growth. The batch is drawn from copy 0's rewrite space (a slice of
+the base docs re-tagged like copy 0 plus a fresh-text slice), so exact
+and near gates both fire at every multiplier and BOTH regimes must
+return identical verdict multisets (asserted, not assumed).
+
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python scripts/admission_scale.py \
+           [--mults 1 10 100] [--batch 2000] [--reps 2]
+Prints one JSON line per (mult, regime).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from canary_weather_etl_spark.operators import dedup as D  # noqa: E402
+from canary_weather_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/admission_scale"
+
+
+def tagged(df, tag: str):
+    return df.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+)", f"{tag}x$1").alias("text"))
+
+
+def build_corpus(spark, mult: int) -> str:
+    out = f"{WORK}/corpus_x{mult}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    n = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = [tagged(base, f"c{i}").select(
+        (F.col("doc_id") + i * n).alias("doc_id"), "text")
+        for i in range(mult)]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.write.mode("overwrite").parquet(f"{out}/docs")
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
+def build_batch(spark, batch_n: int):
+    """Half exact/near dups of copy-0 docs, half fresh text — both gates
+    fire; identical at every corpus multiplier."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").limit(batch_n // 2)
+    dups = tagged(base, "c0").select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text")
+    fresh = base.select(
+        (F.col("doc_id") + 60_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+)", "freshx$1").alias("text"))
+    return dups.unionByName(fresh).localCheckpoint(eager=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", type=int, nargs="+", default=[1, 10, 100])
+    ap.add_argument("--batch", type=int, default=2000)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark("admission-scale")
+    batch = build_batch(spark, args.batch)
+
+    for mult in args.mults:
+        cdir = build_corpus(spark, mult)
+        corpus = spark.read.parquet(f"{cdir}/docs")
+        n_corpus = corpus.count()
+        verdicts = {}
+        for regime in ("rescan", "postings"):
+            walls = []
+            for rep in range(args.reps):
+                # fresh per-rep dirs: each screen APPENDS admitted state
+                rdir = f"{WORK}/run_x{mult}_{regime}_{rep}"
+                shutil.rmtree(rdir, ignore_errors=True)
+                corpus_dir = f"{rdir}/corpus"
+                corpus.write.mode("overwrite").parquet(corpus_dir)
+                state_dir = None
+                seed_sec = None
+                if regime == "postings":
+                    state_dir = f"{rdir}/state"
+                    t0 = time.perf_counter()
+                    D.admission_state_init(corpus, state_dir, n=2)
+                    seed_sec = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                v = D.admission_screen_batch(
+                    batch, corpus_dir, state_dir=state_dir,
+                    regime=regime, threshold=0.5, n=2)
+                counts = {r["verdict"]: r["n"] for r in
+                          v.groupBy("verdict")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+                walls.append(round(time.perf_counter() - t0, 2))
+                shutil.rmtree(rdir, ignore_errors=True)
+            verdicts[regime] = counts
+            print(json.dumps({
+                "mult": mult, "regime": regime, "n_corpus": n_corpus,
+                "batch": args.batch, "screen_sec_best": min(walls),
+                "screen_sec_reps": walls, "seed_sec": seed_sec,
+                "verdicts": counts}), flush=True)
+        assert verdicts["rescan"] == verdicts["postings"], verdicts
+        print(json.dumps({"mult": mult, "regimes_identical": True}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

