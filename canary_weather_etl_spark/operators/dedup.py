@@ -200,33 +200,33 @@ def minhash_signatures_from_sets(sets: DataFrame,
     permutation i = (a_i·h + b_i) mod P with P = 2^31−1 and
     sha256-derived literal constants (`minhash_perm_constants`) — every
     op replays exactly in any SQL engine, and the products stay under
-    2^60 so the arithmetic is overflow-safe int64. Since r11 the
-    portable path routes through `_portable_minhash_agg_signatures`
-    (explode + codegen'd 32-way MIN aggregate): the r10 zero-shuffle
-    lambda projection paid interpreted CodegenFallback eval per
-    element×permutation, which was the WHOLE third-decade gap vs the
-    xxhash64 basis (SCALE.md r10/r11); one key-reduced partial-agg
-    shuffle buys fully codegen'd arithmetic. The xxhash64 default keeps
-    the zero-shuffle row-wise shape (one interpreted hash node per
-    element is near the interpreter floor)."""
+    2^60 so the arithmetic is overflow-safe int64.
+
+    Since r11 BOTH bases route through the explode + codegen'd 32-way
+    MIN aggregate shape: the former zero-shuffle transform/array_min
+    projection paid interpreted CodegenFallback eval per element×
+    permutation — measured at 5M docs (scripts/minhash_sig_probe.py):
+    xxhash64 132 s lambda vs 33.4 s agg, portable 111 s lambda vs
+    35.7 s agg, so the two bases are at PARITY once the interpreter is
+    out of the way and the r10 'portable tax' disappears entirely. One
+    key-reduced partial-agg shuffle (num_hashes longs per doc) buys
+    fully codegen'd arithmetic. NOTE the r10 'xxhash64 35.2 s' stage
+    number was an artifact of the permutation-seed bug fixed this round
+    (a two-parameter `lambda s, i=i:` received the ELEMENT INDEX as i,
+    so all 32 array elements were the identical expression tree and
+    subexpression elimination evaluated it once — the basis was
+    silently a single-permutation MinHash; scripts/minhash_sig_probe.py
+    now asserts lambda≡agg bit-equality for both bases, which is the
+    differential that caught it)."""
     if portable_hash:
         return _portable_minhash_agg_signatures(sets, num_hashes)
-
-    def xperm(i: int):
-        # one-arg closure — the former `lambda s, i=i:` silently became a
-        # TWO-parameter transform lambda, so Spark bound the ELEMENT
-        # INDEX to `i` (shadowing the permutation seed) and every
-        # signature element per doc was the SAME single-permutation min.
-        # Found r11 by differential A/B against the explode+agg shape
-        # (scripts/minhash_sig_probe.py asserts both shapes bit-equal);
-        # the r10 lesson had fixed only the portable path's closures.
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(*[
-        F.array_min(F.transform("sh", xperm(i)))
-        for i in range(num_hashes)
-    ])
-    return sets.select("doc", sig.alias("signature"))
+    exploded = sets.select("doc", F.explode("sh").alias("g"))
+    aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sigs = exploded.groupBy("doc").agg(*aggs)
+    return sigs.select(
+        "doc",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
@@ -338,12 +338,17 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: str, text_col: str,
     """Full near-dup pipeline: shingle → MinHash → LSH candidates → exact
     Jaccard verification ≥ threshold. The canonical LLM-corpus near-dedup.
 
-    ``portable_hash=True`` uses md5-string permutations/band keys so the
-    whole pipeline (signatures → banding → candidate join → verification)
-    is bit-reproducible by a SQL oracle; the xxhash64 default is the
-    throughput path (the verified output differs only through which
-    candidate pairs the hash family surfaces — verification itself is
-    exact either way)."""
+    ``portable_hash=True`` uses md5-derived universal-hash permutations
+    and polynomial band keys so the whole pipeline (signatures → banding
+    → candidate join → verification) is bit-reproducible by a SQL
+    oracle; the verified output differs only through which candidate
+    pairs the hash family surfaces — verification itself is exact
+    either way. Since the r11 agg-shaped signatures the two bases are
+    at measured PARITY at the third decade (same-session alternating
+    A/B at 5M docs: portable 149.9 s vs xxhash64 198.6 s best-of-2,
+    255,980 vs 255,994 verified pairs — SCALE.md r11), so the portable
+    basis is no longer a correctness-scale-only trade; xxhash64 remains
+    the default only for contexts that don't need SQL replay."""
     # materialized once (localCheckpoint, not cache — its blocks release
     # on GC, so a long session running many queries doesn't accumulate
     # cached partitions): the set frame feeds signature banding (self-join
@@ -757,12 +762,15 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
 
     Both regimes are EXACT and verdict-identical (pytest-pinned):
     Jaccard is computed from the same integer counts either way, so the
-    SQL oracle is regime-independent. ``auto`` picks postings once the
-    persisted corpus outgrows the batch (corpus gram rows > 4x batch
-    gram rows — two cheap counts; below that the rescan's one-pass
-    shingle job beats the state-join bookkeeping, measured in
-    scripts/admission_scale.py). Without ``state_dir`` the screen is
-    the plain r10 rescan and maintains no state.
+    SQL oracle is regime-independent. ``auto`` picks postings whenever
+    the state tables exist: scripts/admission_scale.py probed a fixed
+    2000-doc batch against 5k/50k/500k corpora and postings won at
+    EVERY point (6.1/5.4/8.7 s vs rescan's 9.6/10.0/15.6 s best-of-2 —
+    per-batch wall tracks batch size under postings and grows with the
+    corpus under rescan), so there is no measured crossover to guard;
+    the one-off seed (2.7/4.2/15.2 s) amortizes across batches. Without
+    ``state_dir`` the screen is the plain r10 rescan and maintains no
+    state — the stateless fallback and the differential twin.
 
     Returns the verdict frame (doc_id, text, verdict, n_near), eagerly
     checkpointed; appends admitted docs to ``corpus_dir`` and, when
@@ -785,13 +793,8 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
                        F.pmod(F.xxhash64("shingle"), F.lit(buckets)))
            .localCheckpoint(eager=True))
 
-    if state_dir is None:
-        regime = "rescan"
-    elif regime == "auto":
-        post_rows = sp.read.parquet(
-            os.path.join(state_dir, "postings")).count()
-        batch_rows = bsh.count()
-        regime = "postings" if post_rows > 4 * batch_rows else "rescan"
+    if regime == "auto":
+        regime = "rescan" if state_dir is None else "postings"
 
     if regime == "postings":
         hashes = sp.read.parquet(os.path.join(state_dir, "hashes"))

@@ -435,11 +435,15 @@ _MINHASH_LSH_SQL = rf"""
         "mod the same prime — which upgrades this entry from rows-only "
         "to a FULL SQL oracle: the DuckDB twin rebuilds signatures, "
         "banding, the candidate join and exact verification bit-for-bit "
-        "from the same literals, and the arithmetic permutations keep "
-        "the cost at xxhash64 level (the md5-per-permutation first cut "
-        "was +0.7 s at sf0.1, BENCHNOTES r10). The xxhash64 basis stays "
-        "the operator default; pytest asserts the recall floor vs exact "
-        "q_ngram_jaccard_pairs for BOTH hash bases.",
+        "from the same literals. r11: signatures for BOTH bases moved "
+        "from transform/array_min lambdas (CodegenFallback — interpreted "
+        "per-node eval, the whole r10 third-decade gap) to an explode + "
+        "codegen'd 32-way MIN aggregate, taking this registered entry "
+        "from 306 s to 75.6 s at 1000x (24x wall per 1000x data) and "
+        "putting the two bases at measured parity (SCALE.md r11) — the "
+        "portable basis is the at-scale path, not a testability tax. "
+        "pytest asserts the recall floor vs exact q_ngram_jaccard_pairs "
+        "for BOTH hash bases and lambda≡agg shape bit-equality.",
     tags=("llm", "dedup", "approx"), bench=True,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -291,11 +291,13 @@ _STREAM_ADMISSION_SQL = f"""
         "order is pinned by running the availableNow stream to "
         "completion per drop against one checkpoint (the "
         "q_stream_upsert_readback pattern, drained via the checked "
-        "helper). 100 TB shape: corpus state is a persisted table the "
-        "batch equi-joins against (hash keys + shingle postings), "
-        "exactly the persisted-signature design the batch operator "
-        "documents; per-batch cost is O(batch x corpus-postings-hit), "
-        "never a corpus rescan.",
+        "helper). This entry IS the rescan twin — the 100 TB shape "
+        "(persisted hash + shingle-postings tables the batch equi-joins "
+        "against, never a corpus re-shingle) is implemented since r11 "
+        "as operators/dedup.admission_screen_batch's postings regime "
+        "and registered as q_stream_admission_postings with this same "
+        "oracle; both regimes are verdict-identical (pytest-pinned) "
+        "and scripts/admission_scale.py prices them per decade.",
     tags=("llm", "dedup", "streaming"),
 )
 def q_stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:

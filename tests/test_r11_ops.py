@@ -81,6 +81,27 @@ def test_containment_banded_subset_and_recall(spark):
     assert recall >= 0.9, f"banded containment recall {recall:.3f} < 0.9"
 
 
+def test_containment_banded_recall_sf01(spark):
+    """The r10 verdict's done-criterion for the bounded-recall path: a
+    recall statement vs the exact result AT sf0.1, pytest-pinned. The
+    naive exact regime completes at sf0.1 (the flat fixture's cheap
+    side, 3.3 s — it is 100x where both exact regimes abort); banded
+    found every qualifying pair here (512/512 measured r11, SCALE.md) —
+    pinned at >= 0.95 to absorb fixture regeneration."""
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    sets = D.shingle_sets(docs, "doc_id", "text", n=2) \
+        .localCheckpoint(eager=True)
+    sh = D.shingle_table(docs, "doc_id", "text", n=2)
+    exact = {(r["contained"], r["container"]) for r in
+             D.containment_pairs(sh, threshold_units=800_000,
+                                 regime="naive").collect()}
+    banded = {(r["contained"], r["container"]) for r in
+              D.containment_pairs_banded(
+                  sets, threshold_units=800_000).collect()}
+    assert banded <= exact  # exact recount tail: precision 1.0
+    assert len(banded) / max(len(exact), 1) >= 0.95
+
+
 # --- Zipf containment corpus: chooser picks prefix, planted twins ----------
 
 def test_containment_zipf_prefix_chosen_and_planted(spark):
@@ -167,25 +188,38 @@ def test_admission_postings_equals_rescan(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def test_admission_auto_chooser_direction(spark):
-    """auto picks rescan while the corpus is batch-sized and postings
-    once the persisted corpus outgrows the batch 4x — probe the same
-    counts the chooser reads."""
+def test_admission_auto_chooser_is_state_gated(spark):
+    """auto = postings whenever state exists (measured faster at every
+    probed corpus scale, scripts/admission_scale.py — no crossover to
+    guard), rescan as the stateless fallback. Pin the gate by running
+    auto WITH state and asserting the postings-regime side effect (the
+    state tables grew by the admitted docs), and auto WITHOUT state
+    raising on an explicit postings request."""
+    import pytest
+
     d = load_par(spark, SF, "documents")
-    corpus_small = d.limit(50).select("doc_id", "text")
-    big = d.select("doc_id", "text")
-    batch = d.limit(40).select("doc_id", "text")
+    corpus0 = d.limit(100).select("doc_id", "text")
+    batch = (d.filter(F.col("doc_id") >= 400)
+             .select("doc_id", "text").limit(50))
     tmp = tempfile.mkdtemp(prefix="canary_admission_auto_")
     try:
-        for corpus, expect_postings in ((corpus_small, False), (big, True)):
-            state_dir = os.path.join(tmp, f"s_{expect_postings}")
-            D.admission_state_init(corpus, state_dir, n=2)
-            post_rows = spark.read.parquet(
-                os.path.join(state_dir, "postings")).count()
-            batch_rows = (D.shingle_sets(batch, "doc_id", "text", 2)
-                          .select(F.explode("sh")).count())
-            assert (post_rows > 4 * batch_rows) == expect_postings, \
-                (post_rows, batch_rows, expect_postings)
+        corpus_dir = os.path.join(tmp, "corpus")
+        state_dir = os.path.join(tmp, "state")
+        corpus0.write.mode("overwrite").parquet(corpus_dir)
+        D.admission_state_init(corpus0, state_dir, n=2)
+        h_before = spark.read.parquet(
+            os.path.join(state_dir, "hashes")).count()
+        v = D.admission_screen_batch(batch, corpus_dir,
+                                     state_dir=state_dir, regime="auto")
+        admitted = v.filter(F.col("verdict") == "admit")
+        assert admitted.count() > 0
+        new_h = admitted.select(F.md5("text")).distinct().count()
+        h_after = spark.read.parquet(
+            os.path.join(state_dir, "hashes")).count()
+        assert h_after == h_before + new_h  # postings regime maintained state
+        with pytest.raises(ValueError):
+            D.admission_screen_batch(batch, corpus_dir, state_dir=None,
+                                     regime="postings")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
