@@ -57,9 +57,12 @@ _DRIVER_PRIORITY = (
     # Positions 2-4: the r4-sampled tail that JUST missed r10's 50-entry
     # cut (priority positions 51-53 last round).
     "q_merge_intervals", "q_asof_join_staleness", "q_approx_percentile",
-    # New in r11 — driver rows at birth.
+    # New in r11 — driver rows at birth; q_cms_heavy_hitters converted
+    # from rows-only to a full oracle (portable coordinate family), so
+    # its first HASH row lands this round too.
     "q_containment_zipf", "q_containment_banded_recall",
     "q_stream_admission_postings", "q_sketch_error_bounds",
+    "q_bloom_membership_gate", "q_cms_heavy_hitters",
     # The remaining 7 r4-sampled entries, then the r7-sampled block —
     # every driver row below is r4/r5/r7-vintage (all sweep-green; this
     # head + the r12 tail cycles the whole registry within 5 rounds as

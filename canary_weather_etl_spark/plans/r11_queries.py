@@ -283,6 +283,88 @@ def q_stream_admission_postings(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership gate (bit-packed words table, portable family)
+# ---------------------------------------------------------------------------
+
+_BLOOM_GATE_SQL = r"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 3 <> 1
+    ), cpos AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(key || ':' || CAST(i AS VARCHAR)),
+                    1, 7) AS BIGINT) % 65536 AS pos
+        FROM corpus, UNNEST(range(0, 4)) AS t(i)
+    ), words AS (
+        SELECT pos // 32 AS word,
+               SUM(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        FROM cpos GROUP BY 1
+    ), probes AS (
+        SELECT doc_id, md5(text) AS key FROM documents
+    ), ppos AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(key || ':' || CAST(i AS VARCHAR)),
+                    1, 7) AS BIGINT) % 65536 AS pos
+        FROM probes, UNNEST(range(0, 4)) AS t(i)
+    ), hits AS (
+        SELECT doc_id,
+               SUM(CASE WHEN (w.bits
+                    & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+                   THEN 1 ELSE 0 END) AS nhit
+        FROM ppos p LEFT JOIN words w ON w.word = p.pos // 32
+        GROUP BY doc_id
+    ), truth AS (
+        SELECT p.doc_id,
+               (c.key IS NOT NULL) AS actually_in
+        FROM probes p LEFT JOIN corpus c ON c.key = p.key
+    )
+    SELECT h.doc_id, h.nhit = 4 AS in_bloom, t.actually_in,
+           (h.nhit = 4 AND NOT t.actually_in) AS false_positive
+    FROM hits h JOIN truth t USING (doc_id)
+"""
+
+
+@register(
+    "q_bloom_membership_gate",
+    oracle=_BLOOM_GATE_SQL,
+    doc="BLOOM-FILTER membership gate as a bit-packed words table "
+        "(operators/sketch.bloom_build/bloom_probe) — the broadcastable "
+        "exact-dup PRE-SCREEN for 100 TB admission: the full md5 key "
+        "set stays partitioned on disk, the m/32-row (word, bits) "
+        "filter rides in memory, and a batch semi-joins the big table "
+        "only for its 'maybe' rows. Corpus = docs with doc_id%3<>1; "
+        "every document probed; output (doc_id, in_bloom, actually_in, "
+        "false_positive). One-sided BY CONSTRUCTION — no false "
+        "negatives, pytest-asserted — with FP probability "
+        "(1-e^(-kn/m))^k (~1.6e-7 at the fixture's n=334, m=65536, "
+        "k=4). FULLY SQL-ORACLED: the portable md5 position family "
+        "(same discipline as the r10/r11 MinHash/CMS conversions) lets "
+        "the oracle rebuild the packed words and every probe "
+        "bit-for-bit — unlike Spark's built-in bloom_filter_agg, whose "
+        "binary is engine-opaque; 32-bit lanes inside the long avoid "
+        "any sign-bit portability hazard.",
+    tags=("sketch", "approx", "llm", "dedup"),
+)
+def q_bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketch as SK
+
+    d = load_par(spark, sf_dir, "documents")
+    corpus = (d.filter(F.col("doc_id") % 3 != 1)
+              .select(F.md5("text").alias("key")).distinct())
+    words = SK.bloom_build(corpus, "key", m_bits=65_536, k=4)
+    probes = d.select("doc_id", F.md5("text").alias("key"))
+    probed = SK.bloom_probe(words, probes, "key", m_bits=65_536, k=4)
+    truth = (probes
+             .join(corpus.withColumn("actually_in", F.lit(True)),
+                   "key", "left")
+             .select("doc_id", F.coalesce("actually_in", F.lit(False))
+                     .alias("actually_in")))
+    return (probed.join(truth, "doc_id")
+            .select("doc_id", "in_bloom", "actually_in",
+                    (F.col("in_bloom") & ~F.col("actually_in"))
+                    .alias("false_positive")))
+
+
+# ---------------------------------------------------------------------------
 # Sketch-family error bounds as driver-visible data rows
 # ---------------------------------------------------------------------------
 

@@ -470,18 +470,56 @@ def q_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_HH_SQL = r"""
+    WITH coords AS (
+        SELECT l_partkey, d,
+               CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || ':'
+                    || CAST(d AS VARCHAR)), 1, 7) AS BIGINT) % 2048 AS w
+        FROM lineitem, UNNEST(range(0, 4)) AS t(d)
+    ), cells AS (
+        -- shard-merge elided: CMS cells are plain counters, so the sum
+        -- of the three per-returnflag shards equals the whole-corpus
+        -- build cell-for-cell (the engine-side pytest asserts exactly
+        -- that identity) — the oracle builds whole-corpus directly
+        SELECT d, w, COUNT(*) AS cnt FROM coords GROUP BY d, w
+    ), probes AS (
+        SELECT DISTINCT l_partkey AS item FROM lineitem
+    ), pc AS (
+        SELECT item, d,
+               CAST('0x' || substr(md5(CAST(item AS VARCHAR) || ':'
+                    || CAST(d AS VARCHAR)), 1, 7) AS BIGINT) % 2048 AS w
+        FROM probes, UNNEST(range(0, 4)) AS t(d)
+    ), est AS (
+        SELECT item AS l_partkey,
+               MIN(COALESCE(c.cnt, CAST(0 AS BIGINT))) AS est
+        FROM pc LEFT JOIN cells c USING (d, w)
+        GROUP BY item
+    )
+    SELECT l_partkey, est FROM est
+    ORDER BY est DESC, l_partkey ASC LIMIT 20
+"""
+
+
 @register(
     "q_cms_heavy_hitters",
-    oracle=None,  # xxhash64-seeded buckets are engine-specific
+    oracle=_CMS_HH_SQL,
     doc="Count-min-sketch heavy hitters (operators/sketch.py): "
         "per-returnflag shard sketches built in one exploded-coordinate "
         "hash-agg pass, merged with a plain groupBy-sum (CMS cells are "
         "counters — the mergeable-sketch-table pattern, same as "
         "q_hll_sketch_merge), then every candidate partkey point-queried "
         "via a broadcast equi-join + min over depth rows. Top-20 by "
-        "estimate. est ≥ true always (one-sided); pytest bounds realized "
-        "error vs exact counts and asserts shard-merge equals "
-        "whole-corpus build.",
+        "estimate, partkey tie-break. est ≥ true always (one-sided); "
+        "pytest bounds realized error vs exact counts and asserts "
+        "shard-merge equals whole-corpus build. FULLY SQL-ORACLED since "
+        "r11: the registered entry runs the portable coordinate family "
+        "(bucket d = md5(item ':' d) first-7-hex mod width — same "
+        "one-sided guarantee, bucket uniformity is all CMS needs), and "
+        "the oracle rebuilds cells, point queries and the top-20 "
+        "bit-for-bit; the oracle builds the whole-corpus sketch "
+        "directly because cell counters make shard-merge ≡ whole-build "
+        "(the pytest identity). xxhash64 stays the operator default "
+        "for engine-internal use.",
     tags=("agg", "approx", "sketch"),
 )
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,11 +528,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shard sketches (one per returnflag) merged to the corpus sketch —
     # the incremental path: each shard's KB-sized table is built once
     shards = [SK.cms_build(li.filter(F.col("l_returnflag") == f),
-                           "l_partkey", width=2048, depth=4)
+                           "l_partkey", width=2048, depth=4,
+                           portable_hash=True)
               for f in ("A", "N", "R")]
     merged = SK.cms_merge(*shards)
     est = SK.cms_estimate(merged, li.select("l_partkey"), "l_partkey",
-                          width=2048, depth=4)
+                          width=2048, depth=4, portable_hash=True)
     return (est.orderBy(F.desc("est"), F.asc("l_partkey")).limit(20)
             .select("l_partkey", "est"))
 

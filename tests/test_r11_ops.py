@@ -224,6 +224,23 @@ def test_admission_auto_chooser_is_state_gated(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_bloom_gate_one_sided_and_fp_bound(spark):
+    """Bloom membership is one-sided BY CONSTRUCTION: every true member
+    reports in_bloom (no false negatives, the property the 100 TB
+    pre-screen depends on); false positives are bounded by
+    (1-e^(-kn/m))^k — at the fixture's n=~334, m=65536, k=4 the
+    expectation is ~1e-4 rows, pinned loosely at <1% of probes."""
+    rows = REGISTRY["q_bloom_membership_gate"].fn(spark, SF).collect()
+    assert rows
+    members = [r for r in rows if r["actually_in"]]
+    assert members and all(r["in_bloom"] for r in members)
+    fps = [r for r in rows if r["false_positive"]]
+    assert len(fps) / len(rows) < 0.01, len(fps)
+    for r in rows:
+        assert r["false_positive"] == (r["in_bloom"]
+                                       and not r["actually_in"])
+
+
 # --- sketch error bounds -----------------------------------------------------
 
 def test_sketch_error_bounds_within(spark):
