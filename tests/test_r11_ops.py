@@ -241,6 +241,43 @@ def test_bloom_gate_one_sided_and_fp_bound(spark):
                                        and not r["actually_in"])
 
 
+def test_bloom_probe_broadcasts_words_table(spark):
+    """The words table is the KB-sized side by construction (<= m/32
+    rows); the probe must broadcast it — a shuffled join here would
+    defeat the pre-screen's point at 100 TB."""
+    from canary_weather_etl_spark.operators import sketch as SK
+
+    d = load_par(spark, SF, "documents").limit(200)
+    corpus = d.select(F.md5("text").alias("key")).distinct()
+    words = SK.bloom_build(corpus, "key")
+    probed = SK.bloom_probe(words, d.select(F.md5("text").alias("key")),
+                            "key")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_admission_postings_scan_prunes_buckets(spark):
+    """The postings regime reads only the bucket partitions the batch
+    touches: a partition-column IN filter must reach the scan as
+    PartitionFilters (the same layout+filter shape
+    admission_screen_batch builds internally)."""
+    d = load_par(spark, SF, "documents").limit(100)
+    tmp = tempfile.mkdtemp(prefix="canary_postings_prune_")
+    try:
+        state_dir = os.path.join(tmp, "state")
+        D.admission_state_init(d.select("doc_id", "text"), state_dir, n=2)
+        pruned = (spark.read.parquet(os.path.join(state_dir, "postings"))
+                  .filter(F.col("bucket").isin([3, 7, 11])))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan, plan
+        # and the pruned read returns only those buckets' rows
+        got = {r["bucket"] for r in pruned.select("bucket")
+               .distinct().collect()}
+        assert got <= {3, 7, 11}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- sketch error bounds -----------------------------------------------------
 
 def test_sketch_error_bounds_within(spark):
