@@ -850,9 +850,15 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
      .write.mode("append").parquet(corpus_dir))
     if state_dir is not None:
         adm_ids = admitted.select("doc_id")
+        # repartition on the partition column before the append: without
+        # it every task writes a sliver into every touched bucket dir
+        # (up to tasks x buckets small files PER BATCH — a long-running
+        # stream would fragment the state table); with it, one file per
+        # touched bucket per batch, and the shuffle is only batch-sized
         (bsh.join(adm_ids, "doc_id", "left_semi")
          .select(F.col("doc_id").alias("doc"), F.col("sz_a").alias("sz"),
                  "shingle", "bucket")
+         .repartition("bucket")
          .write.mode("append").partitionBy("bucket")
          .parquet(os.path.join(state_dir, "postings")))
         (admitted.select(F.md5("text").alias("h")).distinct()
