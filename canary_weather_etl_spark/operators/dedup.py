@@ -720,9 +720,12 @@ def admission_state_init(corpus: DataFrame, state_dir: str,
     postings regime: ``state_dir/postings`` — (shingle, doc, sz) rows
     partitioned by a shingle-hash ``bucket`` (routing only, results
     never depend on it), and ``state_dir/hashes`` — distinct content
-    md5s for the exact gate. Built once from the seed corpus; every
-    admitted batch appends its own rows — the corpus TEXT is never
-    re-shingled after this."""
+    md5s for the exact gate, partitioned by an md5-hash bucket for the
+    same per-batch pruning (an unpartitioned hash table would be
+    re-scanned whole every micro-batch — the same O(corpus)-per-batch
+    class the postings table exists to kill). Built once from the seed
+    corpus; every admitted batch appends its own rows — the corpus TEXT
+    is never re-shingled after this."""
     import os
 
     sets = shingle_sets(corpus, id_col, text_col, n)
@@ -733,7 +736,10 @@ def admission_state_init(corpus: DataFrame, state_dir: str,
     (postings.write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(state_dir, "postings")))
     (corpus.select(F.md5(text_col).alias("h")).distinct()
-     .write.mode("overwrite").parquet(os.path.join(state_dir, "hashes")))
+     .withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "hashes")))
 
 
 def admission_screen_batch(batch: DataFrame, corpus_dir: str,
@@ -797,9 +803,14 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
         regime = "rescan" if state_dir is None else "postings"
 
     if regime == "postings":
-        hashes = sp.read.parquet(os.path.join(state_dir, "hashes"))
-        exact = (batch.select("doc_id", F.md5("text").alias("h"))
-                 .join(hashes, "h", "left_semi")
+        # exact gate: prune the hash scan to the batch's md5 buckets
+        bh = (batch.select("doc_id", F.md5("text").alias("h"))
+              .withColumn("hb", F.pmod(F.xxhash64("h"), F.lit(buckets))))
+        h_touched = [r["hb"]
+                     for r in bh.select("hb").distinct().collect()]
+        hashes = (sp.read.parquet(os.path.join(state_dir, "hashes"))
+                  .filter(F.col("bucket").isin(h_touched)))
+        exact = (bh.join(hashes.select("h"), "h", "left_semi")
                  .select("doc_id").distinct()
                  .withColumn("is_exact", F.lit(True)))
         touched = [r["bucket"]
@@ -862,7 +873,10 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
          .write.mode("append").partitionBy("bucket")
          .parquet(os.path.join(state_dir, "postings")))
         (admitted.select(F.md5("text").alias("h")).distinct()
-         .write.mode("append").parquet(os.path.join(state_dir, "hashes")))
+         .withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(buckets)))
+         .repartition("bucket")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(os.path.join(state_dir, "hashes")))
     return verdicts
 
 
