@@ -374,10 +374,13 @@ def q_bloom_membership_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sketch-family MEASURED error vs the exact twin, as driver-"
         "visible data rows (the q_sim_ann_recall pattern — the RESULT "
         "is the error measurement, so the driver's row records the "
-        "quantitative claim, not just a row count): HLL "
+        "quantitative claim, not just a row count): HLL++ "
         "approx_count_distinct (rsd 0.05) vs exact COUNT DISTINCT over "
         "events.user_id — err_ppm must sit within the 3-sigma 150000 "
-        "ppm bound; approx_percentile(0.5, accuracy 10000) vs the "
+        "ppm bound; the Datasketches HLL family (hll_sketch_agg, the "
+        "q_hll_sketch_merge sketch) vs the same exact count at its "
+        "lgConfigK=12 3-sigma ~50000 ppm bound; "
+        "approx_percentile(0.5, accuracy 10000) vs the "
         "element-rank it actually lands on in lineitem.l_extendedprice "
         "— rank deviation must sit within the published n/accuracy "
         "guarantee (100 ppm of n); the repo's CMS (width 2048, depth 4, "
@@ -393,7 +396,7 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_par(spark, sf_dir, "events")
     li = load_par(spark, sf_dir, "lineitem")
 
-    # HLL: relative cardinality error, 3-sigma bound at rsd=0.05
+    # HLL++: relative cardinality error, 3-sigma bound at rsd=0.05
     hll = ev.agg(
         F.countDistinct("user_id").cast("double").alias("exact_v"),
         F.approx_count_distinct("user_id", rsd=0.05).cast("double")
@@ -404,6 +407,19 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1_000_000.0) * F.abs(F.col("approx_v") - F.col("exact_v"))
          / F.col("exact_v")).alias("err_ppm"),
         F.lit(150_000.0).alias("bound_ppm"))
+
+    # Datasketches HLL (the q_hll_sketch_merge family): default
+    # lgConfigK=12 -> rsd ~ 1.04/sqrt(4096) ~ 1.63%; 3-sigma ~ 49k ppm
+    dsk = ev.agg(
+        F.countDistinct("user_id").cast("double").alias("exact_v"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("double")
+        .alias("approx_v"))
+    dsk = dsk.select(
+        F.lit("hll_datasketches").alias("family"),
+        "exact_v", "approx_v",
+        (F.lit(1_000_000.0) * F.abs(F.col("approx_v") - F.col("exact_v"))
+         / F.col("exact_v")).alias("err_ppm"),
+        F.lit(50_000.0).alias("bound_ppm"))
 
     # approx_percentile: deviation of the landed element's RANK from the
     # target rank, in ppm of n — the published guarantee is n/accuracy
@@ -443,7 +459,7 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("err_ppm"),
         F.lit(1_000_000.0 * 2.718281828 / 2048).alias("bound_ppm"))
 
-    out = hll.unionByName(pct).unionByName(cms)
+    out = hll.unionByName(dsk).unionByName(pct).unionByName(cms)
     return out.select("family", "exact_v", "approx_v", "err_ppm",
                       "bound_ppm",
                       (F.col("err_ppm") <= F.col("bound_ppm"))

@@ -283,8 +283,8 @@ def test_admission_postings_scan_prunes_buckets(spark):
 def test_sketch_error_bounds_within(spark):
     out = {r["family"]: r for r in
            REGISTRY["q_sketch_error_bounds"].fn(spark, SF).collect()}
-    assert set(out) == {"hll_count_distinct", "approx_percentile_p50",
-                        "cms_point_estimate"}
+    assert set(out) == {"hll_count_distinct", "hll_datasketches",
+                        "approx_percentile_p50", "cms_point_estimate"}
     for fam, r in out.items():
         assert r["within_bound"], (fam, r["err_ppm"], r["bound_ppm"])
     # CMS never undercounts: the summed estimate can only be >= exact
