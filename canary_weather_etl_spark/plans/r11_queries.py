@@ -6,9 +6,11 @@ the corner where both exact regimes are inherently near-all-pairs), a
 driver-visible Zipf-corpus containment entry (the chooser's prefix side
 as a CORRECTNESS row, not just a script table), the streaming
 admission's persisted-postings screen (the 100 TB regime, exact and
-verdict-identical to the r10 rescan twin), and the sketch families'
+verdict-identical to the r10 rescan twin), the sketch families'
 measured error bounds as driver-visible data rows (the q_sim_ann_recall
-pattern: the RESULT is the error measurement).
+pattern: the RESULT is the error measurement), and a fully-oracled
+Bloom membership gate (bit-packed words table — the broadcastable
+exact-dup pre-screen).
 
 Reference provenance: the reference repo (ilias-lp/canary-weather-etl
 README.md) ships none of these; they extend the engine's LLM-pipeline
