@@ -871,3 +871,113 @@ def pq_adc_topk(codes: DataFrame, query_qvec: list[int],
     w = Window.orderBy("adc_units", "vec_id")
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "adc_units"))
+
+
+def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
+                     k_top: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_lists: int = 8,
+                     ivf_iterations: int = 2, n_probe: int = 2,
+                     m: int = 2, pq_k: int = 4, pq_iterations: int = 2,
+                     centroids: DataFrame | None = None) -> DataFrame:
+    """Composed IVF + PQ-on-residuals ADC top-k — the IVFADC index of
+    Jégou et al., 'Product Quantization for Nearest Neighbor Search'
+    (TPAMI 2011, public method), which is THE canonical billion-vector
+    layout (FAISS's IndexIVFPQ): the coarse quantizer routes each vector
+    to one of ``n_lists`` inverted lists, PQ codebooks are trained on
+    the RESIDUALS (vector minus its list centroid — residuals have far
+    less variance than raw vectors, so the same code budget quantizes
+    them much more tightly), and a query probes only its ``n_probe``
+    nearest lists, scoring candidates by asymmetric distance against a
+    PER-LIST driver-literal table (the query residual differs per list).
+
+    Every stage is the repo's deterministic fixed-point discipline, so
+    the WHOLE composition is SQL-oracle-able end to end:
+
+    - coarse quantizer: ``train_ivf_quantizer_fixed`` (integer Lloyd,
+      init = first ``n_lists`` ids, ties to the smaller list, FLOOR
+      centroid update) — train-once/persist, never a fit job per query;
+    - assignment + residuals: one narrow codegen projection (integer
+      argmin against literal centroids, ``zip_with`` subtraction) — no
+      shuffle, no UDF;
+    - PQ codebooks: ``pq_train_codebooks`` over the residual frame (the
+      fused one-pass-per-round trainer);
+    - query: probe lists, query residuals and the n_probe × m × pq_k
+      ADC tables are all driver-side integer literals (bounded:
+      n_lists·dims + m·pq_k·n_probe ints), and each candidate row pays
+      m literal-array lookups selected by a when-chain on its list —
+      then TakeOrderedAndProject for the top-k.
+
+    At 100 TB: the code table is (8·m) bytes/vector, lists are the
+    partition key (a probe scans n_probe/n_lists of the codes), and
+    training runs once on a sample. Returns (rank, vec_id, adc_units),
+    ties broken by vec_id; the query vector itself is excluded.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import assign_clusters, quantize_vectors
+
+    # one materialization feeds assignment, PQ training, encode and the
+    # query row (GC-released blocks)
+    qdf = (quantize_vectors(embeddings, id_col, vec_col)
+           .localCheckpoint(eager=True))
+    cdf = centroids if centroids is not None else train_ivf_quantizer_fixed(
+        embeddings, n_lists, ivf_iterations, id_col, vec_col)
+    # bounded driver collect: n_lists × dims ints (the persisted model)
+    cents = {int(r["list_id"]): [int(v) for v in r["centroid"]]
+             for r in cdf.collect()}
+    dims = len(next(iter(cents.values())))
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    sublen = dims // m
+
+    # residuals: integer subtraction against the assigned list's literal
+    # centroid (when-chain over n_lists arrays — pure codegen, no join)
+    asg = assign_clusters(qdf, cents)
+    cexpr = None
+    for cid, c in sorted(cents.items()):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
+                 else cexpr.when(F.col("cluster_id") == cid, arr))
+    rdf = (asg.select("vec_id", F.col("cluster_id").alias("list_id"),
+                      F.zip_with("qvec", cexpr,
+                                 lambda x, y: x - y).alias("qvec"))
+           .localCheckpoint(eager=True))
+
+    books = pq_train_codebooks(rdf.select("vec_id", "qvec"), m=m, k=pq_k,
+                               iterations=pq_iterations)
+    codes = rdf.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "list_id",
+        *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+          .alias(f"code_{s}") for s in range(m)])
+
+    # query side: probe lists + per-(list, subspace) distance tables —
+    # all bounded driver integers, zero extra jobs beyond one row fetch
+    q0_rows = qdf.filter(F.col("vec_id") == query_vec_id).collect()
+    if not q0_rows:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q0 = [int(v) for v in q0_rows[0]["qvec"]]
+    probed = [cid for _, cid in sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
+        for cid, c in cents.items())[:n_probe]]
+
+    adc = None
+    for lid in probed:
+        r0 = [a - b for a, b in zip(q0, cents[lid])]
+        terms = None
+        for s in range(m):
+            rs = r0[s * sublen:(s + 1) * sublen]
+            tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
+                   for _, c in sorted(books[s].items())]
+            tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
+            t = F.element_at(tarr, F.col(f"code_{s}") + 1)
+            terms = t if terms is None else terms + t
+        adc = (F.when(F.col("list_id") == lid, terms) if adc is None
+               else adc.when(F.col("list_id") == lid, terms))
+
+    scored = (codes.filter(F.col("list_id").isin(*[int(x) for x in probed]))
+              .select("vec_id", adc.cast("long").alias("adc_units")))
+    # sort+limit → TakeOrderedAndProject; rank AFTER the cut (k-row frame)
+    top = scored.orderBy("adc_units", "vec_id").limit(k_top)
+    w = Window.orderBy("adc_units", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "adc_units"))

@@ -1,0 +1,150 @@
+"""Spectral projection over embedding columns: deterministic PCA by
+power iteration — the whitening/decorrelation primitive a training-data
+pipeline uses for embedding diagnostics (dominant-direction audits,
+1-D curriculum ordering, cheap visual projections) and as the rotation
+step in front of quantizers (PQ/IVF behave better on decorrelated
+residuals; Jégou et al. 2011 §V, public method).
+
+Reference parity: the reference (ilias-lp/canary-weather-etl README.md)
+ships no linear algebra; this extends the engine's LLM-data-pipeline
+family (SURVEY.md §2.11) with the standard power method, expressed the
+way a Spark engine should run it at 100 TB:
+
+- **The corpus is touched exactly twice** (once for the d×d Gram
+  aggregate, once to attach projections); the O(d²) eigen-work runs on
+  the driver against a 64×64 integer matrix — the same bounded-driver
+  budget class as k-means centroids (k·dims) or one BPE merge pair.
+- **The Gram aggregate is one map-side-combinable pass**: posexplode to
+  (dim i, centered value) rows that carry the full centered vector,
+  then ``groupBy(i)`` with d per-column sums — partial aggregation
+  reduces the shuffle to d groups × d sums per input partition
+  regardless of corpus size. Sums are decimal(38,0): exact at any n
+  (a long would overflow near n ≈ 1e9 at these unit scales).
+- **Integer fixed-point end-to-end**: coordinates quantize at 1e3
+  units, means are FLOOR(sum/n), centered values and Gram entries are
+  exact integers, and each power-iteration step renormalizes by the
+  max-|component| with the repo's one deterministic double op
+  (FLOOR(CAST(w AS DOUBLE) * 1e6 / mx) — both operands exact ints, one
+  IEEE multiply/divide/floor, identical in every IEEE-754 engine). The
+  result is bit-identical across partitionings and retries and
+  hash-comparable against an unrolled SQL oracle (the q_kmeans_lloyd
+  discipline applied to the power method).
+
+Determinism contract: the start vector is the coordinate axis of the
+largest Gram diagonal (ties to the smaller dimension), ``iterations``
+fixed matrix-vector steps, max-norm renormalization (no square roots —
+the eigenvector is defined up to scale anyway, and max-norm keeps every
+step in exact integers except the one floored divide).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 1e3 coordinate units (not clustering.UNIT_SCALE's 1e6): Gram entries
+# are sums of coordinate PRODUCTS, so unit scale enters squared —
+# 1e3 keeps per-row products ≤ ~1e7 and the d-term fold of
+# G·v (≤ n·1e7 · 1e6 · d) inside driver ints / SQL HUGEINT headroom
+# documented per stage below.
+COORD_SCALE = 1_000
+VEC_SCALE = 1_000_000
+
+
+def _quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, qvec array<long>) at COORD_SCALE units — the same fixed
+    3-op double sequence as clustering.quantize_vectors."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(COORD_SCALE))
+                              + F.lit(0.5)).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def gram_matrix(centered: DataFrame, dims: int) -> list[list[int]]:
+    """Exact integer Gram matrix G[i][j] = Σ_vec c_i·c_j of a centered
+    (vec_id, cvec) frame — ONE corpus pass: posexplode supplies the row
+    index i, the carried array supplies all j columns, and d per-column
+    decimal sums partial-aggregate map-side to d groups × d sums per
+    partition. Driver receives d² ints (64×64 → 4096 — bounded)."""
+    e = centered.select(
+        F.posexplode("cvec").alias("i", "ci"), "cvec")
+    g = e.groupBy("i").agg(*[
+        F.sum((F.col("ci") * F.element_at("cvec", j + 1))
+              .cast("decimal(38,0)")).alias(f"g{j}")
+        for j in range(dims)])
+    rows = {int(r["i"]): [int(r[f"g{j}"]) for j in range(dims)]
+            for r in g.collect()}
+    return [rows[i] for i in range(dims)]
+
+
+def power_iterate(gram: list[list[int]], iterations: int = 8,
+                  scale: int = VEC_SCALE) -> list[int]:
+    """Dominant eigenvector of an integer Gram matrix by the power
+    method, in the engine-portable arithmetic the SQL oracle replays:
+    exact integer matvec, then renormalize each component by the
+    max-|component| via FLOOR(double(w) * scale / double(mx)) — float()
+    of a Python int and CAST(x AS DOUBLE) round identically (IEEE
+    round-to-nearest-even), so both engines walk the same orbit."""
+    d = len(gram)
+    # start: axis of the largest diagonal, ties to the smaller dim
+    d0 = max(range(d), key=lambda i: (gram[i][i], -i))
+    v = [scale if i == d0 else 0 for i in range(d)]
+    for _ in range(iterations):
+        w = [sum(gram[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:  # zero matrix — degenerate input, keep the axis
+            break
+        v = [math.floor(float(x) * float(scale) / float(mx)) for x in w]
+    return v
+
+
+def pca_power_projection(embeddings: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         iterations: int = 8) -> DataFrame:
+    """(vec_id, proj_units): each vector's exact integer projection onto
+    the dominant principal direction of the mean-centered corpus.
+
+    Stage budget (d = dims, n = corpus size):
+    - means: one d-group aggregate, FLOOR(sum/n) per dim (exact: sums
+      < 2^53 up to n ≈ 1e12 at 1e3 units);
+    - Gram: one corpus pass (see gram_matrix), d² driver ints;
+    - power iteration: driver-only, O(iterations·d²) Python-int ops;
+    - projection: one narrow codegen fold per row against the d-literal
+      eigenvector (|c| ≤ ~2e3 units · 1e6 vec units · d = ~1.3e11 —
+      long headroom at any n, the fold is per-row).
+    """
+    qdf = _quantize(embeddings, id_col, vec_col)
+    head = qdf.select("qvec").head()
+    if head is None:
+        raise ValueError("pca_power_projection: empty input")
+    dims = len(head["qvec"])
+
+    # per-dim integer means: FLOOR(sum/n), the kmeans centroid-update rule
+    mrows = (qdf.select(F.posexplode("qvec").alias("ord", "qv"))
+             .groupBy("ord")
+             .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                  .cast("long").alias("mu"))
+             .collect())  # d bounded rows
+    mu = {int(r["ord"]): int(r["mu"]) for r in mrows}
+    mu_arr = F.array(*[F.lit(mu[i]).cast("long") for i in range(dims)])
+
+    centered = qdf.select(
+        "vec_id",
+        F.zip_with("qvec", mu_arr, lambda x, y: x - y).alias("cvec"))
+    centered = centered.localCheckpoint(eager=True)  # feeds Gram + attach
+
+    gram = gram_matrix(centered, dims)
+    v = power_iterate(gram, iterations=iterations)
+
+    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    return centered.select(
+        "vec_id",
+        F.aggregate(F.zip_with("cvec", v_arr, lambda c, w: c * w),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("proj_units"))

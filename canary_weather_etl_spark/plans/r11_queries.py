@@ -8,9 +8,14 @@ as a CORRECTNESS row, not just a script table), the streaming
 admission's persisted-postings screen (the 100 TB regime, exact and
 verdict-identical to the r10 rescan twin), the sketch families'
 measured error bounds as driver-visible data rows (the q_sim_ann_recall
-pattern: the RESULT is the error measurement), and a fully-oracled
+pattern: the RESULT is the error measurement), a fully-oracled
 Bloom membership gate (bit-packed words table — the broadcastable
-exact-dup pre-screen).
+exact-dup pre-screen), the COMPOSED IVF + PQ-on-residuals ANN
+(IVFADC — the canonical billion-vector layout, bit-exact against an
+unrolled end-to-end SQL oracle), and deterministic PCA by power
+iteration (the spectral family: exact integer Gram in one
+map-side-combinable pass, driver-side eigen-work, bit-exact unrolled
+oracle).
 
 Reference provenance: the reference repo (ilias-lp/canary-weather-etl
 README.md) ships none of these; they extend the engine's LLM-pipeline
@@ -466,3 +471,240 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "bound_ppm",
                       (F.col("err_ppm") <= F.col("bound_ppm"))
                       .alias("within_bound"))
+
+# ---------------------------------------------------------------------------
+# Composed IVF + PQ-on-residuals ANN (IVFADC), bit-exact oracle
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_tail(m: int = 2, pq_k: int = 4, pq_iters: int = 2,
+                dims: int = 64, ivf_iters: int = 2, n_probe: int = 2,
+                topk: int = 10, qid: int = 0) -> str:
+    """SQL tail appended to _kmeans_oracle's unrolled IVF prefix (CTEs
+    q / c{t} / afin / dfin): residuals against the final centroids, PQ
+    training per subspace on the residuals (the _pq_oracle structure
+    re-sourced from `resall`), encode, probe, per-(list, subspace) ADC
+    tables from the query's per-list residuals, and the top-k cut —
+    the whole IVFADC pipeline replayed bit-for-bit."""
+    sublen = dims // m
+    cfin = f"c{ivf_iters}"
+    parts = [f"""
+    , resall AS (
+        SELECT q.vec_id, a.cid AS list_id, q.ord, q.qv - c.cv AS rv
+        FROM q JOIN afin a ON a.vec_id = q.vec_id
+               JOIN {cfin} c ON c.cid = a.cid AND c.ord = q.ord)"""]
+    for s in range(m):
+        parts.append(f"""
+    , rs{s} AS (SELECT vec_id, ord, rv FROM resall
+                WHERE CAST((ord - 1) // {sublen} AS INT) = {s}),
+    b{s}_0 AS (SELECT CAST(vec_id AS INT) AS cid, ord, rv AS cv
+               FROM rs{s} WHERE vec_id < {pq_k})""")
+        for t in range(1, pq_iters + 1):
+            parts.append(f"""
+    , bd{s}_{t} AS (
+        SELECT r.vec_id, b.cid,
+               CAST(SUM((r.rv - b.cv) * (r.rv - b.cv)) AS BIGINT) AS dist
+        FROM rs{s} r JOIN b{s}_{t - 1} b ON b.ord = r.ord
+        GROUP BY r.vec_id, b.cid),
+    ba{s}_{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM bd{s}_{t}) WHERE rn = 1),
+    b{s}_{t} AS (
+        SELECT p.cid, p.ord,
+               COALESCE(CAST(FLOOR(CAST(x.sq AS DOUBLE) / x.n) AS BIGINT),
+                        p.cv) AS cv
+        FROM b{s}_{t - 1} p LEFT JOIN (
+            SELECT a.cid, r.ord, CAST(SUM(r.rv) AS BIGINT) AS sq,
+                   COUNT(*) AS n
+            FROM ba{s}_{t} a JOIN rs{s} r ON r.vec_id = a.vec_id
+            GROUP BY a.cid, r.ord) x
+        ON x.cid = p.cid AND x.ord = p.ord)""")
+        parts.append(f"""
+    , be{s} AS (
+        SELECT r.vec_id, b.cid,
+               CAST(SUM((r.rv - b.cv) * (r.rv - b.cv)) AS BIGINT) AS dist
+        FROM rs{s} r JOIN b{s}_{pq_iters} b ON b.ord = r.ord
+        GROUP BY r.vec_id, b.cid),
+    en{s} AS (
+        SELECT vec_id, cid AS code FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM be{s}) WHERE rn = 1)""")
+    parts.append(f"""
+    , probe AS (
+        SELECT cid AS list_id FROM (
+            SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+            FROM dfin WHERE vec_id = {qid}) WHERE rn <= {n_probe}),
+    qres AS (
+        SELECT p.list_id, q.ord, q.qv - c.cv AS rv
+        FROM q CROSS JOIN probe p
+        JOIN {cfin} c ON c.cid = p.list_id AND c.ord = q.ord
+        WHERE q.vec_id = {qid})""")
+    for s in range(m):
+        parts.append(f"""
+    , dt{s} AS (
+        SELECT r.list_id, b.cid AS code,
+               CAST(SUM((r.rv - b.cv) * (r.rv - b.cv)) AS BIGINT) AS d
+        FROM qres r JOIN b{s}_{pq_iters} b ON b.ord = r.ord
+        GROUP BY r.list_id, b.cid)""")
+    en_joins = " ".join(
+        f"JOIN en{s} ON en{s}.vec_id = en0.vec_id" for s in range(1, m))
+    dt_joins = " ".join(
+        f"JOIN dt{s} ON dt{s}.list_id = a.cid AND dt{s}.code = en{s}.code"
+        for s in range(m))
+    adc_sum = " + ".join(f"dt{s}.d" for s in range(m))
+    parts.append(f"""
+    , adc AS (
+        SELECT en0.vec_id, CAST({adc_sum} AS BIGINT) AS adc_units
+        FROM en0 {en_joins}
+        JOIN afin a ON a.vec_id = en0.vec_id
+        JOIN probe p ON p.list_id = a.cid
+        {dt_joins}
+        WHERE en0.vec_id <> {qid})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_units, vec_id) AS INT)
+               AS rank,
+           vec_id, adc_units
+    FROM adc
+    ORDER BY adc_units, vec_id
+    LIMIT {topk}""")
+    return "".join(parts)
+
+
+def _ivfpq_oracle() -> str:
+    from .r7_queries import _kmeans_oracle
+    return _kmeans_oracle(k=8, iterations=2, final_select=_ivfpq_tail(
+        m=2, pq_k=4, pq_iters=2, dims=64, ivf_iters=2, n_probe=2,
+        topk=10, qid=0))
+
+
+@register(
+    "q_sim_ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc="COMPOSED IVF + PQ-on-residuals ADC top-k — the IVFADC index of "
+        "Jégou et al. (TPAMI 2011, public method), the canonical "
+        "billion-vector ANN layout (coarse quantizer routes to inverted "
+        "lists; PQ codebooks train on the RESIDUALS, which carry far "
+        "less variance than raw vectors; a query probes its n_probe=2 "
+        "nearest lists and scores by asymmetric distance against "
+        "per-list driver-literal tables). The repo shipped IVF routing "
+        "(q_sim_ann_ivf) and raw-vector PQ (q_pq_adc_topk) separately; "
+        "this is their composition, which is what a 100 TB deployment "
+        "actually runs: 8·m bytes of residency per vector, lists as the "
+        "partition key (a probe scans n_probe/n_lists of the code "
+        "table), training once on a sample. Every stage is fixed-point "
+        "deterministic (operators/similarity.topk_ivfpq_fixed), so the "
+        "FULL composition is bit-exact against an unrolled SQL oracle: "
+        "q_kmeans_lloyd's IVF prefix, residual subtraction, per-subspace "
+        "Lloyd on residuals, encode, probe, per-(list, subspace) ADC "
+        "tables, top-k cut. Quantizer shared with q_sim_ann_ivf via the "
+        "same persisted table (train-once contract).",
+    tags=("llm", "similarity", "approx", "iterative"),
+)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from .llm import _ivf_quantizer_path
+
+    e = load_par(spark, sf_dir, "embeddings")
+    cdf = S.persist_ivf_quantizer_fixed(e, _ivf_quantizer_path(sf_dir),
+                                        n_lists=8, iterations=2)
+    return S.topk_ivfpq_fixed(e, query_vec_id=0, k_top=10, n_lists=8,
+                              ivf_iterations=2, n_probe=2, m=2, pq_k=4,
+                              pq_iterations=2, centroids=cdf)
+
+# ---------------------------------------------------------------------------
+# Deterministic PCA by power iteration, bit-exact oracle
+# ---------------------------------------------------------------------------
+
+
+def _pca_power_oracle(iterations: int = 8, coord_scale: int = 1_000,
+                      vec_scale: int = 1_000_000) -> str:
+    """Unrolled SQL twin of operators/spectral.pca_power_projection:
+    quantize at coord_scale, FLOOR(sum/n) means, exact integer Gram via
+    the centered self-join, start axis = largest diagonal (ties smaller
+    dim), `iterations` exact-integer matvecs each renormalized by
+    FLOOR(CAST(w AS DOUBLE) * vec_scale / CAST(max|w| AS DOUBLE)) — the
+    one IEEE double op per step, identical to Python's float() path —
+    then the exact integer projection per vector. HUGEINT casts keep the
+    matvec exact at any fixture scale (the Spark side iterates on
+    driver Python ints, which never overflow). The multi-referenced
+    CTEs are MATERIALIZED and the per-step max rides a window — without
+    both, DuckDB's CTE inlining re-expands the whole prefix per
+    reference, which is exponential in the unrolled iteration count
+    (measured: the naive form never finished 8 iterations; this form
+    runs in well under a second)."""
+    parts = [f"""
+    q AS MATERIALIZED (
+        SELECT vec_id, u.ord AS ord,
+               CAST(FLOOR(CAST(u.val AS DOUBLE) * {coord_scale} + 0.5)
+                    AS BIGINT) AS qv
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {{'val': x, 'ord': i}})) AS u
+              FROM embeddings)),
+    mn AS (
+        SELECT ord,
+               CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS mu
+        FROM q GROUP BY ord),
+    c AS MATERIALIZED (
+        SELECT q.vec_id, q.ord, q.qv - m.mu AS cv
+        FROM q JOIN mn m ON m.ord = q.ord),
+    g AS MATERIALIZED (
+        SELECT a.ord AS i, b.ord AS j,
+               SUM(CAST(a.cv AS HUGEINT) * b.cv) AS gv
+        FROM c a JOIN c b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+    d0 AS (SELECT i FROM g WHERE i = j ORDER BY gv DESC, i LIMIT 1),
+    v0 AS (
+        SELECT dm.i AS ord,
+               CASE WHEN dm.i = d0.i THEN CAST({vec_scale} AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS v
+        FROM (SELECT DISTINCT i FROM g) dm CROSS JOIN d0)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f"""
+    , w{t} AS (
+        SELECT g.i AS ord, SUM(g.gv * v.v) AS wv
+        FROM g JOIN v{t - 1} v ON v.ord = g.j
+        GROUP BY 1),
+    v{t} AS MATERIALIZED (
+        SELECT ord,
+               CAST(FLOOR(CAST(wv AS DOUBLE) * {float(vec_scale)}
+                          / CAST(MAX(ABS(wv)) OVER () AS DOUBLE))
+                    AS HUGEINT) AS v
+        FROM w{t})""")
+    parts.append(f"""
+    SELECT c.vec_id, CAST(SUM(c.cv * v.v) AS BIGINT) AS proj_units
+    FROM c JOIN v{iterations} v ON v.ord = c.ord
+    GROUP BY 1""")
+    return "WITH " + "".join(parts[:-1]) + parts[-1]
+
+
+@register(
+    "q_pca_power_projection",
+    oracle=_pca_power_oracle(iterations=64),
+    doc="Deterministic PCA by POWER ITERATION — each vector's exact "
+        "integer projection onto the dominant principal direction of "
+        "the mean-centered corpus (operators/spectral.py): the "
+        "whitening/decorrelation primitive for embedding diagnostics, "
+        "1-D curriculum ordering, and the rotation in front of PQ/IVF "
+        "quantizers (Jégou et al. 2011 §V). 100 TB shape: the corpus is "
+        "touched exactly twice (one map-side-combinable d-group Gram "
+        "pass with d decimal sums per group, one narrow projection "
+        "fold); the O(d²) eigen-work runs on the driver against a 64×64 "
+        "integer matrix — the bounded-driver budget class of k-means "
+        "centroids. Fixed-point end-to-end (1e3 coordinate units, FLOOR "
+        "means, exact integer Gram and matvecs, max-norm renormalization "
+        "with ONE IEEE double op per step), so the whole pipeline is "
+        "bit-exact against the unrolled 64-iteration SQL oracle — the "
+        "q_kmeans_lloyd discipline applied to the power method.",
+    tags=("llm", "similarity", "iterative"),
+)
+def q_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spectral import pca_power_projection
+
+    e = load_par(spark, sf_dir, "embeddings")
+    return pca_power_projection(e, iterations=64)

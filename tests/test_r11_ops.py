@@ -290,3 +290,71 @@ def test_sketch_error_bounds_within(spark):
     # CMS never undercounts: the summed estimate can only be >= exact
     cms = out["cms_point_estimate"]
     assert cms["approx_v"] >= cms["exact_v"]
+
+
+# --- composed IVF-PQ (IVFADC) ------------------------------------------------
+
+def test_ivfpq_clustered_recall_and_determinism(spark):
+    """q_sim_ann_ivfpq's quality pin, in the regime IVFADC is recommended
+    for (clustered corpora — the unclustered random fixture is the
+    documented worst case for every quantization path, q_sim_ann_recall):
+    recall@10 vs exact brute force on the md5-rebuildable clustered
+    corpus, measured 0.8 at sf0.01 with the registered m=2/pq_k=4/
+    n_probe=2 budget; floor 0.7. And the determinism contract: the full
+    composition (IVF train -> assign -> residual PQ train -> encode ->
+    probe -> ADC) is integer fixed-point end to end, so rows must be
+    bit-identical under a different input partitioning."""
+    from canary_weather_etl_spark.operators import similarity as S
+    from canary_weather_etl_spark.plans.llm import clustered_embeddings
+
+    e = clustered_embeddings(
+        load_par(spark, SF, "embeddings")).localCheckpoint(eager=True)
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = {r["vec_id"] for r in S.topk_brute_force(e, q, k=10).collect()}
+
+    got = S.topk_ivfpq_fixed(e, query_vec_id=0, k_top=10).collect()
+    approx = {r["vec_id"] for r in got}
+    assert len(exact & approx) / 10 >= 0.7
+
+    re = S.topk_ivfpq_fixed(e.repartition(7), query_vec_id=0,
+                            k_top=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, re))
+
+
+# --- deterministic PCA power projection --------------------------------------
+
+def test_pca_power_matches_numpy_dominant_direction(spark):
+    """The fixed-point power iteration must land on numpy's dominant
+    eigenvector of the SAME integer Gram matrix (|cosine| >= 0.999 —
+    sign is start-vector-dependent, direction is what PCA defines; the
+    random fixture's eigengap ratio is a brutal 0.987, which is why the
+    registered entry runs 64 iterations — measured cos 0.9994), and
+    the full projection must be bit-identical under a different input
+    partitioning (integer fixed-point end to end)."""
+    import numpy as np
+
+    from canary_weather_etl_spark.operators import spectral as SP
+
+    e = load_par(spark, SF, "embeddings")
+    qdf = SP._quantize(e, "vec_id", "embedding")
+    mu = {int(r["ord"]): int(r["mu"]) for r in
+          (qdf.select(F.posexplode("qvec").alias("ord", "qv"))
+           .groupBy("ord")
+           .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                .cast("long").alias("mu")).collect())}
+    mu_arr = F.array(*[F.lit(mu[i]).cast("long") for i in range(64)])
+    centered = qdf.select(
+        "vec_id", F.zip_with("qvec", mu_arr, lambda x, y: x - y)
+        .alias("cvec"))
+    gram = SP.gram_matrix(centered, 64)
+    v = np.array(SP.power_iterate(gram, iterations=64), dtype=float)
+
+    ew, evec = np.linalg.eigh(np.array(gram, dtype=float))
+    top = evec[:, int(np.argmax(ew))]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos >= 0.999
+
+    a = SP.pca_power_projection(e, iterations=64).collect()
+    b = SP.pca_power_projection(e.repartition(7), iterations=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
