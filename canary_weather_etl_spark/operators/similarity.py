@@ -981,3 +981,84 @@ def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
     w = Window.orderBy("adc_units", "vec_id")
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "adc_units"))
+
+
+def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
+                     k_top: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_lists: int = 8,
+                     ivf_iterations: int = 2, n_probe: int = 2,
+                     m: int = 2, pq_k: int = 4, pq_iterations: int = 2,
+                     centroids: DataFrame | None = None) -> DataFrame:
+    """`topk_ivfpq_fixed` for a query SET sharing one model build: the
+    quantizer, residual codebooks and code table are built ONCE; each
+    query contributes its own probed lists and per-(list, subspace)
+    driver-literal ADC tables, and the per-query top-k cuts union into
+    (query_id, rank, vec_id, adc_units). |query_ids| × n_probe × m × pq_k
+    driver ints — still bounded; the code table is scanned once per
+    query branch (at 100 TB the branches share the probe-pruned scan
+    via the list partition key)."""
+    from pyspark.sql import Window
+
+    from .clustering import assign_clusters, quantize_vectors
+
+    qdf = (quantize_vectors(embeddings, id_col, vec_col)
+           .localCheckpoint(eager=True))
+    cdf = centroids if centroids is not None else train_ivf_quantizer_fixed(
+        embeddings, n_lists, ivf_iterations, id_col, vec_col)
+    cents = {int(r["list_id"]): [int(v) for v in r["centroid"]]
+             for r in cdf.collect()}
+    dims = len(next(iter(cents.values())))
+    sublen = dims // m
+
+    asg = assign_clusters(qdf, cents)
+    cexpr = None
+    for cid, c in sorted(cents.items()):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
+                 else cexpr.when(F.col("cluster_id") == cid, arr))
+    rdf = (asg.select("vec_id", F.col("cluster_id").alias("list_id"),
+                      F.zip_with("qvec", cexpr,
+                                 lambda x, y: x - y).alias("qvec"))
+           .localCheckpoint(eager=True))
+    books = pq_train_codebooks(rdf.select("vec_id", "qvec"), m=m, k=pq_k,
+                               iterations=pq_iterations)
+    codes = rdf.select(
+        "vec_id", "list_id",
+        *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+          .alias(f"code_{s}") for s in range(m)])
+
+    qrows = {int(r["vec_id"]): [int(v) for v in r["qvec"]]
+             for r in qdf.filter(
+                 F.col("vec_id").isin(*[int(q) for q in query_ids]))
+             .collect()}
+    branches = []
+    for qid in query_ids:
+        q0 = qrows[int(qid)]
+        probed = [cid for _, cid in sorted(
+            (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
+            for cid, c in cents.items())[:n_probe]]
+        adc = None
+        for lid in probed:
+            r0 = [a - b for a, b in zip(q0, cents[lid])]
+            terms = None
+            for s in range(m):
+                rs = r0[s * sublen:(s + 1) * sublen]
+                tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
+                       for _, c in sorted(books[s].items())]
+                tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
+                t = F.element_at(tarr, F.col(f"code_{s}") + 1)
+                terms = t if terms is None else terms + t
+            adc = (F.when(F.col("list_id") == lid, terms) if adc is None
+                   else adc.when(F.col("list_id") == lid, terms))
+        scored = (codes
+                  .filter(F.col("list_id").isin(*[int(x) for x in probed])
+                          & (F.col("vec_id") != int(qid)))
+                  .select(F.lit(int(qid)).alias("query_id"), "vec_id",
+                          adc.cast("long").alias("adc_units")))
+        branches.append(scored.orderBy("adc_units", "vec_id").limit(k_top))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    w = Window.partitionBy("query_id").orderBy("adc_units", "vec_id")
+    return (out.withColumn("rank", F.row_number().over(w))
+            .select("query_id", "rank", "vec_id", "adc_units"))

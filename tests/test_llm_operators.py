@@ -236,7 +236,7 @@ def test_ann_recall_query_floors(spark, sf_dir):
     from canary_weather_etl_spark.plans.registry import REGISTRY
     rows = {r["method"]: r["recall_at_10"]
             for r in REGISTRY["q_sim_ann_recall"].fn(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "jl", "jl_int8"}
+    assert set(rows) == {"lsh", "ivf", "jl", "jl_int8", "ivfpq"}
     # Floors track the published driver-visible values with a regression
     # margin (VERDICT r5 item 6): LSH measured 0.90 (sf0.001) / 0.94
     # (sf0.01), IVF 0.82 at both — a broken hash family or probe
@@ -250,6 +250,10 @@ def test_ann_recall_query_floors(spark, sf_dir):
     # of the pure projection.
     assert rows["jl"] >= 0.6, rows
     assert rows["jl_int8"] >= 0.6, rows
+    # IVFADC's unclustered worst case recorded as data, not hidden
+    # (measured 0.40 at sf0.01 with m=4/pq_k=8): the floor only guards
+    # against total collapse; its recommended regime is pinned below
+    assert rows["ivfpq"] >= 0.2, rows
 
 
 def test_ann_recall_clustered_floors(spark, sf_dir):
@@ -261,9 +265,11 @@ def test_ann_recall_clustered_floors(spark, sf_dir):
     rows = {r["method"]: r["recall_at_10"]
             for r in REGISTRY["q_sim_ann_recall_clustered"]
             .fn(spark, sf_dir).collect()}
-    assert set(rows) == {"jl", "jl_int8"}
+    assert set(rows) == {"jl", "jl_int8", "ivfpq"}
     assert rows["jl"] >= 0.85, rows
     assert rows["jl_int8"] >= 0.85, rows
+    # IVFADC in its recommended regime (measured 0.8 at sf0.01)
+    assert rows["ivfpq"] >= 0.7, rows
 
 
 def test_ivf_query_uses_persisted_quantizer(spark, sf_dir):
