@@ -1062,3 +1062,104 @@ def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
     w = Window.partitionBy("query_id").orderBy("adc_units", "vec_id")
     return (out.withColumn("rank", F.row_number().over(w))
             .select("query_id", "rank", "vec_id", "adc_units"))
+
+
+def ivfpq_encode_frozen(vectors: DataFrame,
+                        cents: dict[int, list[int]],
+                        books: dict[int, dict[int, list[int]]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, list_id, code_0..m-1) for NEW vectors against a FROZEN
+    IVFADC model (centroid dict + PQ codebooks as driver literals) — the
+    incremental-index primitive: a micro-batch of arrivals encodes with
+    literal arithmetic only (quantize → integer argmin assign → integer
+    residual → per-subspace code), ONE narrow codegen projection per
+    batch — no shuffle, no training job, no reference to the existing
+    index. This is how a 100 TB vector index stays fresh: the model
+    trains once on a seed sample, every later ingest appends codes."""
+    from .clustering import assign_clusters, quantize_vectors
+
+    m = len(books)
+    dims = len(next(iter(cents.values())))
+    sublen = dims // m
+    qdf = quantize_vectors(vectors, id_col, vec_col)
+    # spread a narrow-split batch before the CPU-bound argmin/code folds
+    # (a big drop file arrives as a handful of splits; the folds are
+    # n_lists·dims + m·pq_k·sublen integer ops per row)
+    par = qdf.rdd.getNumPartitions()
+    want = qdf.sparkSession.sparkContext.defaultParallelism
+    if par < want:
+        qdf = qdf.repartition(want)
+    asg = assign_clusters(qdf, cents)
+    cexpr = None
+    for cid, c in sorted(cents.items()):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
+                 else cexpr.when(F.col("cluster_id") == cid, arr))
+    rvec = F.zip_with("qvec", cexpr, lambda x, y: x - y)
+    return asg.select(
+        "vec_id", F.col("cluster_id").alias("list_id"),
+        *[_sub_argmin(F.slice(rvec, s * sublen + 1, sublen), books[s])
+          .alias(f"code_{s}") for s in range(m)])
+
+
+def ivfpq_adc_over_codes(codes: DataFrame, q0: list[int],
+                         cents: dict[int, list[int]],
+                         books: dict[int, dict[int, list[int]]],
+                         k_top: int = 10, n_probe: int = 2,
+                         exclude_vec_id: int | None = None) -> DataFrame:
+    """ADC top-k over an EXISTING (vec_id, list_id, code_*) table — the
+    query half of the frozen-model index: probe lists and per-(list,
+    subspace) distance tables are driver ints derived from the literal
+    model, the scan is pruned to the probed lists, the cut is
+    TakeOrderedAndProject. Returns (rank, vec_id, adc_units)."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    dims = len(next(iter(cents.values())))
+    sublen = dims // m
+    probed = [cid for _, cid in sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
+        for cid, c in cents.items())[:n_probe]]
+    adc = None
+    for lid in probed:
+        r0 = [a - b for a, b in zip(q0, cents[lid])]
+        terms = None
+        for s in range(m):
+            rs = r0[s * sublen:(s + 1) * sublen]
+            tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
+                   for _, c in sorted(books[s].items())]
+            tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
+            t = F.element_at(tarr, F.col(f"code_{s}") + 1)
+            terms = t if terms is None else terms + t
+        adc = (F.when(F.col("list_id") == lid, terms) if adc is None
+               else adc.when(F.col("list_id") == lid, terms))
+    scored = codes.filter(F.col("list_id").isin(*[int(x) for x in probed]))
+    if exclude_vec_id is not None:
+        scored = scored.filter(F.col("vec_id") != int(exclude_vec_id))
+    scored = scored.select("vec_id", adc.cast("long").alias("adc_units"))
+    top = scored.orderBy("adc_units", "vec_id").limit(k_top)
+    w = Window.orderBy("adc_units", "vec_id")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "adc_units"))
+
+
+def ivf_residuals(vectors: DataFrame, cents: dict[int, list[int]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, list_id, qvec): each vector's integer residual against
+    its nearest literal centroid — the PQ training input of the IVFADC
+    family. One narrow codegen projection (argmin + zip_with subtract),
+    no shuffle."""
+    from .clustering import assign_clusters, quantize_vectors
+
+    qdf = quantize_vectors(vectors, id_col, vec_col)
+    asg = assign_clusters(qdf, cents)
+    cexpr = None
+    for cid, c in sorted(cents.items()):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
+                 else cexpr.when(F.col("cluster_id") == cid, arr))
+    return asg.select(
+        "vec_id", F.col("cluster_id").alias("list_id"),
+        F.zip_with("qvec", cexpr, lambda x, y: x - y).alias("qvec"))

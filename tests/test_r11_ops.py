@@ -358,3 +358,44 @@ def test_pca_power_matches_numpy_dominant_direction(spark):
     a = SP.pca_power_projection(e, iterations=64).collect()
     b = SP.pca_power_projection(e.repartition(7), iterations=64).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- streaming ANN ingest (frozen IVFADC model) ------------------------------
+
+def test_stream_ann_ingest_batch_invariance(spark):
+    """The frozen-model contract: batch boundaries cannot affect the
+    index. The registered entry's top-k (seed codes + two streamed
+    drops) must equal the ADC over a single BATCH-FREE encode of the
+    whole corpus against the same seed-trained model — row for row."""
+    from canary_weather_etl_spark.operators import clustering as C
+    from canary_weather_etl_spark.operators import similarity as S
+
+    e = load_par(spark, SF, "embeddings")
+    n = e.count()
+    seed = e.filter(F.col("vec_id") * 3 < n)
+    cdf = S.train_ivf_quantizer_fixed(seed, n_lists=8, iterations=2)
+    cents = {int(r["list_id"]): [int(v) for v in r["centroid"]]
+             for r in cdf.collect()}
+    books = S.pq_train_codebooks(
+        S.ivf_residuals(seed, cents).select("vec_id", "qvec"),
+        m=2, k=4, iterations=2)
+    q0 = [int(v) for v in
+          C.quantize_vectors(e).filter(F.col("vec_id") == 0)
+          .collect()[0]["qvec"]]
+    codes_all = S.ivfpq_encode_frozen(e, cents, books)
+    expect = S.ivfpq_adc_over_codes(codes_all, q0, cents, books,
+                                    k_top=10, n_probe=2,
+                                    exclude_vec_id=0).collect()
+
+    got = REGISTRY["q_stream_ann_ingest"].fn(spark, SF).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_stream_pca_equals_batch_bit_for_bit(spark):
+    """The additive-moment identity is exact: the streaming entry's
+    projections (three micro-batches of raw-moment state, Gram derived
+    from the summed state) must equal q_pca_power_projection's output
+    row for row — same μ rule, same G, same 64-iteration orbit."""
+    a = REGISTRY["q_stream_pca_update"].fn(spark, SF).collect()
+    b = REGISTRY["q_pca_power_projection"].fn(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
