@@ -18,10 +18,11 @@ map-side-combinable pass, driver-side eigen-work, bit-exact unrolled
 oracle), STREAMING vector-index ingest (micro-batches encode
 against the frozen seed-trained IVFADC model and append codes — the
 oracle replays the whole pipeline batch-free, and a pytest pins batch
-invariance), and STREAMING incremental PCA (additive raw-moment state
+invariance), STREAMING incremental PCA (additive raw-moment state
 per micro-batch; the centering expansion is an exact integer identity,
 so the entry shares the batch oracle verbatim and equals it row for
-row).
+row), and a TOTAL-VARIATION corpus-drift monitor (integer-exact — no
+logarithm, so none of KL's cross-engine libm hazard).
 
 Reference provenance: the reference repo (ilias-lp/canary-weather-etl
 README.md) ships none of these; they extend the engine's LLM-pipeline
@@ -961,3 +962,97 @@ def q_stream_pca_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = SP.power_iterate(gram, iterations=64)
     corpus = spark.read.parquet(drops)  # the stream's delivered corpus
     return SP.project_on_direction(corpus, mu, v)
+
+# ---------------------------------------------------------------------------
+# Corpus distribution drift: total-variation monitor, integer-exact
+# ---------------------------------------------------------------------------
+
+_DRIFT_TV_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id % 2 AS half,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    n AS (
+        SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM toks2
+    ), cnt AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM toks2 GROUP BY term
+    ), per AS (
+        SELECT term,
+               1000000000 * c0 // n.n0 AS p0_units,
+               1000000000 * c1 // n.n1 AS p1_units
+        FROM cnt CROSS JOIN n
+    ), scored AS (
+        SELECT term, p0_units, p1_units,
+               ABS(p0_units - p1_units) AS drift_units
+        FROM per
+    ), tot AS (
+        SELECT CAST(SUM(drift_units) // 2 AS BIGINT) AS tv_units
+        FROM scored
+    )
+    SELECT s.term, s.p0_units, s.p1_units, s.drift_units, t.tv_units
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY drift_units DESC, term)
+                      AS rn
+        FROM scored) s CROSS JOIN tot t
+    WHERE s.rn <= 20
+"""
+
+
+@register(
+    "q_corpus_drift_tv",
+    oracle=_DRIFT_TV_SQL,
+    doc="CORPUS DISTRIBUTION DRIFT monitor — total-variation distance "
+        "between two corpus snapshots' token distributions (here the "
+        "even/odd doc_id halves as the deterministic stand-in for "
+        "yesterday's corpus vs today's), with the top-20 drifted terms: "
+        "TV = ½·Σ|p_t − q_t| over per-snapshot term frequencies in 1e9 "
+        "fixed-point units (FLOOR rational division — NO logarithm, so "
+        "unlike KL there is no cross-engine libm hazard anywhere in the "
+        "statistic; the repo's ln-avoidance discipline, r7 tfidf "
+        "retrieval). Output: (term, p0_units, p1_units, drift_units, "
+        "tv_units) for the 20 largest drifts, the corpus-level TV "
+        "riding every row. 100 TB shape: two map-side-combinable term "
+        "counts (the same pass ships both snapshots via a conditional "
+        "aggregate), one broadcast of the two totals, one "
+        "TakeOrderedAndProject — the monitor a training pipeline runs "
+        "per ingest cycle to catch source composition shifts before "
+        "they hit the mix weights.",
+    tags=("llm", "text", "quality"),
+)
+def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    toks = (d.select((F.col("doc_id") % 2).alias("half"),
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("term"))
+            .filter(F.col("term") != ""))
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"))
+    n = toks.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"))
+    # `div` (integer division), NOT FLOOR(double /): the double quotient
+    # rounds to nearest before the floor, which can flip the unit at
+    # denominators past ~4e6 tokens — integer div is exact at any scale
+    # and matches DuckDB's `//` on non-negative operands
+    per = (cnt.crossJoin(F.broadcast(n))
+           .select("term",
+                   F.expr("1000000000L * c0 div n0").alias("p0_units"),
+                   F.expr("1000000000L * c1 div n1").alias("p1_units")))
+    scored = per.withColumn(
+        "drift_units", F.abs(F.col("p0_units") - F.col("p1_units")))
+    tot = scored.agg(F.expr("sum(drift_units) div 2").alias("tv_units"))
+    top = (scored.orderBy(F.desc("drift_units"), F.asc("term")).limit(20)
+           .crossJoin(F.broadcast(tot)))
+    return top.select("term", "p0_units", "p1_units", "drift_units",
+                      "tv_units")

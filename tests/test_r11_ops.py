@@ -399,3 +399,37 @@ def test_stream_pca_equals_batch_bit_for_bit(spark):
     a = REGISTRY["q_stream_pca_update"].fn(spark, SF).collect()
     b = REGISTRY["q_pca_power_projection"].fn(spark, SF).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --- corpus drift (total variation) ------------------------------------------
+
+def test_corpus_drift_tv_zero_on_identical_halves(spark):
+    """TV drift of a corpus against itself is exactly 0: duplicate every
+    document into both halves (even/odd ids carry identical text) and
+    the integer statistic must vanish — no epsilon, it's exact."""
+    from canary_weather_etl_spark.plans import r11_queries as R
+
+    d = load_par(spark, SF, "documents").limit(200)
+    both = (d.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+            .unionByName(
+                d.select((F.col("doc_id") * 2 + 1).alias("doc_id"),
+                          "text")))
+    toks = (both.select((F.col("doc_id") % 2).alias("half"),
+                        F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                        .alias("term"))
+            .filter(F.col("term") != ""))
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"))
+    n = toks.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"))
+    per = (cnt.crossJoin(F.broadcast(n))
+           .select(F.expr("1000000000L * c0 div n0").alias("p0"),
+                   F.expr("1000000000L * c1 div n1").alias("p1")))
+    tv = per.agg(F.expr("sum(abs(p0 - p1)) div 2").alias("tv")).collect()
+    assert tv[0]["tv"] == 0
+
+    # and the registered entry's statistic is bounded by construction
+    rows = REGISTRY["q_corpus_drift_tv"].fn(spark, SF).collect()
+    assert rows and all(0 <= r["tv_units"] <= 1_000_000_000 for r in rows)
