@@ -873,6 +873,25 @@ def pq_adc_topk(codes: DataFrame, query_qvec: list[int],
             .select("rank", "vec_id", "adc_units"))
 
 
+def _residuals_from_quantized(qdf, cents: dict[int, list[int]]):
+    """(vec_id, list_id, qvec=residual) from a pre-quantized frame:
+    integer argmin against literal centroids, then zip_with subtraction
+    against a when-chain of literal arrays — one codegen projection, no
+    join, no shuffle. The shared body of the IVFADC family (residual PQ
+    training, encode, frozen-model ingest)."""
+    from .clustering import assign_clusters
+
+    asg = assign_clusters(qdf, cents)
+    cexpr = None
+    for cid, c in sorted(cents.items()):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
+                 else cexpr.when(F.col("cluster_id") == cid, arr))
+    return asg.select(
+        "vec_id", F.col("cluster_id").alias("list_id"),
+        F.zip_with("qvec", cexpr, lambda x, y: x - y).alias("qvec"))
+
+
 def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
                      k_top: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding", n_lists: int = 8,
@@ -914,7 +933,7 @@ def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
     """
     from pyspark.sql import Window
 
-    from .clustering import assign_clusters, quantize_vectors
+    from .clustering import quantize_vectors
 
     # one materialization feeds assignment, PQ training, encode and the
     # query row (GC-released blocks)
@@ -932,16 +951,7 @@ def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
 
     # residuals: integer subtraction against the assigned list's literal
     # centroid (when-chain over n_lists arrays — pure codegen, no join)
-    asg = assign_clusters(qdf, cents)
-    cexpr = None
-    for cid, c in sorted(cents.items()):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
-                 else cexpr.when(F.col("cluster_id") == cid, arr))
-    rdf = (asg.select("vec_id", F.col("cluster_id").alias("list_id"),
-                      F.zip_with("qvec", cexpr,
-                                 lambda x, y: x - y).alias("qvec"))
-           .localCheckpoint(eager=True))
+    rdf = _residuals_from_quantized(qdf, cents).localCheckpoint(eager=True)
 
     books = pq_train_codebooks(rdf.select("vec_id", "qvec"), m=m, k=pq_k,
                                iterations=pq_iterations)
@@ -999,7 +1009,7 @@ def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
     via the list partition key)."""
     from pyspark.sql import Window
 
-    from .clustering import assign_clusters, quantize_vectors
+    from .clustering import quantize_vectors
 
     qdf = (quantize_vectors(embeddings, id_col, vec_col)
            .localCheckpoint(eager=True))
@@ -1010,16 +1020,7 @@ def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
     dims = len(next(iter(cents.values())))
     sublen = dims // m
 
-    asg = assign_clusters(qdf, cents)
-    cexpr = None
-    for cid, c in sorted(cents.items()):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
-                 else cexpr.when(F.col("cluster_id") == cid, arr))
-    rdf = (asg.select("vec_id", F.col("cluster_id").alias("list_id"),
-                      F.zip_with("qvec", cexpr,
-                                 lambda x, y: x - y).alias("qvec"))
-           .localCheckpoint(eager=True))
+    rdf = _residuals_from_quantized(qdf, cents).localCheckpoint(eager=True)
     books = pq_train_codebooks(rdf.select("vec_id", "qvec"), m=m, k=pq_k,
                                iterations=pq_iterations)
     codes = rdf.select(
@@ -1077,7 +1078,7 @@ def ivfpq_encode_frozen(vectors: DataFrame,
     batch — no shuffle, no training job, no reference to the existing
     index. This is how a 100 TB vector index stays fresh: the model
     trains once on a seed sample, every later ingest appends codes."""
-    from .clustering import assign_clusters, quantize_vectors
+    from .clustering import quantize_vectors
 
     m = len(books)
     dims = len(next(iter(cents.values())))
@@ -1090,16 +1091,10 @@ def ivfpq_encode_frozen(vectors: DataFrame,
     want = qdf.sparkSession.sparkContext.defaultParallelism
     if par < want:
         qdf = qdf.repartition(want)
-    asg = assign_clusters(qdf, cents)
-    cexpr = None
-    for cid, c in sorted(cents.items()):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
-                 else cexpr.when(F.col("cluster_id") == cid, arr))
-    rvec = F.zip_with("qvec", cexpr, lambda x, y: x - y)
-    return asg.select(
-        "vec_id", F.col("cluster_id").alias("list_id"),
-        *[_sub_argmin(F.slice(rvec, s * sublen + 1, sublen), books[s])
+    r = _residuals_from_quantized(qdf, cents)
+    return r.select(
+        "vec_id", "list_id",
+        *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
           .alias(f"code_{s}") for s in range(m)])
 
 
@@ -1151,15 +1146,7 @@ def ivf_residuals(vectors: DataFrame, cents: dict[int, list[int]],
     its nearest literal centroid — the PQ training input of the IVFADC
     family. One narrow codegen projection (argmin + zip_with subtract),
     no shuffle."""
-    from .clustering import assign_clusters, quantize_vectors
+    from .clustering import quantize_vectors
 
-    qdf = quantize_vectors(vectors, id_col, vec_col)
-    asg = assign_clusters(qdf, cents)
-    cexpr = None
-    for cid, c in sorted(cents.items()):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
-                 else cexpr.when(F.col("cluster_id") == cid, arr))
-    return asg.select(
-        "vec_id", F.col("cluster_id").alias("list_id"),
-        F.zip_with("qvec", cexpr, lambda x, y: x - y).alias("qvec"))
+    return _residuals_from_quantized(
+        quantize_vectors(vectors, id_col, vec_col), cents)
