@@ -234,3 +234,78 @@ def project_on_direction(vectors: DataFrame, mu: list[int], v: list[int],
         F.aggregate(F.zip_with(cvec, v_arr, lambda c, w: c * w),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("proj_units"))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — DuckDB's `//` semantics
+    (NOT Python's floor `//`, which differs on negative operands:
+    -7 // 2 is -4 in Python but -3 in DuckDB). Deflation arithmetic
+    uses this on both sides so the oracle replays bit-for-bit."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def deflate_gram(gram: list[list[int]], v1: list[int],
+                 down: int = 1_000) -> list[list[int]]:
+    """Integer Hotelling deflation: G₂ = G − λ·v v̂ᵀ/(v̂ᵀv̂) with
+    λ = v̂ᵀGv̂/(v̂ᵀv̂) folded in as G₂_ij = G_ij − trunc(num·v̂_i·v̂_j, den²)
+    where v̂ = trunc(v1/down) — the downscale keeps num·v̂_i·v̂_j inside
+    HUGEINT at every probed decade (at v1's native 1e6 units the triple
+    product clears 1e38 past the second decade). The rounding makes G₂
+    only approximately orthogonal to v1, which is fine: the oracle
+    replays the identical arithmetic, and the numpy pytest pins the
+    second direction's quality rather than exact orthogonality."""
+    d = len(gram)
+    vd = [_tdiv(x, down) for x in v1]
+    num = sum(vd[i] * gram[i][j] * vd[j]
+              for i in range(d) for j in range(d))
+    den = sum(x * x for x in vd)
+    dd = den * den
+    return [[gram[i][j] - _tdiv(num * vd[i] * vd[j], dd)
+             for j in range(d)] for i in range(d)]
+
+
+def pca_top2_projection(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        iterations: int = 64) -> DataFrame:
+    """(vec_id, proj1_units, proj2_units): the top-2 spectral scatter —
+    dominant direction by power iteration, second direction by power
+    iteration on the deflated Gram. Same stage budget as
+    pca_power_projection plus O(d²) more driver ints; the corpus is
+    still touched exactly twice."""
+    qdf = _quantize(embeddings, id_col, vec_col)
+    head = qdf.select("qvec").head()
+    if head is None:
+        raise ValueError("pca_top2_projection: empty input")
+    dims = len(head["qvec"])
+
+    mrows = (qdf.select(F.posexplode("qvec").alias("ord", "qv"))
+             .groupBy("ord")
+             .agg(F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                  .cast("long").alias("mu"))
+             .collect())
+    mu = {int(r["ord"]): int(r["mu"]) for r in mrows}
+    mu_arr = F.array(*[F.lit(mu[i]).cast("long") for i in range(dims)])
+    centered = qdf.select(
+        "vec_id",
+        F.zip_with("qvec", mu_arr, lambda x, y: x - y).alias("cvec"))
+    par = centered.rdd.getNumPartitions()
+    want = centered.sparkSession.sparkContext.defaultParallelism
+    if par < want:
+        centered = centered.repartition(want)
+    centered = centered.localCheckpoint(eager=True)
+
+    gram = gram_matrix(centered, dims)
+    v1 = power_iterate(gram, iterations=iterations)
+    v2 = power_iterate(deflate_gram(gram, v1), iterations=iterations)
+
+    v1_arr = F.array(*[F.lit(int(x)).cast("long") for x in v1])
+    v2_arr = F.array(*[F.lit(int(x)).cast("long") for x in v2])
+
+    def fold(arr) -> F.Column:
+        return F.aggregate(F.zip_with("cvec", arr, lambda c, w: c * w),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    return centered.select("vec_id",
+                           fold(v1_arr).alias("proj1_units"),
+                           fold(v2_arr).alias("proj2_units"))

@@ -64,7 +64,7 @@ _DRIVER_PRIORITY = (
     "q_stream_admission_postings", "q_sketch_error_bounds",
     "q_bloom_membership_gate", "q_cms_heavy_hitters",
     "q_sim_ann_ivfpq", "q_pca_power_projection", "q_stream_ann_ingest",
-    "q_stream_pca_update", "q_corpus_drift_tv",
+    "q_stream_pca_update", "q_corpus_drift_tv", "q_pca_top2",
     # The remaining 7 r4-sampled entries, then the r7-sampled block —
     # every driver row below is r4/r5/r7-vintage (all sweep-green; this
     # head + the r12 tail cycles the whole registry within 5 rounds as

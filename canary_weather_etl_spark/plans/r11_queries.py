@@ -21,8 +21,10 @@ oracle replays the whole pipeline batch-free, and a pytest pins batch
 invariance), STREAMING incremental PCA (additive raw-moment state
 per micro-batch; the centering expansion is an exact integer identity,
 so the entry shares the batch oracle verbatim and equals it row for
-row), and a TOTAL-VARIATION corpus-drift monitor (integer-exact — no
-logarithm, so none of KL's cross-engine libm hazard).
+row), a TOTAL-VARIATION corpus-drift monitor (integer-exact — no
+logarithm, so none of KL's cross-engine libm hazard), and the TOP-2
+spectral scatter (integer Hotelling deflation + a second power chain,
+both directions numpy-pinned).
 
 Reference provenance: the reference repo (ilias-lp/canary-weather-etl
 README.md) ships none of these; they extend the engine's LLM-pipeline
@@ -863,7 +865,10 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     for b in (drop_a, drop_b):
-        b.coalesce(1).write.mode("append").parquet(drops)
+        # 8 files per drop, not coalesce(1): a single-file drop made the
+        # fixture write a 0.5 GB file in ONE task at the 1000x probe —
+        # the drop layout is harness scaffolding either way
+        b.repartition(8).write.mode("append").parquet(drops)
         q = (spark.readStream.schema(schema).parquet(drops)
              .writeStream.foreachBatch(encode_batch)
              .option("checkpointLocation", ckpt)
@@ -945,7 +950,8 @@ def q_stream_pca_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     for b in thirds:
-        b.coalesce(1).write.mode("append").parquet(drops)
+        b.repartition(8).write.mode("append").parquet(drops)  # see ann
+        # ingest: parallel drop writes, layout is fixture scaffolding
         q = (spark.readStream.schema(schema).parquet(drops)
              .writeStream.foreachBatch(accumulate)
              .option("checkpointLocation", ckpt)
@@ -1056,3 +1062,115 @@ def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
            .crossJoin(F.broadcast(tot)))
     return top.select("term", "p0_units", "p1_units", "drift_units",
                       "tv_units")
+
+# ---------------------------------------------------------------------------
+# PCA top-2: deflation + second power chain, bit-exact oracle
+# ---------------------------------------------------------------------------
+
+
+def _power_chain_sql(gcte: str, vp: str, iterations: int,
+                     vec_scale: int = 1_000_000) -> tuple[str, str]:
+    """(chain_sql, final_v_cte): unrolled power-method CTE chain over an
+    (i, j, gv) Gram CTE — start axis = largest diagonal (ties smaller
+    dim), per-step window-folded max renormalization, MATERIALIZED v
+    steps (the CTE-inlining lesson, see _pca_power_oracle)."""
+    parts = [f"""
+    , {vp}d0 AS (SELECT i FROM {gcte} WHERE i = j
+                 ORDER BY gv DESC, i LIMIT 1),
+    {vp}0 AS (
+        SELECT dm.i AS ord,
+               CASE WHEN dm.i = {vp}d0.i THEN CAST({vec_scale} AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS v
+        FROM (SELECT DISTINCT i FROM {gcte}) dm CROSS JOIN {vp}d0)"""]
+    for t in range(1, iterations + 1):
+        parts.append(f"""
+    , {vp}w{t} AS (
+        SELECT g.i AS ord, SUM(g.gv * v.v) AS wv
+        FROM {gcte} g JOIN {vp}{t - 1} v ON v.ord = g.j
+        GROUP BY 1),
+    {vp}{t} AS MATERIALIZED (
+        SELECT ord,
+               CAST(FLOOR(CAST(wv AS DOUBLE) * {float(vec_scale)}
+                          / CAST(MAX(ABS(wv)) OVER () AS DOUBLE))
+                    AS HUGEINT) AS v
+        FROM {vp}w{t})""")
+    return "".join(parts), f"{vp}{iterations}"
+
+
+def _pca_top2_oracle(iterations: int = 64, coord_scale: int = 1_000,
+                     down: int = 1_000) -> str:
+    """Top-2 twin of _pca_power_oracle: the shared quantize/means/Gram
+    prefix, the first power chain, integer Hotelling deflation
+    (v̂ = v1 // down — DuckDB `//` truncates toward zero, which is
+    exactly operators/spectral._tdiv — then G₂ = G − (v̂ᵀGv̂)·v̂v̂ᵀ//den²),
+    the second chain over G₂, and both projections in one aggregate."""
+    prefix = f"""
+    q AS MATERIALIZED (
+        SELECT vec_id, u.ord AS ord,
+               CAST(FLOOR(CAST(u.val AS DOUBLE) * {coord_scale} + 0.5)
+                    AS BIGINT) AS qv
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (x, i) -> {{'val': x, 'ord': i}})) AS u
+              FROM embeddings)),
+    mn AS (
+        SELECT ord,
+               CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS mu
+        FROM q GROUP BY ord),
+    c AS MATERIALIZED (
+        SELECT q.vec_id, q.ord, q.qv - m.mu AS cv
+        FROM q JOIN mn m ON m.ord = q.ord),
+    g AS MATERIALIZED (
+        SELECT a.ord AS i, b.ord AS j,
+               SUM(CAST(a.cv AS HUGEINT) * b.cv) AS gv
+        FROM c a JOIN c b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2)"""
+    chain1, v1 = _power_chain_sql("g", "va", iterations)
+    deflate = f"""
+    , vd AS (SELECT ord, v // {down} AS vd FROM {v1}),
+    nm AS (
+        SELECT SUM(a.vd * g.gv * b.vd) AS num
+        FROM g JOIN vd a ON a.ord = g.i JOIN vd b ON b.ord = g.j),
+    dn AS (SELECT SUM(vd * vd) AS den FROM vd),
+    g2 AS MATERIALIZED (
+        SELECT g.i, g.j,
+               g.gv - (nm.num * a.vd * b.vd) // (dn.den * dn.den) AS gv
+        FROM g JOIN vd a ON a.ord = g.i JOIN vd b ON b.ord = g.j
+        CROSS JOIN nm CROSS JOIN dn)"""
+    chain2, v2 = _power_chain_sql("g2", "vb", iterations)
+    final = f"""
+    SELECT c.vec_id,
+           CAST(SUM(c.cv * p1.v) AS BIGINT) AS proj1_units,
+           CAST(SUM(c.cv * p2.v) AS BIGINT) AS proj2_units
+    FROM c JOIN {v1} p1 ON p1.ord = c.ord
+           JOIN {v2} p2 ON p2.ord = c.ord
+    GROUP BY 1"""
+    return "WITH " + prefix + chain1 + deflate + chain2 + final
+
+
+@register(
+    "q_pca_top2",
+    oracle=_pca_top2_oracle(iterations=64),
+    doc="TOP-2 spectral scatter — each vector's exact integer "
+        "projections onto the two leading principal directions "
+        "(operators/spectral.pca_top2_projection): the 2-D embedding "
+        "map a curation run plots to eyeball cluster structure, plus "
+        "the input to quadrant-based diversity sampling. Direction 1 is "
+        "q_pca_power_projection's power iteration; direction 2 comes "
+        "from integer Hotelling deflation (G₂ = G − λ·v̂v̂ᵀ/(v̂ᵀv̂) folded "
+        "into one truncating division per cell, v̂ downscaled 1e3 to "
+        "keep the triple product inside HUGEINT at every probed "
+        "decade) and a second 64-iteration chain over G₂. Deflation "
+        "division TRUNCATES toward zero on both engines — DuckDB's // "
+        "is not Python's floor //, a sign-dependent one-unit trap "
+        "(spectral._tdiv). Corpus cost is UNCHANGED from the 1-D entry "
+        "(same two passes; the extra work is O(d²) driver ints), and "
+        "the numpy pytest pins both directions' quality.",
+    tags=("llm", "similarity", "iterative"),
+)
+def q_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spectral import pca_top2_projection
+
+    e = load_par(spark, sf_dir, "embeddings")
+    return pca_top2_projection(e, iterations=64)
