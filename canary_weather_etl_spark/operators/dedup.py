@@ -746,7 +746,8 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
                            state_dir: str | None = None,
                            regime: str = "auto",
                            threshold: float = 0.5, n: int = 2,
-                           buckets: int = 64) -> DataFrame:
+                           buckets: int = 64,
+                           writeback: bool = True) -> DataFrame:
     """One micro-batch of corpus admission (exact content gate + exact
     cross-Jaccard near gate vs the CURRENT corpus), with an
     ENGINE-CHOSEN cost regime — the same two-exact-plans discipline as
@@ -782,7 +783,12 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
     checkpointed; appends admitted docs to ``corpus_dir`` and, when
     ``state_dir`` is given, their postings/hashes to the state tables —
     so the NEXT batch sees this batch's admits, whichever regime it
-    picks."""
+    picks. ``writeback=False`` is the SCREEN-ONLY mode: score a
+    candidate batch against the current corpus without committing
+    anything — the read-only audit shape (and the one that keeps a
+    shared seeded state immutable, so q_stream_admission_fixed_batch
+    can cache its seed across invocations and measure the pure
+    per-batch screen cost)."""
     import os
 
     if regime not in ("auto", "rescan", "postings"):
@@ -856,6 +862,8 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
             F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near"))
         .localCheckpoint(eager=True))
 
+    if not writeback:
+        return verdicts
     admitted = verdicts.filter(F.col("verdict") == "admit")
     (admitted.select("doc_id", "text")
      .write.mode("append").parquet(corpus_dir))

@@ -892,6 +892,44 @@ def _residuals_from_quantized(qdf, cents: dict[int, list[int]]):
         F.zip_with("qvec", cexpr, lambda x, y: x - y).alias("qvec"))
 
 
+def _probe_lists(q0: list[int], cents: dict[int, list[int]],
+                 n_probe: int) -> list[int]:
+    """The query's ``n_probe`` nearest inverted lists by exact integer
+    distance to the literal centroids — driver arithmetic over the
+    bounded model (n_lists × dims ints), ties to the smaller list id."""
+    return [cid for _, cid in sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
+        for cid, c in cents.items())[:n_probe]]
+
+
+def _adc_expr(q0: list[int], cents: dict[int, list[int]],
+              books: dict[int, dict[int, list[int]]],
+              probed: list[int]) -> F.Column:
+    """The asymmetric-distance column for one query over a
+    (list_id, code_0..m-1) row: a when-chain on list_id selecting the
+    per-(list, subspace) driver-literal distance table — the query
+    residual differs per probed list, so each branch carries its own
+    m × pq_k integer table. Shared by topk_ivfpq_fixed / topk_ivfpq_multi
+    / ivfpq_adc_over_codes / ivfpq_sweep (one construction, four users)."""
+    m = len(books)
+    dims = len(next(iter(cents.values())))
+    sublen = dims // m
+    adc = None
+    for lid in probed:
+        r0 = [a - b for a, b in zip(q0, cents[lid])]
+        terms = None
+        for s in range(m):
+            rs = r0[s * sublen:(s + 1) * sublen]
+            tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
+                   for _, c in sorted(books[s].items())]
+            tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
+            t = F.element_at(tarr, F.col(f"code_{s}") + 1)
+            terms = t if terms is None else terms + t
+        adc = (F.when(F.col("list_id") == lid, terms) if adc is None
+               else adc.when(F.col("list_id") == lid, terms))
+    return adc
+
+
 def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
                      k_top: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding", n_lists: int = 8,
@@ -966,23 +1004,8 @@ def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
     if not q0_rows:
         raise ValueError(f"query vec_id {query_vec_id} not found")
     q0 = [int(v) for v in q0_rows[0]["qvec"]]
-    probed = [cid for _, cid in sorted(
-        (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
-        for cid, c in cents.items())[:n_probe]]
-
-    adc = None
-    for lid in probed:
-        r0 = [a - b for a, b in zip(q0, cents[lid])]
-        terms = None
-        for s in range(m):
-            rs = r0[s * sublen:(s + 1) * sublen]
-            tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
-                   for _, c in sorted(books[s].items())]
-            tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
-            t = F.element_at(tarr, F.col(f"code_{s}") + 1)
-            terms = t if terms is None else terms + t
-        adc = (F.when(F.col("list_id") == lid, terms) if adc is None
-               else adc.when(F.col("list_id") == lid, terms))
+    probed = _probe_lists(q0, cents, n_probe)
+    adc = _adc_expr(q0, cents, books, probed)
 
     scored = (codes.filter(F.col("list_id").isin(*[int(x) for x in probed]))
               .select("vec_id", adc.cast("long").alias("adc_units")))
@@ -1018,6 +1041,10 @@ def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
     cents = {int(r["list_id"]): [int(v) for v in r["centroid"]]
              for r in cdf.collect()}
     dims = len(next(iter(cents.values())))
+    # mirror topk_ivfpq_fixed's validation (the single-query twin): fail
+    # loudly here, not later inside pq_train_codebooks / a KeyError
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
     sublen = dims // m
 
     rdf = _residuals_from_quantized(qdf, cents).localCheckpoint(eager=True)
@@ -1032,25 +1059,14 @@ def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
              for r in qdf.filter(
                  F.col("vec_id").isin(*[int(q) for q in query_ids]))
              .collect()}
+    missing = [int(q) for q in query_ids if int(q) not in qrows]
+    if missing:
+        raise ValueError(f"query vec_id(s) {missing} not found")
     branches = []
     for qid in query_ids:
         q0 = qrows[int(qid)]
-        probed = [cid for _, cid in sorted(
-            (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
-            for cid, c in cents.items())[:n_probe]]
-        adc = None
-        for lid in probed:
-            r0 = [a - b for a, b in zip(q0, cents[lid])]
-            terms = None
-            for s in range(m):
-                rs = r0[s * sublen:(s + 1) * sublen]
-                tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
-                       for _, c in sorted(books[s].items())]
-                tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
-                t = F.element_at(tarr, F.col(f"code_{s}") + 1)
-                terms = t if terms is None else terms + t
-            adc = (F.when(F.col("list_id") == lid, terms) if adc is None
-                   else adc.when(F.col("list_id") == lid, terms))
+        probed = _probe_lists(q0, cents, n_probe)
+        adc = _adc_expr(q0, cents, books, probed)
         scored = (codes
                   .filter(F.col("list_id").isin(*[int(x) for x in probed])
                           & (F.col("vec_id") != int(qid)))
@@ -1110,25 +1126,8 @@ def ivfpq_adc_over_codes(codes: DataFrame, q0: list[int],
     TakeOrderedAndProject. Returns (rank, vec_id, adc_units)."""
     from pyspark.sql import Window
 
-    m = len(books)
-    dims = len(next(iter(cents.values())))
-    sublen = dims // m
-    probed = [cid for _, cid in sorted(
-        (sum((a - b) * (a - b) for a, b in zip(q0, c)), cid)
-        for cid, c in cents.items())[:n_probe]]
-    adc = None
-    for lid in probed:
-        r0 = [a - b for a, b in zip(q0, cents[lid])]
-        terms = None
-        for s in range(m):
-            rs = r0[s * sublen:(s + 1) * sublen]
-            tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
-                   for _, c in sorted(books[s].items())]
-            tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
-            t = F.element_at(tarr, F.col(f"code_{s}") + 1)
-            terms = t if terms is None else terms + t
-        adc = (F.when(F.col("list_id") == lid, terms) if adc is None
-               else adc.when(F.col("list_id") == lid, terms))
+    probed = _probe_lists(q0, cents, n_probe)
+    adc = _adc_expr(q0, cents, books, probed)
     scored = codes.filter(F.col("list_id").isin(*[int(x) for x in probed]))
     if exclude_vec_id is not None:
         scored = scored.filter(F.col("vec_id") != int(exclude_vec_id))
@@ -1137,6 +1136,105 @@ def ivfpq_adc_over_codes(codes: DataFrame, q0: list[int],
     w = Window.orderBy("adc_units", "vec_id")
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "vec_id", "adc_units"))
+
+
+def ivfpq_sweep(embeddings: DataFrame, query_ids: list[int],
+                grid: list[tuple[int, int, int]], k_top: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                n_lists: int = 8, ivf_iterations: int = 2,
+                pq_iterations: int = 2,
+                centroids: DataFrame | None = None) -> list[dict]:
+    """IVFADC PARAMETER SWEEP — the recall/cost trade measured from one
+    shared build: ``grid`` is a list of (m, pq_k, n_probe) points; the
+    coarse quantizer, the quantized corpus and the residual table are
+    built ONCE for the whole sweep, one PQ codebook + code table per
+    distinct (m, pq_k), and each grid point reuses them for its probes.
+    Returns one dict per point: {"m", "pq_k", "n_probe", "topk" (a
+    (query_id, rank, vec_id, adc_units) DataFrame), "cand_rows" (the
+    number of code rows the point's probes scan across the query set,
+    self-rows excluded — list sizes come from ONE bounded n_lists-row
+    aggregate, so the cost axis costs no extra corpus pass),
+    "code_bytes" (m bytes/vector at pq_k <= 256 — the residency axis)}.
+    This is how the 100 TB operating point gets CHOSEN FROM DATA rather
+    than asserted: recall@k against the exact baseline (computed by the
+    caller) vs scan fraction and code residency, Jégou et al. Fig. 5
+    as a registry entry."""
+    from pyspark.sql import Window
+
+    from .clustering import quantize_vectors
+
+    qdf = (quantize_vectors(embeddings, id_col, vec_col)
+           .localCheckpoint(eager=True))
+    cdf = centroids if centroids is not None else train_ivf_quantizer_fixed(
+        embeddings, n_lists, ivf_iterations, id_col, vec_col)
+    cents = {int(r["list_id"]): [int(v) for v in r["centroid"]]
+             for r in cdf.collect()}
+    dims = len(next(iter(cents.values())))
+    for m, pq_k, n_probe in grid:
+        if dims % m:
+            raise ValueError(f"dims {dims} not divisible by m={m}")
+        if not 1 <= n_probe <= n_lists:
+            raise ValueError(f"n_probe={n_probe} outside 1..{n_lists}")
+
+    rdf = _residuals_from_quantized(qdf, cents).localCheckpoint(eager=True)
+    # bounded: <= n_lists rows — the deterministic cost axis
+    sizes = {int(r["list_id"]): int(r["n"]) for r in
+             rdf.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    own = {}   # query -> its assigned list (self-row exclusion)
+    qrows = {int(r["vec_id"]): [int(v) for v in r["qvec"]]
+             for r in qdf.filter(
+                 F.col("vec_id").isin(*[int(q) for q in query_ids]))
+             .collect()}
+    missing = [int(q) for q in query_ids if int(q) not in qrows]
+    if missing:
+        raise ValueError(f"query vec_id(s) {missing} not found")
+    for r in (rdf.filter(F.col("vec_id")
+                         .isin(*[int(q) for q in query_ids]))
+              .select("vec_id", "list_id").collect()):
+        own[int(r["vec_id"])] = int(r["list_id"])
+
+    out: list[dict] = []
+    codes_by_mk: dict[tuple[int, int], tuple] = {}
+    for m, pq_k, n_probe in grid:
+        if (m, pq_k) not in codes_by_mk:
+            sublen = dims // m
+            books = pq_train_codebooks(rdf.select("vec_id", "qvec"),
+                                       m=m, k=pq_k,
+                                       iterations=pq_iterations)
+            codes = rdf.select(
+                "vec_id", "list_id",
+                *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen),
+                              books[s]).alias(f"code_{s}")
+                  for s in range(m)]).localCheckpoint(eager=True)
+            codes_by_mk[(m, pq_k)] = (books, codes)
+        books, codes = codes_by_mk[(m, pq_k)]
+        branches, cand_rows = [], 0
+        for qid in query_ids:
+            q0 = qrows[int(qid)]
+            probed = _probe_lists(q0, cents, n_probe)
+            cand_rows += (sum(sizes.get(lid, 0) for lid in probed)
+                          - (1 if own[int(qid)] in probed else 0))
+            scored = (codes
+                      .filter(F.col("list_id")
+                              .isin(*[int(x) for x in probed])
+                              & (F.col("vec_id") != int(qid)))
+                      .select(F.lit(int(qid)).alias("query_id"), "vec_id",
+                              _adc_expr(q0, cents, books, probed)
+                              .cast("long").alias("adc_units")))
+            branches.append(scored.orderBy("adc_units", "vec_id")
+                            .limit(k_top))
+        topk = branches[0]
+        for b in branches[1:]:
+            topk = topk.unionByName(b)
+        w = Window.partitionBy("query_id").orderBy("adc_units", "vec_id")
+        out.append({
+            "m": m, "pq_k": pq_k, "n_probe": n_probe,
+            "topk": (topk.withColumn("rank", F.row_number().over(w))
+                     .select("query_id", "rank", "vec_id", "adc_units")),
+            "cand_rows": cand_rows, "code_bytes": m,
+        })
+    return out
 
 
 def ivf_residuals(vectors: DataFrame, cents: dict[int, list[int]],

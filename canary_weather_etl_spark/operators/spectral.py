@@ -56,6 +56,32 @@ from pyspark.sql import functions as F
 COORD_SCALE = 1_000
 VEC_SCALE = 1_000_000
 
+_I64_MAX = (1 << 63) - 1
+
+
+def _check_sum_exactness(n: int, mx: int, where: str) -> None:
+    """Loud guard for the documented long-sum exactness bound: the Spark
+    side accumulates Σ c_i·c_j in BIGINT (17x cheaper than decimal on
+    this CPU-bound pass) while the SQL oracle uses HUGEINT, so past the
+    bound a non-ANSI deployment WRAPS SILENTLY where DuckDB stays exact
+    (a silent cross-engine verdict divergence), and the repo's ANSI
+    sessions die mid-pass with an opaque ArithmeticException — either
+    way this guard makes the failure explicit and actionable. The
+    guard is conservative (it bounds the worst-case sum, not the
+    realized one): n·mx² ≤ i64 max is
+    sufficient for every per-entry sum (|Σ c_i·c_j| ≤ n·mx²); the n and
+    mx scalars ride the same aggregate that computes the sums, so the
+    guard costs no extra pass. (The wrap would already have happened in
+    that pass, but the condition is detected from overflow-free scalars
+    — a count and a max — so the failure is explicit, not a wrong
+    answer.)"""
+    if n and mx and n * mx * mx > _I64_MAX:
+        raise ValueError(
+            f"{where}: long-sum exactness bound exceeded "
+            f"(n={n}, max|coord|={mx}, n*mx^2 > 2^63-1); the BIGINT "
+            "Gram sums may have wrapped while the SQL oracle's HUGEINT "
+            "stays exact — re-shard the corpus or lower COORD_SCALE")
+
 
 def _quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, qvec array<long>) at COORD_SCALE units — the same fixed
@@ -81,11 +107,17 @@ def gram_matrix(centered: DataFrame, dims: int) -> list[list[int]]:
     # long sums: exact to n ~ 2e12 vectors at these unit scales (module
     # docstring) and 17x cheaper than decimal(38,0) on this CPU-bound
     # pass; the SQL oracle's HUGEINT totals are value-identical
-    g = e.groupBy("i").agg(*[
-        F.sum(F.col("ci") * F.element_at("cvec", j + 1)).alias(f"g{j}")
-        for j in range(dims)])
+    g = e.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("ci"))).alias("mx"),
+        *[F.sum(F.col("ci") * F.element_at("cvec", j + 1)).alias(f"g{j}")
+          for j in range(dims)])
+    collected = g.collect()
     rows = {int(r["i"]): [int(r[f"g{j}"]) for j in range(dims)]
-            for r in g.collect()}
+            for r in collected}
+    n = max(int(r["n"]) for r in collected)
+    mx = max(int(r["mx"]) for r in collected)
+    _check_sum_exactness(n, mx, "gram_matrix")
     return [rows[i] for i in range(dims)]
 
 
@@ -193,11 +225,14 @@ def moment_state(vectors: DataFrame, id_col: str = "vec_id",
     dims = len(dims_row["qvec"])
     g = e.groupBy("i").agg(
         F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("ci"))).alias("mx"),
         F.sum("ci").alias("s"),
         *[F.sum(F.col("ci") * F.element_at("qvec", j + 1)).alias(f"m{j}")
           for j in range(dims)])
     rows = {int(r["i"]): r for r in g.collect()}
     n = int(rows[0]["n"])
+    _check_sum_exactness(n, max(int(r["mx"]) for r in rows.values()),
+                         "moment_state")
     s = [int(rows[i]["s"]) for i in range(dims)]
     m = [[int(rows[i][f"m{j}"]) for j in range(dims)] for i in range(dims)]
     return n, s, m

@@ -31,64 +31,55 @@ from . import r8_queries    # noqa: E402,F401  BPE encode-ids / stream upsert / 
 from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 from . import r10_queries   # noqa: E402,F401  containment / quality logit
 from . import r11_queries   # noqa: E402,F401  banded containment / postings screen
+from . import r12_queries   # noqa: E402,F401  fixed-batch admission / ivfpq sweep / strata drift
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-11 rotation, per the r10 verdict's
-# #2 directive and the rotation plan it ratified: `q_try_functions` heads
-# the list (the only entry whose LATEST driver row is red — an r5
-# stringify artifact fixed in r6, sweep-green every round since, but
-# never re-sampled because it sat outside the priority head). Then the
-# three r4-sampled entries that just missed r10's 50-cut (old positions
-# 51-53), the r11-new entries at birth, the remaining 7 r4-sampled
-# entries, and the r7/r5-sampled blocks by evidence age. CORRECTNESS_r10
-# went 50/50 green (the first all-green sample), so after r11 no entry's
-# latest driver row is red or older than r5, and the r12 tail (the
-# remaining r5 block + r8/r9-fresh rows trailing in registration order)
-# completes the 5-round full-registry cycle planned in r9.
+# hard external correctness row. Round-12 rotation, per the r11 verdict's
+# #1 directive: positions 1-8 are the eight entries whose SQL oracles
+# POSTDATE their last driver row (minhash/simhash/LSH/IVF oracles landed
+# r8-r10 but their last driver rows are r5 rows-only; the minhash family's
+# physical plan additionally changed in r11 — explode + codegen'd 32-way
+# MIN aggregates — after its last sample). Their green hash rows this
+# round close the last stale-evidence gap in the chain. Then the r12-new
+# entries at birth, then the rest of the r5-sampled block and the
+# r7-sampled remainder in evidence-age order — CORRECTNESS_r11 went 50/50
+# green, so after r12 every remaining entry's latest driver row is
+# r7-or-newer and the full-registry cycle planned in r9 completes in r13.
 _DRIVER_PRIORITY = (
-    # Position 1 (r10 verdict #2): the ONLY registry entry whose latest
-    # driver row is red — a CORRECTNESS_r05 decimal-vs-float stringify
-    # artifact, reworked in r6 and sweep-green since, but never
-    # re-sampled because it was outside the priority head. Its green row
-    # this round retires the last red in the evidence chain.
-    "q_try_functions",
-    # Positions 2-4: the r4-sampled tail that JUST missed r10's 50-entry
-    # cut (priority positions 51-53 last round).
-    "q_merge_intervals", "q_asof_join_staleness", "q_approx_percentile",
-    # New in r11 — driver rows at birth; q_cms_heavy_hitters converted
-    # from rows-only to a full oracle (portable coordinate family), so
-    # its first HASH row lands this round too.
-    "q_containment_zipf", "q_containment_banded_recall",
-    "q_stream_admission_postings", "q_sketch_error_bounds",
-    "q_bloom_membership_gate", "q_cms_heavy_hitters",
-    "q_sim_ann_ivfpq", "q_pca_power_projection", "q_stream_ann_ingest",
-    "q_stream_pca_update", "q_corpus_drift_tv", "q_pca_top2",
-    # The remaining 7 r4-sampled entries, then the r7-sampled block —
-    # every driver row below is r4/r5/r7-vintage (all sweep-green; this
-    # head + the r12 tail cycles the whole registry within 5 rounds as
-    # planned in r9).
-    "q_sessionize",
-    "q_partition_stats", "q_histogram", "q_string_date_hash_composite",
-    "q_api_datasource_scan", "q_orc_roundtrip", "q_stream_restart_dedup",
-    "q_kmeans_lloyd", "q_kmeans_assign_incremental", "q_bfs_reach",
-    "q_setjoin_prefix_filter", "q_winsorize_robust", "q_sql_udf",
-    "q_arrow_normalize", "q_zonemap_skipping", "q_lang_balanced_sample",
-    "q_phrase_search", "q_tfidf_retrieval", "q_attribution_last_touch",
-    "q_grouping_id", "q_map_functions", "q_linreg_normal_eq",
-    "q_binaryfile_scan", "q_bellman_ford", "q_mmr_diverse_topk",
-    "q_sql_pipe_syntax", "q_stream_datasource_read", "q_stat_crosstab",
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
-    "q_tpch_q14", "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19",
-    "q_tpch_q21", "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
+    # Positions 1-8 (r11 verdict #1): oracled-after-last-driver-row set.
+    "q_dedup_minhash_lsh", "q_corpus_curation", "q_dedup_simhash",
+    "q_sim_ann_lsh", "q_sim_ann_ivf", "q_stratified_sample",
+    "q_bpe_merges", "q_pack_sequences_greedy",
+    # New in r12 — driver rows at birth (r11 verdict #5/#6/#8).
+    "q_stream_admission_fixed_batch", "q_sim_ann_ivfpq_sweep",
+    "q_corpus_drift_tv_strata",
+    # The rest of the r5-sampled block (last driver row r5) in registry
+    # order; q_sim_ann_recall{,_clustered} are rows-only by design.
+    "q_scalar_date", "q_conditional_case", "q_json_extract",
+    "q_count_distinct", "q_approx_count_distinct", "q_agg_collect",
+    "q_agg_min_max_by", "q_median_exact", "q_hll_sketch_merge",
+    "q_entity_blocking", "q_star_join_revenue", "q_bitmap_semi_join",
+    "q_interval_join_batch", "q_text_stats", "q_text_lang_id",
+    "q_text_fingerprint", "q_dedup_exact", "q_dedup_unique_count",
+    "q_ngram_jaccard_pairs", "q_dedup_clusters", "q_dedup_incremental",
+    "q_dedup_substring_spans", "q_sim_topk_bruteforce",
+    "q_embedding_norms", "q_embedding_quantize", "q_multimodal_meta",
+    "q_sim_ann_recall", "q_sim_ann_recall_clustered",
+    "q_tfidf_top_terms", "q_text_chunking", "q_weighted_sample",
+    "q_xml_roundtrip", "q_regression_stats", "q_lateral_topk",
+    "q_recursive_cte_depth", "q_ewma_time_decay",
+    "q_window_range_interval", "q_triangle_count", "q_pagerank_purchases",
+    "q_percentile_within_group", "q_join_null_safe", "q_subquery_exists",
+    "q_group_by_all",
+    # r7-sampled remainder (last driver row r7) — the r13 rotation head.
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19", "q_tpch_q21",
+    "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
     "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
-    # positions 55+ — the r12 rotation head: the rest of the r5-sampled
-    # block in evidence-age order
     "q_perceptron_batch", "q_boilerplate_strip", "q_tpch_q2",
     "q_tpch_q12",
-    "q_pack_sequences_greedy", "q_stratified_sample", "q_corpus_curation",
 )
 
 

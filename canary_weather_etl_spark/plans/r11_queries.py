@@ -857,11 +857,17 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the initial index: seed codes, written once
     (S.ivfpq_encode_frozen(seed, cents, books)
-     .write.mode("overwrite").parquet(codes_dir))
+     .write.mode("overwrite").parquet(os.path.join(codes_dir, "seed")))
 
-    def encode_batch(batch: DataFrame, _batch_id: int) -> None:
+    def encode_batch(batch: DataFrame, batch_id: int) -> None:
+        # batch_id-keyed subdir + overwrite, NOT a flat append:
+        # foreachBatch is at-least-once, so a replayed batch after a
+        # partial write must OVERWRITE its own output, never duplicate
+        # rows — this keeps the advertised bit-exact verdict true under
+        # retries, not just on the happy path
         (S.ivfpq_encode_frozen(batch, cents, books)
-         .write.mode("append").parquet(codes_dir))
+         .write.mode("overwrite")
+         .parquet(os.path.join(codes_dir, f"batch_{int(batch_id):05d}")))
 
     schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     for b in (drop_a, drop_b):
@@ -878,7 +884,8 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # outgrows the 120s default (a harness bound, not the operator)
         drain(q, timeout=600)
 
-    codes = spark.read.parquet(codes_dir)
+    codes = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(codes_dir))
     q0 = [int(v) for v in
           C.quantize_vectors(e).filter(F.col("vec_id") == 0)
           .collect()[0]["qvec"]]
@@ -943,10 +950,14 @@ def q_stream_pca_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         bn, bs, bm = SP.moment_state(batch)
         flat = [v for row in bm for v in row]
+        # batch_id-keyed subdir + overwrite (see encode_batch in
+        # q_stream_ann_ingest): an at-least-once replay must overwrite
+        # its own state row, or the summed moments double-count
         batch.sparkSession.createDataFrame(
             [(int(batch_id), bn, bs, flat)],
             "batch_id INT, n BIGINT, s ARRAY<BIGINT>, m ARRAY<BIGINT>"
-        ).write.mode("append").parquet(state_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_{int(batch_id):05d}"))
 
     schema = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
     for b in thirds:
@@ -958,7 +969,8 @@ def q_stream_pca_update(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         drain(q, timeout=600)  # same scale-probe headroom as ann_ingest
 
-    states = spark.read.parquet(state_dir).collect()  # one row per batch
+    states = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(state_dir).collect())  # one row per batch
     dims = len(states[0]["s"])
     tot_n = sum(int(r["n"]) for r in states)
     tot_s = [sum(int(r["s"][i]) for r in states) for i in range(dims)]
@@ -1047,6 +1059,24 @@ def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = toks.agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"))
+    # degenerate-input totality (the repo's explicit-failure pattern): a
+    # zero-token half makes Spark's integer div yield NULL rows where the
+    # DuckDB oracle raises — the engines must not disagree on failure
+    # mode, so fail loudly here; and past ~9.2e9 tokens per half the
+    # 1e9-scaled numerator would wrap BIGINT silently (non-ANSI) while
+    # DuckDB stays exact — same loud-guard discipline as
+    # spectral._check_sum_exactness. One metric-sized eager row.
+    nrow = n.collect()[0]
+    n0, n1 = int(nrow["n0"] or 0), int(nrow["n1"] or 0)
+    if n0 == 0 or n1 == 0:
+        raise ValueError(
+            f"corpus_drift_tv: a snapshot half has zero tokens "
+            f"(n0={n0}, n1={n1}) — TV against an empty distribution "
+            "is undefined")
+    if max(n0, n1) > (1 << 63) // 1_000_000_000:
+        raise ValueError(
+            f"corpus_drift_tv: token total {max(n0, n1)} exceeds the "
+            "1e9-unit BIGINT exactness bound (~9.2e9 tokens/half)")
     # `div` (integer division), NOT FLOOR(double /): the double quotient
     # rounds to nearest before the floor, which can flip the unit at
     # denominators past ~4e6 tokens — integer div is exact at any scale

@@ -1,0 +1,384 @@
+"""Round-12 registry queries.
+
+Closes the r11 verdict's evidence gaps with three driver-visible
+entries: the FIXED-BATCH streaming-admission twin (the O(batch) design
+point of the persisted-postings screen, previously only a table in
+scripts/admission_scale.py — here the batch is pinned at an
+sf-INDEPENDENT 200 documents while the corpus grows with the fixture,
+so the registry decade rows measure exactly the fixed-batch/
+growing-corpus axis), the IVFADC PARAMETER SWEEP (recall@10 vs scan
+fraction and code residency across (m, pq_k, n_probe) grid points on
+the clustered recommended regime AND the unclustered worst case — the
+100 TB operating point chosen from data, Jégou et al. Fig. 5 as a
+registry entry), and the PER-STRATUM total-variation drift
+decomposition (the r11 corpus-level TV monitor broken down per source
+and per lang — the table the curation mix stage consumes to re-weight
+drifting sources, same integer-exact no-libm units).
+
+Reference provenance: the reference repo (ilias-lp/canary-weather-etl
+README.md) ships none of these; they extend the engine's LLM-pipeline
+family (SURVEY.md §2.11) with public methods only (Broder shingle
+Jaccard, Jégou et al. IVFADC, total-variation distance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from .llm import _ivf_quantizer_path, clustered_embeddings
+from .r10_queries import _admission_round_sql, _grams_sql
+from .registry import load, load_par, register
+
+# ---------------------------------------------------------------------------
+# Fixed-batch streaming admission: the O(batch) design point, driver-visible
+# ---------------------------------------------------------------------------
+
+_FIXED_B = 200  # sf-INDEPENDENT batch span: doc_id < 200 at every scale
+
+_ADMISSION_FIXED_SQL = f"""
+    WITH c0 AS (SELECT doc_id, text FROM documents
+                WHERE doc_id >= {_FIXED_B}),
+    ba AS (SELECT doc_id, text FROM documents
+           WHERE doc_id < {_FIXED_B // 2}),
+    bb AS (SELECT doc_id, text FROM documents
+           WHERE doc_id >= {_FIXED_B // 2} AND doc_id < {_FIXED_B}),
+    {_grams_sql('c0', 'g_c0')},
+    {_grams_sql('ba', 'g_ba')},
+    {_grams_sql('bb', 'g_bb')},
+    md5_c0 AS (SELECT DISTINCT md5(text) AS h FROM c0),
+    {_admission_round_sql('ba', 'g_c0', 'g_c0_sz', 'md5_c0',
+                          'g_ba', 'g_ba_sz')},
+    {_admission_round_sql('bb', 'g_c0', 'g_c0_sz', 'md5_c0',
+                          'g_bb', 'g_bb_sz')}
+    SELECT doc_id, verdict, n_near FROM verd_ba
+    UNION ALL
+    SELECT doc_id, verdict, n_near FROM verd_bb
+"""
+
+
+def _corpus_fingerprint(corpus: DataFrame, sf_dir: str) -> str:
+    """Content fingerprint for the cached seed state: resolved fixture
+    path + corpus row count + doc_id sum — enough to invalidate the
+    cache whenever the fixture (or an amplified twin) changes, one
+    metric-sized aggregate to compute."""
+    import hashlib
+    import os
+
+    row = corpus.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("doc_id").alias("s")).collect()[0]
+    key = f"{os.path.realpath(sf_dir)}|{row['n']}|{row['s']}|B{_FIXED_B}n2"
+    return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+@register(
+    "q_stream_admission_fixed_batch",
+    oracle=_ADMISSION_FIXED_SQL,
+    doc="FIXED-BATCH streaming admission — the O(batch) DESIGN POINT of "
+        "the persisted-postings screen as a driver-checkable registry "
+        "entry (r11 verdict #5: the design point previously lived only "
+        "in scripts/admission_scale.py's table, because the registry "
+        "amplifier grows q_stream_admission_postings' %%3-split batches "
+        "along with the corpus). Here the two micro-batches are pinned "
+        "at an sf-INDEPENDENT span (doc_id < 200 — 200 documents at "
+        "EVERY scale factor and every amplifier multiple, since "
+        "amplified copies shift ids far above it) while the seed corpus "
+        "(doc_id >= 200) grows with the fixture — so this entry's "
+        "decade rows measure exactly the fixed-batch/growing-corpus "
+        "axis: per-batch wall must stay ~flat while the corpus grows "
+        "10x/100x. The screen runs admission_screen_batch's postings "
+        "regime in SCREEN-ONLY mode (writeback=False): the corpus is "
+        "FIXED for both batches, so the seeded state is immutable and "
+        "cached across invocations under a content fingerprint "
+        "(/tmp, keyed on fixture path + corpus count + id sum) — the "
+        "one-off seed cost amortizes exactly as a persistent deployment "
+        "state would, and repeated runs price the pure per-batch "
+        "screen. EXACT (content-md5 gate + bigram Jaccard >= 0.5), "
+        "verdict-identical to a rescan of the same corpus; the oracle "
+        "replays both batches against the fixed corpus in SQL.",
+    tags=("llm", "dedup", "streaming"),
+)
+def q_stream_admission_fixed_batch(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import drain
+
+    d = load(spark, sf_dir, "documents")
+    corpus0 = (d.filter(F.col("doc_id") >= _FIXED_B)
+               .select("doc_id", "text"))
+    batch_a = (d.filter(F.col("doc_id") < _FIXED_B // 2)
+               .select("doc_id", "text"))
+    batch_b = (d.filter((F.col("doc_id") >= _FIXED_B // 2)
+                        & (F.col("doc_id") < _FIXED_B))
+               .select("doc_id", "text"))
+
+    # immutable seed state, cached by content fingerprint: the corpus
+    # never changes within a run (screen-only mode) and the fingerprint
+    # invalidates across fixtures, so a repeat invocation pays only the
+    # per-batch screen — the persistent-deployment cost shape
+    fp = _corpus_fingerprint(corpus0, sf_dir)
+    cache = f"/tmp/canary_admission_fixed/{fp}"
+    corpus_dir = os.path.join(cache, "corpus")
+    state_dir = os.path.join(cache, "state")
+    if not os.path.exists(os.path.join(cache, "_DONE")):
+        shutil.rmtree(cache, ignore_errors=True)  # partial seed → rebuild
+        os.makedirs(cache, exist_ok=True)
+        corpus0.write.mode("overwrite").parquet(corpus_dir)
+        D.admission_state_init(corpus0, state_dir, n=2)
+        open(os.path.join(cache, "_DONE"), "w").close()
+
+    base = tempfile.mkdtemp(prefix="canary_admission_fixed_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    drops = os.path.join(base, "drops")
+    verdicts_dir = os.path.join(base, "verdicts")
+    ckpt = os.path.join(base, "ckpt")
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        verdicts = D.admission_screen_batch(
+            batch, corpus_dir, state_dir=state_dir, regime="postings",
+            threshold=0.5, n=2, writeback=False)
+        # batch_id-keyed overwrite: idempotent under foreachBatch's
+        # at-least-once replays (the r12 sink discipline)
+        (verdicts.select("doc_id", "verdict", "n_near")
+         .write.mode("overwrite")
+         .parquet(os.path.join(verdicts_dir, f"batch_{int(batch_id):05d}")))
+
+    schema = "doc_id BIGINT, text STRING"
+    for b in (batch_a, batch_b):
+        b.coalesce(1).write.mode("append").parquet(drops)
+        q = (spark.readStream.schema(schema).parquet(drops)
+             .writeStream.foreachBatch(screen)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        drain(q)
+
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(verdicts_dir))
+
+# ---------------------------------------------------------------------------
+# IVFADC parameter sweep: the operating point chosen from data
+# ---------------------------------------------------------------------------
+
+# (m, pq_k, n_probe) grid: the shipped default (2,4,2), the recommended
+# budget (4,8) across the probe axis, on the clustered regime embedding
+# corpora live in; the unclustered random fixture anchors the worst case
+# at the recommended budget's probe extremes.
+_SWEEP_CLUSTERED = [(2, 4, 2), (4, 8, 1), (4, 8, 2), (4, 8, 4), (4, 8, 8)]
+_SWEEP_RAW = [(4, 8, 2), (4, 8, 8)]
+_SWEEP_N_LISTS = 8
+
+
+def _sweep_rows(regime: str, e: DataFrame, grid: list,
+                centroids=None) -> DataFrame:
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding")).cache()
+    exact = (S.topk_brute_force(e, q, k=10)
+             .select("query_id", "vec_id").cache())
+    n_total = exact.count()  # 50-row ground truth — metric-sized
+    n_corpus = e.count()
+    out = None
+    for point in S.ivfpq_sweep(e, [0, 1, 2, 3, 4], grid, k_top=10,
+                               n_lists=_SWEEP_N_LISTS,
+                               centroids=centroids):
+        hits = exact.join(point["topk"].select("query_id", "vec_id"),
+                          on=["query_id", "vec_id"], how="left_semi")
+        row = hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+            F.lit(regime).alias("regime"),
+            F.lit(point["m"]).alias("m"),
+            F.lit(point["pq_k"]).alias("pq_k"),
+            F.lit(point["n_probe"]).alias("n_probe"),
+            # deterministic cost axes: scan fraction (the IVFADC cost
+            # model), MEASURED candidate rows, and code residency
+            F.lit(1_000_000 * point["n_probe"] // _SWEEP_N_LISTS)
+            .alias("scan_frac_ppm"),
+            F.lit(point["cand_rows"]).alias("cand_rows"),
+            F.lit(1_000_000 * point["cand_rows"]
+                  // (5 * max(n_corpus - 1, 1))).alias("cand_frac_ppm"),
+            F.lit(point["code_bytes"]).alias("code_bytes"),
+            (F.col("n_hits") / F.lit(n_total)).alias("recall_at_10"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "q_sim_ann_ivfpq_sweep",
+    oracle=None,  # quality/cost metric of engine-specific ANN paths
+    doc="IVFADC PARAMETER SWEEP — the recall/cost trade as driver data "
+        "(r11 verdict #6: the operating point was pinned at two spot "
+        "values; this records the CURVE, so the 100 TB regime is chosen "
+        "from data): recall@10 vs brute force for (m, pq_k, n_probe) "
+        "grid points, each row carrying its deterministic cost axes — "
+        "scan_frac_ppm = n_probe/n_lists (the published IVFADC cost "
+        "model), MEASURED cand_rows / cand_frac_ppm (code rows the "
+        "probes actually scan, from one bounded n_lists-row aggregate), "
+        "and code_bytes = m per vector (residency). Clustered regime "
+        "(the one embedding corpora live in, md5-rebuildable fixture): "
+        "the shipped (2,4,2) default plus the (4,8) budget across "
+        "n_probe 1/2/4/8; unclustered random fixture: the (4,8) budget "
+        "at probe extremes, anchoring quantization's worst case. The "
+        "whole sweep shares ONE quantizer + residual build and one code "
+        "table per (m, pq_k) (operators/similarity.ivfpq_sweep). "
+        "Rows-only BY DESIGN (hash-seeded model internals); the "
+        "recommended-regime floor (clustered (4,8,2) recall >= 0.8) and "
+        "probe-axis monotonicity are pytest-asserted "
+        "(tests/test_r12_ops.py).",
+    tags=("llm", "similarity", "approx", "quality"),
+)
+def q_sim_ann_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_par(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    clustered = clustered_embeddings(raw).localCheckpoint(eager=True)
+    # clustered corpus: quantizer trains on THIS corpus (its geometry);
+    # raw fixture: reuse the persisted train-once quantizer table the
+    # oracled q_sim_ann_ivf/ivfpq entries ship
+    cdf_raw = S.persist_ivf_quantizer_fixed(
+        raw, _ivf_quantizer_path(sf_dir), n_lists=_SWEEP_N_LISTS,
+        iterations=2)
+    rows_c = _sweep_rows("clustered", clustered, _SWEEP_CLUSTERED)
+    rows_r = _sweep_rows("unclustered", raw, _SWEEP_RAW,
+                         centroids=cdf_raw)
+    return (rows_c.unionByName(rows_r)
+            .orderBy("regime", "m", "pq_k", "n_probe"))
+
+# ---------------------------------------------------------------------------
+# Per-stratum TV drift decomposition: the mix stage's re-weighting input
+# ---------------------------------------------------------------------------
+
+_DRIFT_TV_STRATA_SQL = r"""
+    WITH toks AS (
+        SELECT source, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                    AS BIGINT) % 2 AS half,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    strat AS (
+        SELECT 'source' AS kind, source AS stratum, half, term FROM toks2
+        UNION ALL
+        SELECT 'lang' AS kind, lang AS stratum, half, term FROM toks2
+    ), n AS (
+        SELECT kind, stratum,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM strat GROUP BY 1, 2
+    ), cnt AS (
+        SELECT kind, stratum, term,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM strat GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT c.kind, c.stratum, c.term, n.n0, n.n1,
+               ABS(CASE WHEN n.n0 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE 1000000000 * c.c0 // n.n0 END
+                   - CASE WHEN n.n1 = 0 THEN CAST(0 AS BIGINT)
+                          ELSE 1000000000 * c.c1 // n.n1 END)
+                   AS drift_units
+        FROM cnt c JOIN n ON n.kind = c.kind AND n.stratum = c.stratum
+    ), agg AS (
+        SELECT kind, stratum, MAX(n0) AS n0_tokens, MAX(n1) AS n1_tokens,
+               CASE WHEN MAX(n0) = 0 OR MAX(n1) = 0
+                    THEN CAST(1000000000 AS BIGINT)
+                    ELSE CAST(SUM(drift_units) // 2 AS BIGINT)
+               END AS tv_units
+        FROM scored GROUP BY 1, 2
+    ), top AS (
+        SELECT kind, stratum, term AS top_term,
+               drift_units AS top_drift_units
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY kind, stratum
+                  ORDER BY drift_units DESC, term) AS rn
+              FROM scored) WHERE rn = 1
+    )
+    SELECT a.kind, a.stratum, a.n0_tokens, a.n1_tokens, a.tv_units,
+           t.top_term, t.top_drift_units
+    FROM agg a JOIN top t ON t.kind = a.kind AND t.stratum = a.stratum
+"""
+
+
+@register(
+    "q_corpus_drift_tv_strata",
+    oracle=_DRIFT_TV_STRATA_SQL,
+    doc="PER-STRATUM total-variation drift decomposition — the r11 "
+        "corpus-level TV monitor (q_corpus_drift_tv) broken down per "
+        "SOURCE and per LANG stratum: for each stratum, TV between two "
+        "deterministic snapshot halves' term distributions (md5-parity "
+        "of doc_id — independent of both strata by construction, where "
+        "the corpus-level entry's id parity is confounded with the "
+        "fixture's source column) in 1e9 "
+        "fixed-point units (FLOOR rational division — integer-exact, no "
+        "logarithm, no libm hazard), plus both halves' token totals and "
+        "the single most-drifted term (ties alphabetic). THIS is the "
+        "table the curation mix stage consumes (q_domain_mix_weights / "
+        "q_temperature_mix family): corpus-level TV says THAT the "
+        "distribution moved; the per-source rows say WHICH source's "
+        "composition moved and by how much, so mix weights can be "
+        "re-derived for exactly the drifting strata. Degenerate "
+        "totality: a stratum whose tokens all land in one half gets "
+        "tv_units = 1e9 (a vanished/newborn source IS total drift) "
+        "rather than a division error — both engines agree by explicit "
+        "CASE. 100 TB shape: same two map-side-combinable conditional "
+        "counts as the corpus-level monitor, now keyed by (kind, "
+        "stratum[, term]); the stratum count is bounded (sources + "
+        "langs), so the agg/top frames stay tiny.",
+    tags=("llm", "text", "quality"),
+)
+def q_corpus_drift_tv_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_par(spark, sf_dir, "documents")
+    # md5-parity halves, NOT doc_id % 2: the fixture's source column is
+    # perfectly confounded with id parity (each source holds one
+    # parity), which would make every per-source row the degenerate
+    # vanished-stratum case — the portable md5 parity is independent of
+    # both strata by construction (the clustered_embeddings /
+    # bloom-gate hash discipline, replayed bit-for-bit by the oracle)
+    half = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 7), 16, 10).cast("long") % 2)
+    toks = (d.select("source", "lang", half.alias("half"),
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("term"))
+            .filter(F.col("term") != ""))
+    strat = (toks.select(F.lit("source").alias("kind"),
+                         F.col("source").alias("stratum"), "half", "term")
+             .unionByName(
+                 toks.select(F.lit("lang").alias("kind"),
+                             F.col("lang").alias("stratum"),
+                             "half", "term")))
+    n = strat.groupBy("kind", "stratum").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"))
+    cnt = strat.groupBy("kind", "stratum", "term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"))
+    # integer div (the q_corpus_drift_tv exactness discipline); zero
+    # halves routed around the division by explicit CASE in BOTH engines
+    scored = (cnt.join(n, ["kind", "stratum"])
+              .select("kind", "stratum", "term", "n0", "n1",
+                      F.abs(
+                          F.when(F.col("n0") == 0, F.lit(0).cast("long"))
+                          .otherwise(F.expr("1000000000L * c0 div n0"))
+                          - F.when(F.col("n1") == 0,
+                                   F.lit(0).cast("long"))
+                          .otherwise(F.expr("1000000000L * c1 div n1")))
+                      .alias("drift_units")))
+    agg = scored.groupBy("kind", "stratum").agg(
+        F.max("n0").alias("n0_tokens"), F.max("n1").alias("n1_tokens"),
+        F.when((F.max("n0") == 0) | (F.max("n1") == 0),
+               F.lit(1_000_000_000).cast("long"))
+        .otherwise(F.expr("sum(drift_units) div 2")).alias("tv_units"))
+    w = Window.partitionBy("kind", "stratum").orderBy(
+        F.desc("drift_units"), F.asc("term"))
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("kind", "stratum", F.col("term").alias("top_term"),
+                   F.col("drift_units").alias("top_drift_units")))
+    return agg.join(top, ["kind", "stratum"]).select(
+        "kind", "stratum", "n0_tokens", "n1_tokens", "tv_units",
+        "top_term", "top_drift_units")
