@@ -61,14 +61,17 @@ SHIFTS = {
 }
 
 
-def amplify(spark, mult: int) -> str:
+def amplify(spark, mult: int, tables: tuple[str, ...] = TABLES) -> str:
     # mult-scoped dir: a fixed path + _DONE marker would silently hand a
     # --mult 100 run the cached 10x tables
     out_dir = f"/tmp/bench_{mult}x"
-    if os.path.exists(os.path.join(out_dir, "_DONE")):
+    # the global _DONE only vouches for the FULL table set; a partial
+    # build (e.g. an embeddings-only third-decade dir) resumes from the
+    # per-table markers instead of silently serving missing tables
+    if all(os.path.exists(f"{out_dir}/_DONE_{t}") for t in tables):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    for t in TABLES:
+    for t in tables:
         dst = f"{out_dir}/{t}.parquet"
         # per-table marker: third-decade builds run tens of minutes, so a
         # killed build resumes at the first unwritten table
@@ -99,7 +102,8 @@ def amplify(spark, mult: int) -> str:
         df = df.drop("__copy")
         df.write.mode("overwrite").parquet(dst)
         open(f"{out_dir}/_DONE_{t}", "w").close()
-    open(os.path.join(out_dir, "_DONE"), "w").close()
+    if all(os.path.exists(f"{out_dir}/_DONE_{t}") for t in TABLES):
+        open(os.path.join(out_dir, "_DONE"), "w").close()
     return out_dir
 
 
@@ -140,11 +144,17 @@ def main() -> None:
     force = "--force" in args
     only = (set(args[args.index("--only") + 1].split(","))
             if "--only" in args else None)
+    # --tables a,b: amplify only this subset (third-decade builds run
+    # tens of minutes per table; a probe of one documents-only query
+    # should not pay for lineitem). The probed queries must touch only
+    # amplified tables — missing ones fail loudly at read.
+    tables = (tuple(args[args.index("--tables") + 1].split(","))
+              if "--tables" in args else TABLES)
 
     spark = get_spark("canary-bench-scale")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    big = amplify(spark, mult)
+    big = amplify(spark, mult, tables=tables)
     for label, d in (("sf0.1", SF_DIR), (f"{mult}x sf0.1", big)):
         t = run_set(spark, d, reps, force=force, only=only)
         print(json.dumps({"scale": label, "sink": "hash" if force else "collect",

@@ -48,10 +48,12 @@ from scripts.scale_probe import amplified_docs_path  # noqa: E402
 
 
 def force(df) -> int:
-    """One-row hash sink: full computation, no driver serialization."""
+    """One-row hash sink: full computation, no driver serialization.
+    bit_xor, not sum — the session runs ANSI mode and a long sum of
+    64-bit hashes overflows (the bench_scale lesson)."""
     cols = [F.col(c).cast("string") for c in df.columns]
     row = df.select(F.xxhash64(*cols).alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")).collect()[0]
+        F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("s")).collect()[0]
     return int(row["n"])
 
 
@@ -128,6 +130,15 @@ def main() -> None:
     def p_full():
         return force(curate_corpus(docs, portable_hash=True,
                                    near_dup_threshold=0.5))
+
+    # UNTIMED full-pipeline warm pass first: the first measured prefix
+    # otherwise absorbs the JIT/codegen warm-up of the regex-heavy gate
+    # and the page-cache fill (first cut of this probe measured the
+    # gate prefix SLOWER than gate+exact for exactly that reason)
+    t0 = time.perf_counter()
+    p_full()
+    print(json.dumps({"warm_full_s": round(time.perf_counter() - t0, 2)}),
+          flush=True)
 
     prefixes = [("gate", p_gate), ("exact", p_exact),
                 ("shingle", p_shingle), ("neardup", p_neardup),

@@ -54,9 +54,10 @@ def bigrams_regex(col) -> F.Column:
 
 
 def force(df) -> int:
+    # bit_xor, not sum: ANSI mode + long sum of 64-bit hashes overflows
     cols = [F.col(c).cast("string") for c in df.columns]
     row = df.select(F.xxhash64(*cols).alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")).collect()[0]
+        F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("s")).collect()[0]
     return int(row["n"])
 
 
