@@ -43,23 +43,32 @@ def dup_groups(df: DataFrame, id_col: str, key: F.Column) -> DataFrame:
 
 
 def word_ngrams(col: F.Column | str, n: int = 2) -> F.Column:
-    """Distinct word n-gram (shingle) array. Built-in only: transform over
-    an index sequence + concat of token slices."""
+    """Distinct word n-gram (shingle) array. Built-in only, and since r12
+    HOF-free: normalize whitespace once, then ONE codegen'd
+    regexp_extract_all with a token-anchored LOOKAHEAD capture —
+    `(?:^| )(?=(tok( tok){n-1}))` — which emits every OVERLAPPING n-gram
+    left-to-right (the zero-width lookahead lets matches overlap; the
+    consumed `^| ` prefix anchors them at token starts, a bare lookahead
+    would match at every CHARACTER). The r11 minhash discovery applied
+    to the shingle build: every Spark higher-order array function is
+    CodegenFallback, so the former zip_with(slice, slice, concat_ws)
+    paid interpreted eval per (doc x token) — the regex shape is
+    bit-identical (order included: both emit grams positionally, then
+    array_distinct keeps first occurrences) and measured 12.45 s vs
+    19.92 s at 5M docs (scripts/shingle_shape_probe.py, which asserts
+    the equality on the real fixture + adversarial edges before
+    timing). Differential vs the old shape over n=1..4 on adversarial
+    edges: identical except n=1 on EMPTY text, where the old slice
+    shape emitted the degenerate [''] and this shape emits [] (the
+    sensible answer; no in-repo caller uses n=1)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), TOKEN_SPLIT_RE)
-    # n shifted views zipped positionally — O(tokens) array ops, ~6x faster
-    # than per-index element_at lookups inside a transform
-    m = F.size(toks) - (n - 1)  # number of n-grams
-    slices = [F.slice(toks, j + 1, m).alias(f"g{j}") for j in range(n)]
-    if n == 2:
-        grams = F.zip_with(slices[0], slices[1],
-                           lambda a, b: F.concat_ws(" ", a, b))
-    else:
-        zipped = F.arrays_zip(*slices)
-        grams = F.transform(
-            zipped, lambda x: F.concat_ws(" ", *[x[f"g{j}"] for j in range(n)]))
-    # guard: slice with non-positive length errors / misbehaves on short docs
-    grams = F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+    norm = F.regexp_replace(F.lower(F.trim(c)), TOKEN_SPLIT_RE, " ")
+    pat = r"(?:^| )(?=(" + "[^ ]+" + " [^ ]+" * (n - 1) + r"))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    # NULL/empty text must yield the empty array (the old when(m >= 1)
+    # guard's semantics), not NULL
+    grams = F.when(F.coalesce(norm, F.lit("")) == "",
+                   F.array().cast("array<string>")).otherwise(grams)
     return F.array_distinct(grams)
 
 

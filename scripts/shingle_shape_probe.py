@@ -39,18 +39,16 @@ from scripts.scale_probe import amplified_docs_path  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def bigrams_regex(col) -> F.Column:
-    """Codegen'd bigram shingle array: whitespace-normalized text, one
-    lookahead regex pass, distinct."""
+def bigrams_zipwith(col) -> F.Column:
+    """The r11-and-earlier HOF shape (interpreted lambda), kept here as
+    the differential reference for the shipped regex shape."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    grams = F.regexp_extract_all(norm, F.lit(r"(?=([^ ]+ [^ ]+))"), 1)
-    # coalesce: NULL text must yield the empty array like word_ngrams'
-    # when(m >= 1) guard, not NULL
-    return F.array_distinct(
-        F.when(F.coalesce(norm, F.lit("")) == "",
-               F.array().cast("array<string>"))
-        .otherwise(grams))
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    m = F.size(toks) - 1
+    grams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
 
 
 def force(df) -> int:
@@ -77,10 +75,12 @@ def main() -> None:
          (10**9 + 4, "a  b\tc\nd"), (10**9 + 5, None)],
         "doc_id BIGINT, text STRING")
     probe = d.unionByName(edges)
+    # UNSORTED equality: both shapes emit grams positionally and
+    # array_distinct keeps first occurrences, so order must match too
     diff = (probe.select(
         "doc_id",
-        F.array_sort(word_ngrams("text", 2)).alias("zw"),
-        F.array_sort(bigrams_regex("text")).alias("rx"))
+        bigrams_zipwith("text").alias("zw"),
+        word_ngrams("text", 2).alias("rx"))
         .filter(~(F.col("zw").eqNullSafe(F.col("rx")))))
     bad = diff.collect()
     assert not bad, f"shape mismatch on {len(bad)} docs: {bad[:3]}"
@@ -93,8 +93,8 @@ def main() -> None:
             .repartition(spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True))
     n = docs.count()
-    for name, col in (("zip_with", word_ngrams("text", 2)),
-                      ("regex", bigrams_regex("text"))):
+    for name, col in (("zip_with", bigrams_zipwith("text")),
+                      ("regex", word_ngrams("text", 2))):
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
