@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = (
     "q_bpe_merges", "q_pack_sequences_greedy",
     # New in r12 — driver rows at birth (r11 verdict #5/#6/#8).
     "q_stream_admission_fixed_batch", "q_sim_ann_ivfpq_sweep",
-    "q_corpus_drift_tv_strata",
+    "q_corpus_drift_tv_strata", "q_stream_drift_tv_strata",
     # The rest of the r5-sampled block (last driver row r5) in registry
     # order; q_sim_ann_recall{,_clustered} are rows-only by design.
     "q_scalar_date", "q_conditional_case", "q_json_extract",

@@ -304,6 +304,72 @@ _DRIFT_TV_STRATA_SQL = r"""
 """
 
 
+def _strata_term_counts(d: DataFrame) -> DataFrame:
+    """(kind, stratum, term, c0, c1) per-stratum snapshot-half term
+    counts over a documents frame — the ADDITIVE half of the strata
+    drift monitor: counts from disjoint document batches SUM to the
+    union's counts (a count is a sum of per-row ones), which is what
+    makes the streaming twin exact.
+
+    md5-parity halves, NOT doc_id % 2: the fixture's source column is
+    perfectly confounded with id parity (each source holds one
+    parity), which would make every per-source row the degenerate
+    vanished-stratum case — the portable md5 parity is independent of
+    both strata by construction (the clustered_embeddings /
+    bloom-gate hash discipline, replayed bit-for-bit by the oracle)."""
+    half = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 7), 16, 10).cast("long") % 2)
+    toks = (d.select("source", "lang", half.alias("half"),
+                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("term"))
+            .filter(F.col("term") != ""))
+    strat = (toks.select(F.lit("source").alias("kind"),
+                         F.col("source").alias("stratum"), "half", "term")
+             .unionByName(
+                 toks.select(F.lit("lang").alias("kind"),
+                             F.col("lang").alias("stratum"),
+                             "half", "term")))
+    return strat.groupBy("kind", "stratum", "term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"))
+
+
+def _strata_drift_from_counts(cnt: DataFrame) -> DataFrame:
+    """The monitor tail from a (kind, stratum, term, c0, c1) count
+    table: per-stratum token totals (derivable from the counts — every
+    token contributes exactly one to exactly one term count), exact
+    fixed-point drift units, per-stratum TV with the vanished-stratum
+    CASE, and the deterministic top-drifted term."""
+    n = cnt.groupBy("kind", "stratum").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    # integer div (the q_corpus_drift_tv exactness discipline); zero
+    # halves routed around the division by explicit CASE in BOTH engines
+    scored = (cnt.join(n, ["kind", "stratum"])
+              .select("kind", "stratum", "term", "n0", "n1",
+                      F.abs(
+                          F.when(F.col("n0") == 0, F.lit(0).cast("long"))
+                          .otherwise(F.expr("1000000000L * c0 div n0"))
+                          - F.when(F.col("n1") == 0,
+                                   F.lit(0).cast("long"))
+                          .otherwise(F.expr("1000000000L * c1 div n1")))
+                      .alias("drift_units")))
+    agg = scored.groupBy("kind", "stratum").agg(
+        F.max("n0").alias("n0_tokens"), F.max("n1").alias("n1_tokens"),
+        F.when((F.max("n0") == 0) | (F.max("n1") == 0),
+               F.lit(1_000_000_000).cast("long"))
+        .otherwise(F.expr("sum(drift_units) div 2")).alias("tv_units"))
+    w = Window.partitionBy("kind", "stratum").orderBy(
+        F.desc("drift_units"), F.asc("term"))
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("kind", "stratum", F.col("term").alias("top_term"),
+                   F.col("drift_units").alias("top_drift_units")))
+    return agg.join(top, ["kind", "stratum"]).select(
+        "kind", "stratum", "n0_tokens", "n1_tokens", "tv_units",
+        "top_term", "top_drift_units")
+
+
+
 @register(
     "q_corpus_drift_tv_strata",
     oracle=_DRIFT_TV_STRATA_SQL,
@@ -333,52 +399,78 @@ _DRIFT_TV_STRATA_SQL = r"""
 )
 def q_corpus_drift_tv_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
-    # md5-parity halves, NOT doc_id % 2: the fixture's source column is
-    # perfectly confounded with id parity (each source holds one
-    # parity), which would make every per-source row the degenerate
-    # vanished-stratum case — the portable md5 parity is independent of
-    # both strata by construction (the clustered_embeddings /
-    # bloom-gate hash discipline, replayed bit-for-bit by the oracle)
-    half = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                               1, 7), 16, 10).cast("long") % 2)
-    toks = (d.select("source", "lang", half.alias("half"),
-                     F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
-                     .alias("term"))
-            .filter(F.col("term") != ""))
-    strat = (toks.select(F.lit("source").alias("kind"),
-                         F.col("source").alias("stratum"), "half", "term")
-             .unionByName(
-                 toks.select(F.lit("lang").alias("kind"),
-                             F.col("lang").alias("stratum"),
-                             "half", "term")))
-    n = strat.groupBy("kind", "stratum").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"))
-    cnt = strat.groupBy("kind", "stratum", "term").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"))
-    # integer div (the q_corpus_drift_tv exactness discipline); zero
-    # halves routed around the division by explicit CASE in BOTH engines
-    scored = (cnt.join(n, ["kind", "stratum"])
-              .select("kind", "stratum", "term", "n0", "n1",
-                      F.abs(
-                          F.when(F.col("n0") == 0, F.lit(0).cast("long"))
-                          .otherwise(F.expr("1000000000L * c0 div n0"))
-                          - F.when(F.col("n1") == 0,
-                                   F.lit(0).cast("long"))
-                          .otherwise(F.expr("1000000000L * c1 div n1")))
-                      .alias("drift_units")))
-    agg = scored.groupBy("kind", "stratum").agg(
-        F.max("n0").alias("n0_tokens"), F.max("n1").alias("n1_tokens"),
-        F.when((F.max("n0") == 0) | (F.max("n1") == 0),
-               F.lit(1_000_000_000).cast("long"))
-        .otherwise(F.expr("sum(drift_units) div 2")).alias("tv_units"))
-    w = Window.partitionBy("kind", "stratum").orderBy(
-        F.desc("drift_units"), F.asc("term"))
-    top = (scored.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == 1)
-           .select("kind", "stratum", F.col("term").alias("top_term"),
-                   F.col("drift_units").alias("top_drift_units")))
-    return agg.join(top, ["kind", "stratum"]).select(
-        "kind", "stratum", "n0_tokens", "n1_tokens", "tv_units",
-        "top_term", "top_drift_units")
+    return _strata_drift_from_counts(_strata_term_counts(d))
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: additive per-batch term-count state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_drift_tv_strata",
+    oracle=_DRIFT_TV_STRATA_SQL,  # SHARED verbatim with the batch entry:
+    # the streaming path must land on the identical result
+    doc="STREAMING per-stratum drift monitoring — the r12 TV "
+        "decomposition as an ingest stream (the q_stream_pca_update "
+        "discipline applied to token counts): each arriving document "
+        "micro-batch contributes its ADDITIVE (kind, stratum, term, "
+        "c0, c1) count table — one map-side-combinable conditional "
+        "aggregate per batch, written to a batch_id-keyed state subdir "
+        "(idempotent overwrite under at-least-once replays) — and "
+        "counts from disjoint batches SUM to the union's counts (a "
+        "count is a sum of per-row ones: an identity, not an "
+        "approximation). After the last batch one narrow merge "
+        "(groupBy(kind, stratum, term).sum) re-derives the exact count "
+        "table and the shared monitor tail produces the SAME per-"
+        "stratum TV rows as q_corpus_drift_tv_strata — this entry "
+        "shares its oracle verbatim, and row-for-row equality with the "
+        "batch entry is pytest-pinned (tests/test_r12_ops.py). At "
+        "100 TB this is how the drift monitor actually runs: per-batch "
+        "cost is O(batch tokens), per-batch state is batch-vocab-sized "
+        "(not corpus-sized), and the mix stage can re-derive the drift "
+        "table at ANY stream point from the accumulated state without "
+        "re-reading history.",
+    tags=("llm", "text", "quality", "streaming"),
+)
+def q_stream_drift_tv_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import drain
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    # mod-3 drops: balanced at any id distribution (the r11 amplifier
+    # lesson); the split cannot affect the result — the shared oracle
+    # and the batch-equality pytest prove exactly that
+    thirds = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    base = tempfile.mkdtemp(prefix="canary_drift_stream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    drops = os.path.join(base, "drops")
+    state_dir = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+
+    def accumulate(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):  # an empty micro-batch contributes nothing
+            return
+        (_strata_term_counts(batch)
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, f"batch_{int(batch_id):05d}")))
+
+    schema = ("doc_id BIGINT, text STRING, lang STRING, source STRING")
+    for b in thirds:
+        b.repartition(4).write.mode("append").parquet(drops)
+        q = (spark.readStream.schema(schema).parquet(drops)
+             .writeStream.foreachBatch(accumulate)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        drain(q, timeout=600)
+
+    cnt = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(state_dir)
+           .groupBy("kind", "stratum", "term")
+           .agg(F.sum("c0").alias("c0"), F.sum("c1").alias("c1")))
+    return _strata_drift_from_counts(cnt)

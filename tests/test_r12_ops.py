@@ -247,3 +247,18 @@ def test_gram_matrix_guard_wired(spark):
                                "vec_id BIGINT, cvec ARRAY<BIGINT>")
     with pytest.raises(ValueError, match="exactness bound"):
         SP.gram_matrix(df, 2)
+
+
+# --- streaming drift twin ------------------------------------------------------
+
+def test_stream_drift_equals_batch(spark):
+    """The streaming strata drift monitor must equal the batch entry
+    row for row — the additive-count identity the shared oracle rests
+    on (the q_stream_pca_update discipline applied to token counts)."""
+    batch = sorted(tuple(r) for r in
+                   REGISTRY["q_corpus_drift_tv_strata"].fn(spark, SF)
+                   .collect())
+    stream = sorted(tuple(r) for r in
+                    REGISTRY["q_stream_drift_tv_strata"].fn(spark, SF)
+                    .collect())
+    assert batch == stream and len(batch) > 0
