@@ -52,15 +52,21 @@ def word_ngrams(col: F.Column | str, n: int = 2) -> F.Column:
     would match at every CHARACTER). The r11 minhash discovery applied
     to the shingle build: every Spark higher-order array function is
     CodegenFallback, so the former zip_with(slice, slice, concat_ws)
-    paid interpreted eval per (doc x token) — the regex shape is
-    bit-identical (order included: both emit grams positionally, then
-    array_distinct keeps first occurrences) and measured 12.45 s vs
+    paid interpreted eval per (doc x token) — measured 12.45 s vs
     19.92 s at 5M docs (scripts/shingle_shape_probe.py, which asserts
-    the equality on the real fixture + adversarial edges before
-    timing). Differential vs the old shape over n=1..4 on adversarial
-    edges: identical except n=1 on EMPTY text, where the old slice
-    shape emitted the degenerate [''] and this shape emits [] (the
-    sensible answer; no in-repo caller uses n=1)."""
+    bit-equality against the split→drop-empties→ngram reference shape
+    on the real fixture + adversarial edges before timing).
+
+    CANONICAL SEMANTICS (r13, closing the r12 ADVICE finding): empty
+    tokens are DROPPED. trim() strips spaces only, so text bounded by
+    tab/newline made the old unfiltered-split shape — and the DuckDB
+    oracles before r13 — emit empty-token shingles: '\\tfoo bar' gave
+    [' foo', 'foo bar'] there but ['foo bar'] here (the `[^ ]+` atoms
+    cannot match an empty token). Both sides now agree on
+    drop-empties: the oracles wrap the split in
+    list_filter(..., x -> x <> '') — see plans/r10_queries.py
+    _grams_sql. Order is positional with array_distinct keeping first
+    occurrences, same as the reference shape."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.lower(F.trim(c)), TOKEN_SPLIT_RE, " ")
     pat = r"(?:^| )(?=(" + "[^ ]+" + " [^ ]+" * (n - 1) + r"))"

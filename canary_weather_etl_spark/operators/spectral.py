@@ -113,6 +113,10 @@ def gram_matrix(centered: DataFrame, dims: int) -> list[list[int]]:
         *[F.sum(F.col("ci") * F.element_at("cvec", j + 1)).alias(f"g{j}")
           for j in range(dims)])
     collected = g.collect()
+    if not collected:
+        raise ValueError(
+            "gram_matrix: centered frame is empty — a Gram matrix of "
+            "zero vectors is undefined (check the upstream filter)")
     rows = {int(r["i"]): [int(r[f"g{j}"]) for j in range(dims)]
             for r in collected}
     n = max(int(r["n"]) for r in collected)

@@ -32,54 +32,50 @@ from . import r9_queries    # noqa: E402,F401  semantic dedup / r9 ops
 from . import r10_queries   # noqa: E402,F401  containment / quality logit
 from . import r11_queries   # noqa: E402,F401  banded containment / postings screen
 from . import r12_queries   # noqa: E402,F401  fixed-batch admission / ivfpq sweep / strata drift
+from . import r13_queries   # noqa: E402,F401  drift-adjusted mix weights
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-12 rotation, per the r11 verdict's
-# #1 directive: positions 1-8 are the eight entries whose SQL oracles
-# POSTDATE their last driver row (minhash/simhash/LSH/IVF oracles landed
-# r8-r10 but their last driver rows are r5 rows-only; the minhash family's
-# physical plan additionally changed in r11 — explode + codegen'd 32-way
-# MIN aggregates — after its last sample). Their green hash rows this
-# round close the last stale-evidence gap in the chain. Then the r12-new
-# entries at birth, then the rest of the r5-sampled block and the
-# r7-sampled remainder in evidence-age order — CORRECTNESS_r11 went 50/50
-# green, so after r12 every remaining entry's latest driver row is
-# r7-or-newer and the full-registry cycle planned in r9 completes in r13.
+# hard external correctness row. Round-13 rotation, per the r12 verdict's
+# #1 directive: the r13-new entry at birth, then every remaining entry in
+# EVIDENCE-AGE order — computed from the CORRECTNESS_r*.json files
+# themselves (latest round each name appears in): the five r5-vintage
+# entries that missed r12's 50-cut, the full r7-vintage block (TPC-H
+# Q7..Q22 remainder + q_pii_redact/q_url_canonicalize/... — the oldest
+# driver evidence in the registry), then the r8-vintage block. The first
+# 50 cover new + r5 + r7 + 24 of the r8 block; the rest of the r8 block
+# is queued as the r14 head, completing the full-registry re-sample cycle.
 _DRIVER_PRIORITY = (
-    # Positions 1-8 (r11 verdict #1): oracled-after-last-driver-row set.
-    "q_dedup_minhash_lsh", "q_corpus_curation", "q_dedup_simhash",
-    "q_sim_ann_lsh", "q_sim_ann_ivf", "q_stratified_sample",
-    "q_bpe_merges", "q_pack_sequences_greedy",
-    # New in r12 — driver rows at birth (r11 verdict #5/#6/#8).
-    "q_stream_admission_fixed_batch", "q_sim_ann_ivfpq_sweep",
-    "q_corpus_drift_tv_strata", "q_stream_drift_tv_strata",
-    # The rest of the r5-sampled block (last driver row r5) in registry
-    # order; q_sim_ann_recall{,_clustered} are rows-only by design.
-    "q_scalar_date", "q_conditional_case", "q_json_extract",
-    "q_count_distinct", "q_approx_count_distinct", "q_agg_collect",
-    "q_agg_min_max_by", "q_median_exact", "q_hll_sketch_merge",
-    "q_entity_blocking", "q_star_join_revenue", "q_bitmap_semi_join",
-    "q_interval_join_batch", "q_text_stats", "q_text_lang_id",
-    "q_text_fingerprint", "q_dedup_exact", "q_dedup_unique_count",
-    "q_ngram_jaccard_pairs", "q_dedup_clusters", "q_dedup_incremental",
-    "q_dedup_substring_spans", "q_sim_topk_bruteforce",
-    "q_embedding_norms", "q_embedding_quantize", "q_multimodal_meta",
-    "q_sim_ann_recall", "q_sim_ann_recall_clustered",
-    "q_tfidf_top_terms", "q_text_chunking", "q_weighted_sample",
-    "q_xml_roundtrip", "q_regression_stats", "q_lateral_topk",
-    "q_recursive_cte_depth", "q_ewma_time_decay",
-    "q_window_range_interval", "q_triangle_count", "q_pagerank_purchases",
-    "q_percentile_within_group", "q_join_null_safe", "q_subquery_exists",
-    "q_group_by_all",
-    # r7-sampled remainder (last driver row r7) — the r13 rotation head.
+    # New in r13 — driver row at birth (r12 verdict #3).
+    "q_mix_weights_drift_adjusted",
+    # r5-vintage (missed r12's 50-cut).
+    "q_pagerank_purchases", "q_percentile_within_group",
+    "q_join_null_safe", "q_subquery_exists", "q_group_by_all",
+    # r7-vintage block (r12 verdict #1: the oldest driver evidence).
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
     "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19", "q_tpch_q21",
-    "q_tpch_q22", "q_pii_redact", "q_url_canonicalize",
-    "q_equidepth_histogram", "q_cohort_retention", "q_sql_scripting",
-    "q_perceptron_batch", "q_boilerplate_strip", "q_tpch_q2",
-    "q_tpch_q12",
+    "q_tpch_q22", "q_tpch_q2", "q_tpch_q12", "q_pii_redact",
+    "q_url_canonicalize", "q_equidepth_histogram", "q_cohort_retention",
+    "q_sql_scripting", "q_perceptron_batch", "q_boilerplate_strip",
+    # r8-vintage block (last driver row r8); first 24 land in the r13
+    # sample, the remainder is the r14 head. Reference flagships first.
+    "q1_groupby_avg", "q2_groupby2_topk", "q3_filtered_groupby_avg",
+    "q_ab_test_zscore", "q_abc_classification", "q_anomaly_mad_approx",
+    "q_attribution_linear", "q_basket_pairs", "q_benford_digits",
+    "q_cdc_chunk_dedup", "q_chisq_independence", "q_concurrency_peak",
+    "q_corpus_novelty", "q_cusum_changepoint", "q_daily_autocorr",
+    "q_data_expectations", "q_degree_histogram", "q_distinct_pairs",
+    "q_embedding_dim_stats", "q_event_transitions", "q_filter_null_empty",
+    "q_funnel_latency", "q_gini_concentration", "q_hits_bipartite",
+    "q_incremental_recompute", "q_join_inner_fact", "q_jsonl_quarantine",
+    "q_kendall_tau", "q_listagg_topn", "q_longest_streak",
+    "q_mannwhitney_u", "q_partition_fingerprint", "q_projection_derived",
+    "q_rfm_segmentation", "q_rolling_active_users", "q_scalar_string",
+    "q_seasonal_baseline", "q_session_funnel", "q_skew_audit",
+    "q_snapshot_diff", "q_source_overlap", "q_spearman_corr",
+    "q_time_weighted_avg", "q_top_paths", "q_topk_global",
+    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_watermark_late_audit",
 )
 
 

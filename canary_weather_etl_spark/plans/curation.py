@@ -163,7 +163,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAM_SQL = r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT DISTINCT doc_id,

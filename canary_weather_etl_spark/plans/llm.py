@@ -173,7 +173,8 @@ def q_dedup_unique_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT DISTINCT doc_id, shingle FROM (
@@ -267,14 +268,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
     corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-    bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+    bt AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                          '\s+'), x -> x <> '') AS t
            FROM batch),
     bg AS (SELECT DISTINCT doc_id, shingle FROM (
                SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
                FROM (SELECT doc_id, t,
                             unnest(generate_series(1, len(t)-1)) AS i
                      FROM bt))),
-    ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+    ct AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                          '\s+'), x -> x <> '') AS t
            FROM corpus),
     cg AS (SELECT DISTINCT doc_id, shingle FROM (
                SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle
@@ -375,7 +378,9 @@ def _minhash_band_fold_sql(b: int, rows: int = 4,
 
 _MINHASH_LSH_SQL = rf"""
     WITH toks AS (
-        SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT DISTINCT doc, shingle FROM (
@@ -1480,7 +1485,8 @@ def _curation_oracle() -> str:
             FROM gated) WHERE doc_id = keep
     ), toksx AS (
         SELECT doc_id AS doc,
-               string_split_regex(lower(trim(text)), '\s+') AS t
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
         FROM exact
     ), grams AS (
         SELECT DISTINCT doc, shingle FROM (

@@ -27,7 +27,8 @@ from .registry import load, load_par, register
 
 _CONTAINMENT_SQL = r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT DISTINCT doc_id AS doc, shingle FROM (
@@ -239,9 +240,15 @@ def _admission_round_sql(batch: str, corpus_grams: str, corpus_sz: str,
 
 
 def _grams_sql(src: str, out: str) -> str:
+    # list_filter drops the leading/trailing empty token that split emits
+    # for text bounded by non-space whitespace (tab/newline): trim() strips
+    # spaces only, so '\\tfoo' splits to ['', 'foo']. The engine's
+    # word_ngrams regex shape never emits empty-token shingles, so the
+    # oracle must drop them too (r12 ADVICE).
     return f"""
     {out}_t AS (SELECT doc_id,
-                string_split_regex(lower(trim(text)), '\\s+') AS t
+                list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '') AS t
                 FROM {src}),
     {out} AS (SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id, t[i] || ' ' || t[i+1] AS shingle

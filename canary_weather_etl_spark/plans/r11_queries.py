@@ -49,7 +49,9 @@ from .registry import load, load_par, register
 
 _CONTAINMENT_BANDED_SQL = rf"""
     WITH toks AS (
-        SELECT doc_id AS doc, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id AS doc,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT DISTINCT doc, shingle FROM (
@@ -159,7 +161,8 @@ _CONTAINMENT_ZIPF_SQL = rf"""
         SELECT doc_id + {_ZIPF_OFFSET} AS doc_id, {_zipf_tail_sql()} AS text
         FROM ids WHERE doc_id % {_ZIPF_PLANT} = 0
     ), toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM corpus
     ), grams AS (
         SELECT DISTINCT doc_id AS doc, shingle FROM (

@@ -61,15 +61,23 @@ _ADMISSION_FIXED_SQL = f"""
 
 def _corpus_fingerprint(corpus: DataFrame, sf_dir: str) -> str:
     """Content fingerprint for the cached seed state: resolved fixture
-    path + corpus row count + doc_id sum — enough to invalidate the
-    cache whenever the fixture (or an amplified twin) changes, one
-    metric-sized aggregate to compute."""
+    path + corpus row count + doc_id sum + an xxhash64 fold over
+    (doc_id, text) — one metric-sized aggregate. The content fold closes
+    the r12 ADVICE gap: the previous path+count+id-sum key was content-
+    blind, so an in-place fixture regeneration that kept the same ids
+    (text-only change) stale-hit the cached postings/md5 state. bit_xor,
+    not sum, for the fold: ANSI mode + long sums of 64-bit hashes
+    overflow."""
     import hashlib
     import os
 
-    row = corpus.agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("doc_id").alias("s")).collect()[0]
-    key = f"{os.path.realpath(sf_dir)}|{row['n']}|{row['s']}|B{_FIXED_B}n2"
+    row = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("c"),
+    ).collect()[0]
+    key = (f"{os.path.realpath(sf_dir)}|{row['n']}|{row['s']}|{row['c']}"
+           f"|B{_FIXED_B}n2")
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
@@ -92,7 +100,9 @@ def _corpus_fingerprint(corpus: DataFrame, sf_dir: str) -> str:
         "regime in SCREEN-ONLY mode (writeback=False): the corpus is "
         "FIXED for both batches, so the seeded state is immutable and "
         "cached across invocations under a content fingerprint "
-        "(/tmp, keyed on fixture path + corpus count + id sum) — the "
+        "(/tmp, keyed on fixture path + corpus count + id sum + an "
+        "xxhash64 fold over (doc_id, text), so a text-only in-place "
+        "fixture edit invalidates it) — the "
         "one-off seed cost amortizes exactly as a persistent deployment "
         "state would, and repeated runs price the pure per-batch "
         "screen. EXACT (content-md5 gate + bigram Jaccard >= 0.5), "
@@ -353,10 +363,25 @@ def _strata_drift_from_counts(cnt: DataFrame) -> DataFrame:
                                    F.lit(0).cast("long"))
                           .otherwise(F.expr("1000000000L * c1 div n1")))
                       .alias("drift_units")))
+    # 1e9-unit BIGINT exactness guard (the q_corpus_drift_tv discipline,
+    # per stratum): past ~9.2e9 tokens in a half the scaled numerator
+    # wraps silently on a non-ANSI deployment while the HUGEINT oracle
+    # stays exact — the engines must not disagree quietly, so fail loud.
+    # raise_error INSIDE the aggregate keeps this one-pass (no eager
+    # pre-collect of the count table the way the corpus-level entry,
+    # whose n frame is a single row, can afford).
+    bound = (1 << 63) // 1_000_000_000
     agg = scored.groupBy("kind", "stratum").agg(
         F.max("n0").alias("n0_tokens"), F.max("n1").alias("n1_tokens"),
-        F.when((F.max("n0") == 0) | (F.max("n1") == 0),
-               F.lit(1_000_000_000).cast("long"))
+        F.when(
+            F.greatest(F.max("n0"), F.max("n1")) > F.lit(bound),
+            F.expr(
+                "raise_error(concat('corpus_drift_tv_strata: per-stratum "
+                "token total ', greatest(max(n0), max(n1)), ' exceeds the "
+                "1e9-unit BIGINT exactness bound (~9.2e9 tokens/half)'))"
+            ).cast("long"))
+        .when((F.max("n0") == 0) | (F.max("n1") == 0),
+              F.lit(1_000_000_000).cast("long"))
         .otherwise(F.expr("sum(drift_units) div 2")).alias("tv_units"))
     w = Window.partitionBy("kind", "stratum").orderBy(
         F.desc("drift_units"), F.asc("term"))

@@ -317,7 +317,8 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shingle_containment",
     oracle=r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT DISTINCT doc_id, shingle FROM (

@@ -2066,7 +2066,8 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NOVELTY_ORACLE = r"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM documents
     ),
     grams AS (
@@ -2410,7 +2411,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOURCE_OVERLAP_ORACLE = r"""
     WITH toks AS (
-        SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+        SELECT source, list_filter(string_split_regex(lower(trim(text)),
+                                   '\s+'), x -> x <> '') AS t
         FROM documents
     ),
     grams AS (

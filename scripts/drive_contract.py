@@ -68,8 +68,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
 
+    # optional argv substrings: run only matching query names
+    pats = sys.argv[1:]
+    names = [n for n in sorted(qs) if not pats or any(p in n for p in pats)]
+
     fails = []
-    for name in sorted(qs):
+    for name in names:
         sdf = qs[name](spark, SF)
         s_rows = [tuple(r) for r in sdf.collect()]
         s_cols = list(sdf.columns)

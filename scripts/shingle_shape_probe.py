@@ -41,9 +41,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def bigrams_zipwith(col) -> F.Column:
     """The r11-and-earlier HOF shape (interpreted lambda), kept here as
-    the differential reference for the shipped regex shape."""
+    the differential reference for the shipped regex shape. Since r13 the
+    reference filters empty tokens (split emits '' for text bounded by
+    tab/newline — trim strips spaces only), matching the canonical
+    semantics shared by word_ngrams AND the DuckDB oracles' list_filter
+    (r12 ADVICE: the unfiltered shapes disagreed on '\\tfoo bar')."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"),
+                    lambda x: x != F.lit(""))
     m = F.size(toks) - 1
     grams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
                        lambda a, b: F.concat_ws(" ", a, b))
@@ -72,7 +77,12 @@ def main() -> None:
          .select("doc_id", "text"))
     edges = spark.createDataFrame(
         [(10**9 + 1, ""), (10**9 + 2, "one"), (10**9 + 3, "  two  words "),
-         (10**9 + 4, "a  b\tc\nd"), (10**9 + 5, None)],
+         (10**9 + 4, "a  b\tc\nd"), (10**9 + 5, None),
+         # leading/trailing NON-SPACE whitespace: trim() strips spaces
+         # only, so the unfiltered split shapes emitted ['', 'foo', ...]
+         # here — the r12 ADVICE divergence case
+         (10**9 + 6, "\tfoo bar"), (10**9 + 7, "bar baz\n"),
+         (10**9 + 8, "\t\n"), (10**9 + 9, "\nx\ty z\t")],
         "doc_id BIGINT, text STRING")
     probe = d.unionByName(edges)
     # UNSORTED equality: both shapes emit grams positionally and

@@ -1,0 +1,193 @@
+"""Round-13 tests: canonical shingle semantics (drop empty tokens) agreed
+between the engine's word_ngrams and the DuckDB oracle shape, plus the
+round's hardening items."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from canary_weather_etl_spark.operators.dedup import word_ngrams
+from canary_weather_etl_spark.plans.r10_queries import _grams_sql
+
+# The r12 ADVICE divergence class: trim() strips spaces only, so text
+# bounded by tab/newline used to make the engine (drops empty tokens) and
+# the unfiltered-split oracles (kept them) disagree on shingle sets.
+EDGE_DOCS = [
+    (1, "\tfoo bar"),          # leading tab → old oracle emitted ' foo'
+    (2, "bar baz\n"),          # trailing newline → old oracle 'bar '
+    (3, "  two  words "),      # leading/trailing SPACES — trim handles
+    (4, "a  b\tc\nd"),         # interior whitespace runs
+    (5, "\t\n"),               # all-whitespace text
+    (6, "one"),                # single token → no bigram
+    (7, ""),                   # empty text
+    (8, "\nx\ty z\t"),         # both ends non-space whitespace
+]
+
+
+def test_word_ngrams_tab_edges_match_oracle(spark):
+    """Engine shingles == _grams_sql oracle shingles on the exact edge
+    class the r12 ADVICE flagged (leading/trailing tab/newline)."""
+    sdf = spark.createDataFrame(EDGE_DOCS, "doc_id BIGINT, text STRING")
+    eng = {
+        (r["doc_id"], r["shingle"])
+        for r in sdf.select(
+            "doc_id", F.explode(word_ngrams("text", 2)).alias("shingle")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", EDGE_DOCS)
+        sql = f"WITH {_grams_sql('d', 'g')} SELECT doc_id, shingle FROM g"
+        ora = set(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+
+    assert eng == ora
+    # the divergence case specifically: no empty-token shingles anywhere
+    assert (1, "foo bar") in eng and (1, " foo") not in eng
+    assert (2, "bar baz") in eng and (2, "bar ") not in eng
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_word_ngrams_matches_filtered_split_reference(spark, n):
+    """word_ngrams == the canonical split → drop-empties → positional
+    n-gram → distinct reference shape, for every n used in-repo."""
+    sdf = spark.createDataFrame(EDGE_DOCS + [(9, None)],
+                                "doc_id BIGINT, text STRING")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda x: x != F.lit(""))
+    m = F.size(toks) - (n - 1)
+    ref = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                     for j in range(n)]),
+    )
+    ref = F.when(m >= 1, ref).otherwise(F.array().cast("array<string>"))
+    ref = F.array_distinct(ref)
+    bad = (sdf.select("doc_id", ref.alias("ref"),
+                      word_ngrams("text", n).alias("got"))
+           .filter(~F.col("ref").eqNullSafe(F.col("got")))
+           .collect())
+    assert not bad, bad
+
+
+def test_strata_drift_exactness_guard_fires(spark):
+    """A per-stratum token total past ~9.2e9 must raise LOUDLY. On an
+    ANSI deployment (this container) the 1e9-scaled multiply itself
+    raises ARITHMETIC_OVERFLOW before the agg; on a non-ANSI deployment
+    the multiply wraps silently and the raise_error guard in the agg is
+    the loud path — both are failures, never quiet wrong units."""
+    from canary_weather_etl_spark.plans.r12_queries import (
+        _strata_drift_from_counts,
+    )
+
+    over = (1 << 63) // 1_000_000_000 + 1
+    cnt = spark.createDataFrame(
+        [("source", "web", "the", over, 5)],
+        "kind STRING, stratum STRING, term STRING, c0 BIGINT, c1 BIGINT")
+    with pytest.raises(Exception,
+                       match="exactness bound|ARITHMETIC_OVERFLOW"):
+        _strata_drift_from_counts(cnt).collect()
+
+
+def test_strata_drift_agg_guard_fires_non_ansi(spark):
+    """The raise_error branch itself, exercised directly: with ANSI off
+    (the deployment the guard exists for) the multiply wraps quietly and
+    the agg guard must be what stops the query."""
+    from canary_weather_etl_spark.plans.r12_queries import (
+        _strata_drift_from_counts,
+    )
+
+    over = (1 << 63) // 1_000_000_000 + 1
+    cnt = spark.createDataFrame(
+        [("source", "web", "the", over, 5)],
+        "kind STRING, stratum STRING, term STRING, c0 BIGINT, c1 BIGINT")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="exactness bound"):
+            _strata_drift_from_counts(cnt).collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_strata_drift_guard_passes_normal_counts(spark):
+    from canary_weather_etl_spark.plans.r12_queries import (
+        _strata_drift_from_counts,
+    )
+
+    cnt = spark.createDataFrame(
+        [("source", "web", "the", 6, 4), ("source", "web", "cat", 2, 4),
+         ("lang", "en", "the", 8, 8)],
+        "kind STRING, stratum STRING, term STRING, c0 BIGINT, c1 BIGINT")
+    rows = {(r["kind"], r["stratum"]): r
+            for r in _strata_drift_from_counts(cnt).collect()}
+    # web: p0 = (6/8, 2/8), p1 = (4/8, 4/8) → TV = 1/4 → 250M units
+    assert rows[("source", "web")]["tv_units"] == 250_000_000
+    assert rows[("lang", "en")]["tv_units"] == 0
+
+
+def test_corpus_fingerprint_sees_text_only_edit(spark, tmp_path):
+    """r12 ADVICE: same ids + row count but different TEXT must change
+    the admission seed-state fingerprint (no stale cache hit)."""
+    from canary_weather_etl_spark.plans.r12_queries import (
+        _corpus_fingerprint,
+    )
+
+    a = spark.createDataFrame([(1, "aa"), (2, "bb")],
+                              "doc_id BIGINT, text STRING")
+    b = spark.createDataFrame([(1, "aa"), (2, "bX")],
+                              "doc_id BIGINT, text STRING")
+    d = str(tmp_path)
+    assert _corpus_fingerprint(a, d) != _corpus_fingerprint(b, d)
+    assert _corpus_fingerprint(a, d) == _corpus_fingerprint(a, d)
+
+
+def test_gram_matrix_empty_frame_raises(spark):
+    from canary_weather_etl_spark.operators.spectral import gram_matrix
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, cvec ARRAY<BIGINT>")
+    with pytest.raises(ValueError, match="centered frame is empty"):
+        gram_matrix(empty, 4)
+
+
+def test_drift_adjusted_mix_downweights_drifting_source(spark):
+    """The decomposition's stated purpose: a source whose term
+    distribution moved between snapshot halves loses sampling mass
+    relative to a stable source of the SAME size."""
+    import hashlib
+
+    from canary_weather_etl_spark.plans.r13_queries import (
+        mix_weights_drift_adjusted,
+    )
+
+    def half(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7],
+                   16) % 2
+
+    rows = []
+    for i in range(1, 41):
+        # stable source: identical text in both halves → tv = 0
+        rows.append((i, "common words here", "en", "stable"))
+    for i in range(41, 81):
+        # drifted source: disjoint vocab per half → tv = 1e9
+        text = "aaa bbb ccc" if half(i) == 0 else "zzz yyy xxx"
+        rows.append((i, text, "en", "drifty"))
+    d = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING")
+
+    out = {r["source"]: r for r in mix_weights_drift_adjusted(d).collect()}
+    assert out["stable"]["n_docs"] == out["drifty"]["n_docs"] == 40
+    assert out["stable"]["tv_units"] == 0
+    # disjoint 3-term vocabs: fixed-point floor gives 6 × (1e9 div 3)
+    # summed then halved = 999999999 — one unit under the exact TV of 1
+    assert out["drifty"]["tv_units"] == 999_999_999
+    # equal sizes → base temperature weights tie at 0.5; the drift
+    # damping must break the tie entirely: total drift → zero mass
+    assert out["stable"]["weight"] == 1.0
+    assert out["drifty"]["weight"] == 0.0
+    assert out["drifty"]["docs_per_epoch"] == 0
