@@ -185,35 +185,45 @@ _SWEEP_N_LISTS = 8
 
 
 def _sweep_rows(regime: str, e: DataFrame, grid: list,
-                centroids=None) -> DataFrame:
+                centroids=None, codebooks_dir: str | None = None
+                ) -> DataFrame:
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("query_id"), "embedding")).cache()
     exact = (S.topk_brute_force(e, q, k=10)
              .select("query_id", "vec_id").cache())
     n_total = exact.count()  # 50-row ground truth — metric-sized
     n_corpus = e.count()
-    out = None
-    for point in S.ivfpq_sweep(e, [0, 1, 2, 3, 4], grid, k_top=10,
-                               n_lists=_SWEEP_N_LISTS,
-                               centroids=centroids):
-        hits = exact.join(point["topk"].select("query_id", "vec_id"),
-                          on=["query_id", "vec_id"], how="left_semi")
-        row = hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
-            F.lit(regime).alias("regime"),
-            F.lit(point["m"]).alias("m"),
-            F.lit(point["pq_k"]).alias("pq_k"),
-            F.lit(point["n_probe"]).alias("n_probe"),
-            # deterministic cost axes: scan fraction (the IVFADC cost
-            # model), MEASURED candidate rows, and code residency
-            F.lit(1_000_000 * point["n_probe"] // _SWEEP_N_LISTS)
-            .alias("scan_frac_ppm"),
-            F.lit(point["cand_rows"]).alias("cand_rows"),
-            F.lit(1_000_000 * point["cand_rows"]
-                  // (5 * max(n_corpus - 1, 1))).alias("cand_frac_ppm"),
-            F.lit(point["code_bytes"]).alias("code_bytes"),
-            (F.col("n_hits") / F.lit(n_total)).alias("recall_at_10"))
-        out = row if out is None else out.unionByName(row)
-    return out
+    points = S.ivfpq_sweep(e, [0, 1, 2, 3, 4], grid, k_top=10,
+                           n_lists=_SWEEP_N_LISTS, centroids=centroids,
+                           codebooks_dir=codebooks_dir)
+    # ONE recall job for the whole grid (r12 verdict #5): union every
+    # point's top-k with a point index, one semi-join against the exact
+    # ground truth, one |grid|-row count agg — instead of a join+agg job
+    # per point. The collected state is metric-sized (|grid| ints).
+    un = None
+    for i, point in enumerate(points):
+        t = point["topk"].select(F.lit(i).alias("pt"),
+                                 "query_id", "vec_id")
+        un = t if un is None else un.unionByName(t)
+    hits = {int(r["pt"]): int(r["n"]) for r in
+            un.join(exact, ["query_id", "vec_id"], "left_semi")
+            .groupBy("pt").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = [
+        (regime, point["m"], point["pq_k"], point["n_probe"],
+         # deterministic cost axes: scan fraction (the IVFADC cost
+         # model), MEASURED candidate rows, and code residency
+         1_000_000 * point["n_probe"] // _SWEEP_N_LISTS,
+         point["cand_rows"],
+         1_000_000 * point["cand_rows"] // (5 * max(n_corpus - 1, 1)),
+         point["code_bytes"],
+         hits.get(i, 0) / n_total)
+        for i, point in enumerate(points)
+    ]
+    return e.sparkSession.createDataFrame(
+        rows,
+        "regime STRING, m INT, pq_k INT, n_probe INT, "
+        "scan_frac_ppm BIGINT, cand_rows BIGINT, cand_frac_ppm BIGINT, "
+        "code_bytes INT, recall_at_10 DOUBLE")
 
 
 @register(
@@ -243,15 +253,34 @@ def _sweep_rows(regime: str, e: DataFrame, grid: list,
 def q_sim_ann_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_par(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     clustered = clustered_embeddings(raw).localCheckpoint(eager=True)
-    # clustered corpus: quantizer trains on THIS corpus (its geometry);
-    # raw fixture: reuse the persisted train-once quantizer table the
-    # oracled q_sim_ann_ivf/ivfpq entries ship
+    # BOTH regimes reuse persisted train-once quantizer tables (the
+    # q_sim_ann_ivf catalog-table pattern): the raw fixture's table is
+    # shared with the oracled entries; the clustered corpus is itself a
+    # deterministic md5-rebuild of the fixture, so its quantizer is just
+    # as cacheable — keyed on a distinct path suffix. Training is the
+    # sweep's single largest fixed cost (~10 s at sf0.1), paid once per
+    # corpus per host, exactly like a production index build.
     cdf_raw = S.persist_ivf_quantizer_fixed(
         raw, _ivf_quantizer_path(sf_dir), n_lists=_SWEEP_N_LISTS,
         iterations=2)
-    rows_c = _sweep_rows("clustered", clustered, _SWEEP_CLUSTERED)
+    cdf_cl = S.persist_ivf_quantizer_fixed(
+        clustered, _ivf_quantizer_path(sf_dir + "::clustered"),
+        n_lists=_SWEEP_N_LISTS, iterations=2)
+    # PQ codebooks get the same train-once treatment (deterministic
+    # corpora + deterministic training → identical files on rebuild);
+    # dirs keyed per corpus so the regimes never share a model
+    import os
+
+    books_c = _ivf_quantizer_path(sf_dir + "::pqbooks::clustered")
+    books_r = _ivf_quantizer_path(sf_dir + "::pqbooks::raw")
+    rows_c = _sweep_rows("clustered", clustered, _SWEEP_CLUSTERED,
+                         centroids=cdf_cl,
+                         codebooks_dir=os.path.dirname(books_c)
+                         + "/pqb_" + os.path.basename(books_c))
     rows_r = _sweep_rows("unclustered", raw, _SWEEP_RAW,
-                         centroids=cdf_raw)
+                         centroids=cdf_raw,
+                         codebooks_dir=os.path.dirname(books_r)
+                         + "/pqb_" + os.path.basename(books_r))
     return (rows_c.unionByName(rows_r)
             .orderBy("regime", "m", "pq_k", "n_probe"))
 
