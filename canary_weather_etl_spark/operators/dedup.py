@@ -903,6 +903,211 @@ def admission_screen_batch(batch: DataFrame, corpus_dir: str,
     return verdicts
 
 
+def portable_band_table(sigs: DataFrame, bands: int = 8,
+                        num_hashes: int = 32) -> DataFrame:
+    """(doc, band, band_hash) from portable-basis signatures — the
+    polynomial band fold of `lsh_candidate_pairs`' portable branch
+    (same multiplier 1000003, same seed = band index, same mod P), as a
+    standalone frame so the banded ADMISSION state can persist exactly
+    the keys the self-join banding uses. Replayed in SQL by
+    plans/llm._minhash_band_fold_sql."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+
+    def band_key(b: int) -> F.Column:
+        bv = F.lit(b).cast("long")
+        for j in range(rows):
+            bv = (bv * F.lit(1_000_003)
+                  + F.col("signature")[b * rows + j]) % F.lit(MINHASH_P)
+        return bv
+
+    return sigs.select(
+        "doc",
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)]))
+        .alias("band", "band_hash"))
+
+
+def admission_state_init_banded(corpus: DataFrame, state_dir: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", n: int = 2,
+                                num_hashes: int = 32, bands: int = 8,
+                                buckets: int = 64) -> None:
+    """Seed the BANDED admission state — the layout the raw-postings
+    screen's docstring has pointed at since r11 as the real 100 TB
+    shape, now a first-class operator:
+
+    - ``state_dir/bands``: (band, band_hash, doc) — `bands` rows per
+      corpus doc instead of ~|tokens| shingle-posting rows (a ~25-50x
+      smaller linear term in both rows and bytes: two ints + a long vs
+      a shingle string per row), bucket-partitioned on the band hash.
+    - ``state_dir/sets``: the per-doc shingle-SET rows (doc, sh, sz),
+      bucket-partitioned on pmod(xxhash64(doc)) — candidate
+      verification fetches FEW docs, so doc-bucket pruning actually
+      engages here (sparse probe set), unlike the shingle-postings
+      table where a batch's ~40k uniform probe keys touch every bucket
+      (SCALE.md r13 floor analysis).
+    - ``state_dir/hashes``: distinct content md5s for the exact gate
+      (same as `admission_state_init`).
+
+    Portable MinHash basis throughout, so the whole screen — signatures,
+    band fold, candidate join, exact verification — replays bit-for-bit
+    in a SQL oracle."""
+    import os
+
+    sets = shingle_sets(corpus, id_col, text_col, n)
+    sigs = minhash_signatures_from_sets(sets, num_hashes,
+                                        portable_hash=True)
+    (portable_band_table(sigs, bands, num_hashes)
+     .withColumn("bucket", F.pmod(F.xxhash64("band_hash"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "bands")))
+    (sets
+     .withColumn("bucket", F.pmod(F.xxhash64("doc"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "sets")))
+    (corpus.select(F.md5(text_col).alias("h")).distinct()
+     .withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "hashes")))
+
+
+def admission_screen_batch_banded(batch: DataFrame, state_dir: str,
+                                  threshold: float = 0.5, n: int = 2,
+                                  num_hashes: int = 32, bands: int = 8,
+                                  buckets: int = 64,
+                                  writeback: bool = False) -> DataFrame:
+    """One micro-batch through the BANDED admission screen: exact
+    content-md5 gate, then MinHash-band candidate join against the
+    persisted band state, then exact Jaccard verification of CANDIDATE
+    pairs only, with the corpus side's shingle sets point-fetched from
+    the doc-bucketed sets table. Per-batch cost: O(batch shingles) to
+    sign the batch, one scan of the ~25-50x-smaller band table for the
+    candidate join, and O(candidates) verification IO (pruned to the
+    candidate docs' buckets — a genuinely sparse probe set).
+
+    DELIBERATELY probabilistic-recall vs `admission_screen_batch`'s
+    exact shingle-postings screen: a near-dup pair colliding in no band
+    is missed (the standard MinHash-LSH trade; ~32 perms / 8 bands puts
+    the S-curve midpoint near Jaccard 0.5). Verified positives are
+    exact. The verdicts ARE deterministic given the portable hash
+    family, so the SQL oracle replays them bit-for-bit — this entry is
+    exact-vs-its-own-spec, recall-floored-vs-the-exact-screen
+    (tests/test_r13_ops.py pins both).
+
+    Returns (doc_id, text, verdict, n_near) exactly like the postings
+    screen; ``writeback=True`` appends admitted docs' bands/sets/hashes
+    so the next batch sees them."""
+    import os
+
+    sp = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)
+    bsets = shingle_sets(batch, "doc_id", "text", n)
+    bsigs = minhash_signatures_from_sets(bsets, num_hashes,
+                                         portable_hash=True)
+    bbands = (portable_band_table(bsigs, bands, num_hashes)
+              .select(F.col("doc").alias("bdoc"), "band", "band_hash")
+              .localCheckpoint(eager=True))
+
+    # exact gate — identical to the postings screen's
+    bh = (batch.select("doc_id", F.md5("text").alias("h"))
+          .withColumn("hb", F.pmod(F.xxhash64("h"), F.lit(buckets))))
+    h_touched = [r["hb"] for r in bh.select("hb").distinct().collect()]
+    if h_touched:
+        hashes = (sp.read.parquet(os.path.join(state_dir, "hashes"))
+                  .filter(F.col("bucket").isin(h_touched)))
+        exact = (bh.join(hashes.select("h"), "h", "left_semi")
+                 .select("doc_id").distinct()
+                 .withColumn("is_exact", F.lit(True)))
+    else:  # empty batch — nothing can gate
+        exact = sp.createDataFrame([], "doc_id BIGINT, is_exact BOOLEAN")
+
+    # candidate join against the band state (prune touched band buckets
+    # — dense probe set, so this usually reads the whole band table;
+    # the win is that the band table is the SMALL one)
+    b_touched = [r["bk"] for r in
+                 bbands.select(F.pmod(F.xxhash64("band_hash"),
+                                      F.lit(buckets)).alias("bk"))
+                 .distinct().collect()]
+    if b_touched:
+        sbands = (sp.read.parquet(os.path.join(state_dir, "bands"))
+                  .filter(F.col("bucket").isin(b_touched)))
+        cands = (bbands.join(sbands, ["band", "band_hash"])
+                 .select("bdoc", F.col("doc").alias("cdoc")).distinct()
+                 .localCheckpoint(eager=True))
+    else:  # empty batch
+        cands = sp.createDataFrame([], "bdoc BIGINT, cdoc BIGINT")
+
+    # point-fetch candidate corpus sets: sparse doc-bucket pruning
+    cdocs = cands.select(F.col("cdoc").alias("doc")).distinct()
+    d_touched = [r["db"] for r in
+                 cdocs.select(F.pmod(F.xxhash64("doc"),
+                                     F.lit(buckets)).alias("db"))
+                 .distinct().collect()]
+    if d_touched:
+        csets = (sp.read.parquet(os.path.join(state_dir, "sets"))
+                 .filter(F.col("bucket").isin(d_touched))
+                 .join(cdocs, "doc", "left_semi"))
+        near = (cands
+                .join(bsets.select(F.col("doc").alias("bdoc"),
+                                   F.col("sh").alias("sh_a"),
+                                   F.col("sz").alias("sz_a")), "bdoc")
+                .join(csets.select(F.col("doc").alias("cdoc"),
+                                   F.col("sh").alias("sh_b"),
+                                   F.col("sz").alias("sz_b")), "cdoc")
+                .withColumn("common",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard",
+                            F.col("common").cast("double")
+                            / (F.col("sz_a") + F.col("sz_b")
+                               - F.col("common")))
+                .filter(F.col("jaccard") >= threshold)
+                .groupBy(F.col("bdoc").alias("doc_id"))
+                .agg(F.count(F.lit(1)).alias("n_near")))
+    else:
+        near = sp.createDataFrame([], "doc_id BIGINT, n_near BIGINT")
+
+    verdicts = (
+        batch.select("doc_id", "text")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id", "text",
+            F.when(F.col("is_exact"), "exact_dup")
+             .when(F.coalesce("n_near", F.lit(0)) > 0, "near_dup")
+             .otherwise("admit").alias("verdict"),
+            F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near"))
+        .localCheckpoint(eager=True))
+
+    if not writeback:
+        return verdicts
+    admitted = verdicts.filter(F.col("verdict") == "admit")
+    adm_ids = admitted.select("doc_id")
+    asets = bsets.join(adm_ids, bsets["doc"] == adm_ids["doc_id"],
+                       "left_semi")
+    asigs = minhash_signatures_from_sets(asets, num_hashes,
+                                         portable_hash=True)
+    (portable_band_table(asigs, bands, num_hashes)
+     .withColumn("bucket", F.pmod(F.xxhash64("band_hash"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "bands")))
+    (asets
+     .withColumn("bucket", F.pmod(F.xxhash64("doc"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "sets")))
+    (admitted.select(F.md5("text").alias("h")).distinct()
+     .withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(buckets)))
+     .repartition("bucket")
+     .write.mode("append").partitionBy("bucket")
+     .parquet(os.path.join(state_dir, "hashes")))
+    return verdicts
+
+
 def duplicated_span_table(df: DataFrame, id_col: str, text_col: str,
                           k: int = 8, min_docs: int = 2,
                           portable_hash: bool = False) -> DataFrame:

@@ -47,8 +47,9 @@ from . import r13_queries   # noqa: E402,F401  drift-adjusted mix weights
 # 50 cover new + r5 + r7 + 24 of the r8 block; the rest of the r8 block
 # is queued as the r14 head, completing the full-registry re-sample cycle.
 _DRIVER_PRIORITY = (
-    # New in r13 — driver row at birth (r12 verdict #3).
-    "q_mix_weights_drift_adjusted",
+    # New in r13 — driver rows at birth (r12 verdict #3 + the banded
+    # admission state layout).
+    "q_mix_weights_drift_adjusted", "q_stream_admission_banded",
     # r5-vintage (missed r12's 50-cut).
     "q_pagerank_purchases", "q_percentile_within_group",
     "q_join_null_safe", "q_subquery_exists", "q_group_by_all",

@@ -19,12 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round_det
+from ..operators import dedup as D
+from .llm import _minhash_ab_sql, _minhash_band_fold_sql
+from .r10_queries import _grams_sql
 from .r12_queries import (
     _DRIFT_TV_STRATA_SQL,
+    _corpus_fingerprint,
     _strata_drift_from_counts,
     _strata_term_counts,
 )
-from .registry import load_par, register
+from .registry import load, load_par, register
 
 # ---------------------------------------------------------------------------
 # Drift-adjusted mix weights: the strata-TV table's consumer
@@ -107,3 +111,118 @@ def q_mix_weights_drift_adjusted(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
     return mix_weights_drift_adjusted(d)
+
+# ---------------------------------------------------------------------------
+# Banded admission screen: the 100 TB state layout, driver-visible
+# ---------------------------------------------------------------------------
+
+_BANDED_B = 200  # the fixed-batch entry's sf-independent batch span
+
+
+def _banded_side_sql(grams: str, tag: str) -> str:
+    """Portable MinHash signatures + polynomial band keys for one side —
+    the _MINHASH_LSH_SQL construction, parameterized by the grams CTE."""
+    folds = " ".join(f"WHEN {b} THEN {_minhash_band_fold_sql(b)}"
+                     for b in range(8))
+    return f"""
+    hs_{tag} AS (
+        SELECT doc_id AS doc,
+               CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h
+        FROM {grams}),
+    mins_{tag} AS (
+        SELECT doc, ab.p, MIN((ab.a * h + ab.b) % 2147483647) AS mh
+        FROM hs_{tag} CROSS JOIN ab GROUP BY doc, ab.p),
+    sig_{tag} AS (
+        SELECT doc, list(mh ORDER BY p) AS s FROM mins_{tag} GROUP BY doc),
+    bands_{tag} AS (
+        SELECT doc, tb.b, CASE tb.b {folds} END AS bv
+        FROM sig_{tag}, UNNEST(range(0, 8)) AS tb(b))"""
+
+
+_ADMISSION_BANDED_SQL = f"""
+    WITH cs AS (SELECT doc_id, text FROM documents
+                WHERE doc_id >= {_BANDED_B}),
+    bt AS (SELECT doc_id, text FROM documents
+           WHERE doc_id < {_BANDED_B}),
+    {_grams_sql('cs', 'g_cs')},
+    {_grams_sql('bt', 'g_bt')},
+    {_minhash_ab_sql(32)},
+    {_banded_side_sql('g_cs', 'c')},
+    {_banded_side_sql('g_bt', 'b')},
+    cands AS (
+        SELECT DISTINCT bb.doc AS bdoc, bc.doc AS cdoc
+        FROM bands_b bb JOIN bands_c bc
+          ON bb.b = bc.b AND bb.bv = bc.bv),
+    common AS (
+        SELECT c2.bdoc, c2.cdoc, COUNT(*) AS cmn
+        FROM cands c2
+        JOIN g_bt ga ON ga.doc_id = c2.bdoc
+        JOIN g_cs gb ON gb.doc_id = c2.cdoc AND gb.shingle = ga.shingle
+        GROUP BY 1, 2),
+    near AS (
+        SELECT bdoc AS doc_id, COUNT(*) AS n_near
+        FROM common m
+        JOIN g_bt_sz sa ON sa.doc_id = m.bdoc
+        JOIN g_cs_sz sb ON sb.doc_id = m.cdoc
+        WHERE CAST(cmn AS DOUBLE) / (sa.sz + sb.sz - cmn) >= 0.5
+        GROUP BY 1),
+    md5c AS (SELECT DISTINCT md5(text) AS h FROM cs)
+    SELECT d.doc_id,
+           CASE WHEN md5(d.text) IN (SELECT h FROM md5c) THEN 'exact_dup'
+                WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'admit' END AS verdict,
+           CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
+    FROM bt d LEFT JOIN near n ON n.doc_id = d.doc_id
+"""
+
+
+@register(
+    "q_stream_admission_banded",
+    oracle=_ADMISSION_BANDED_SQL,
+    doc="BANDED admission screen — the 100 TB state layout the "
+        "shingle-postings screen's docstring has pointed at since r11, "
+        "now a driver-checkable entry: the persisted state is the "
+        "MinHash BAND-KEY table (8 rows per corpus doc instead of "
+        "~|tokens| shingle-posting rows — a ~25-50x smaller linear "
+        "term), plus doc-bucketed shingle SETS that candidate "
+        "verification point-fetches (a sparse probe set, so doc-bucket "
+        "pruning actually engages — unlike the raw postings table, "
+        "whose ~40k uniform batch probe keys touch every bucket: the "
+        "SCALE.md r13 floor analysis). Screen = exact content-md5 gate "
+        "-> band-key equi-join for candidates -> exact Jaccard >= 0.5 "
+        "verification of candidates only. DELIBERATELY "
+        "probabilistic-recall vs the exact postings screen (a pair "
+        "colliding in no band is missed — the standard LSH trade, "
+        "S-curve midpoint ~0.5 at 32 perms / 8 bands), but every "
+        "verdict is DETERMINISTIC given the portable hash family, so "
+        "the oracle replays signatures, band folds, the candidate join "
+        "and verification bit-for-bit; recall vs the exact screen is "
+        "pytest-pinned (tests/test_r13_ops.py). Fixed sf-independent "
+        "200-doc batch against the growing seed corpus, screen-only, "
+        "seed state cached under the content fingerprint — the same "
+        "measurement frame as q_stream_admission_fixed_batch so the "
+        "two states' decade rows are directly comparable.",
+    tags=("llm", "dedup", "streaming"),
+)
+def q_stream_admission_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    d = load(spark, sf_dir, "documents")
+    corpus = (d.filter(F.col("doc_id") >= _BANDED_B)
+              .select("doc_id", "text"))
+    batch = (d.filter(F.col("doc_id") < _BANDED_B)
+             .select("doc_id", "text"))
+
+    fp = _corpus_fingerprint(corpus, sf_dir)
+    cache = f"/tmp/canary_admission_banded/{fp}"
+    state_dir = os.path.join(cache, "state")
+    if not os.path.exists(os.path.join(cache, "_DONE")):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        D.admission_state_init_banded(corpus, state_dir, n=2)
+        open(os.path.join(cache, "_DONE"), "w").close()
+
+    return (D.admission_screen_batch_banded(batch, state_dir,
+                                            threshold=0.5, n=2)
+            .select("doc_id", "verdict", "n_near"))

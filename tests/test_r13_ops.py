@@ -191,3 +191,45 @@ def test_drift_adjusted_mix_downweights_drifting_source(spark):
     assert out["stable"]["weight"] == 1.0
     assert out["drifty"]["weight"] == 0.0
     assert out["drifty"]["docs_per_epoch"] == 0
+
+
+def test_banded_admission_vs_exact_screen(spark, sf_dir):
+    """The banded screen's contract vs the exact postings/rescan screen:
+    the md5 exact gate is identical, banded near-dups are a SUBSET of
+    the exact screen's (banding can only miss pairs, never invent them
+    — verification is exact), per-doc n_near never exceeds the exact
+    count, and recall on the fixture clears 0.9 (measured 1.0: the
+    fixture's near-dups sit far above the 8-band/32-perm S-curve
+    midpoint)."""
+    import os
+    import tempfile
+
+    import canary_weather_etl_spark.operators.dedup as D
+    from canary_weather_etl_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 200).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 200).select("doc_id", "text")
+
+    with tempfile.TemporaryDirectory() as td:
+        cdir = os.path.join(td, "corpus")
+        corpus.write.parquet(cdir)
+        exact = {r["doc_id"]: (r["verdict"], r["n_near"])
+                 for r in D.admission_screen_batch(
+                     batch, cdir, state_dir=None, regime="rescan",
+                     threshold=0.5, n=2).collect()}
+        sdir = os.path.join(td, "state")
+        D.admission_state_init_banded(corpus, sdir, n=2)
+        banded = {r["doc_id"]: (r["verdict"], r["n_near"])
+                  for r in D.admission_screen_batch_banded(
+                      batch, sdir, threshold=0.5, n=2).collect()}
+
+    assert set(banded) == set(exact)
+    ex_gate = {k for k, v in exact.items() if v[0] == "exact_dup"}
+    bd_gate = {k for k, v in banded.items() if v[0] == "exact_dup"}
+    assert bd_gate == ex_gate
+    ex_near = {k for k, v in exact.items() if v[0] == "near_dup"}
+    bd_near = {k for k, v in banded.items() if v[0] == "near_dup"}
+    assert bd_near <= ex_near          # misses only, never inventions
+    assert ex_near and len(bd_near & ex_near) / len(ex_near) >= 0.9
+    assert all(banded[k][1] <= exact[k][1] for k in banded)
