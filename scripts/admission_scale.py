@@ -70,16 +70,25 @@ def build_corpus(spark, mult: int) -> str:
 
 
 def build_batch(spark, batch_n: int):
-    """Half exact/near dups of copy-0 docs, half fresh text — both gates
-    fire; identical at every corpus multiplier."""
+    """Thirds: exact dups of copy-0 docs, NEAR dups (copy-0 text plus a
+    two-token tail — a handful of new bigrams, Jaccard stays far above
+    the 0.5 gate without md5 equality), and fresh text — all three
+    verdict paths fire, identical at every corpus multiplier. The near
+    slice is what makes the banded-vs-exact recall row meaningful (r13:
+    the earlier exact+fresh batch left near_dup at 0 in every regime)."""
+    third = batch_n // 3
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
-        .select("doc_id", "text").limit(batch_n // 2)
+        .select("doc_id", "text").limit(third)
     dups = tagged(base, "c0").select(
         (F.col("doc_id") + 50_000_000).alias("doc_id"), "text")
+    near = tagged(base, "c0").select(
+        (F.col("doc_id") + 55_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzznear aaa zzznear bbb")).alias("text"))
     fresh = base.select(
         (F.col("doc_id") + 60_000_000).alias("doc_id"),
         F.regexp_replace("text", r"(\S+)", "freshx$1").alias("text"))
-    return dups.unionByName(fresh).localCheckpoint(eager=True)
+    return (dups.unionByName(near).unionByName(fresh)
+            .localCheckpoint(eager=True))
 
 
 def main() -> None:
@@ -87,6 +96,9 @@ def main() -> None:
     ap.add_argument("--mults", type=int, nargs="+", default=[1, 10, 100])
     ap.add_argument("--batch", type=int, default=2000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--regimes", nargs="+",
+                    default=["rescan", "postings"],
+                    choices=["rescan", "postings", "banded"])
     args = ap.parse_args()
 
     spark = get_spark("admission-scale")
@@ -97,7 +109,7 @@ def main() -> None:
         corpus = spark.read.parquet(f"{cdir}/docs")
         n_corpus = corpus.count()
         verdicts = {}
-        for regime in ("rescan", "postings"):
+        for regime in args.regimes:
             walls = []
             for rep in range(args.reps):
                 # fresh per-rep dirs: each screen APPENDS admitted state
@@ -112,10 +124,19 @@ def main() -> None:
                     t0 = time.perf_counter()
                     D.admission_state_init(corpus, state_dir, n=2)
                     seed_sec = round(time.perf_counter() - t0, 2)
+                elif regime == "banded":
+                    state_dir = f"{rdir}/state"
+                    t0 = time.perf_counter()
+                    D.admission_state_init_banded(corpus, state_dir, n=2)
+                    seed_sec = round(time.perf_counter() - t0, 2)
                 t0 = time.perf_counter()
-                v = D.admission_screen_batch(
-                    batch, corpus_dir, state_dir=state_dir,
-                    regime=regime, threshold=0.5, n=2)
+                if regime == "banded":
+                    v = D.admission_screen_batch_banded(
+                        batch, state_dir, threshold=0.5, n=2)
+                else:
+                    v = D.admission_screen_batch(
+                        batch, corpus_dir, state_dir=state_dir,
+                        regime=regime, threshold=0.5, n=2)
                 counts = {r["verdict"]: r["n"] for r in
                           v.groupBy("verdict")
                           .agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -127,9 +148,21 @@ def main() -> None:
                 "batch": args.batch, "screen_sec_best": min(walls),
                 "screen_sec_reps": walls, "seed_sec": seed_sec,
                 "verdicts": counts}), flush=True)
-        assert verdicts["rescan"] == verdicts["postings"], verdicts
-        print(json.dumps({"mult": mult, "regimes_identical": True}),
-              flush=True)
+        if "rescan" in verdicts and "postings" in verdicts:
+            assert verdicts["rescan"] == verdicts["postings"], verdicts
+            print(json.dumps({"mult": mult, "regimes_identical": True}),
+                  flush=True)
+        if "banded" in verdicts and "rescan" in verdicts:
+            # banding misses pairs, never invents them: exact gate count
+            # identical; banded near_dup <= exact; admit >= exact
+            b, e = verdicts["banded"], verdicts["rescan"]
+            assert b.get("exact_dup", 0) == e.get("exact_dup", 0), (b, e)
+            assert b.get("near_dup", 0) <= e.get("near_dup", 0), (b, e)
+            print(json.dumps({
+                "mult": mult,
+                "banded_recall": (b.get("near_dup", 0)
+                                  / max(e.get("near_dup", 1), 1))}),
+                flush=True)
 
 
 if __name__ == "__main__":
