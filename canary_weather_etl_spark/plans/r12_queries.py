@@ -253,26 +253,39 @@ def _sweep_rows(regime: str, e: DataFrame, grid: list,
 def q_sim_ann_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_par(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     clustered = clustered_embeddings(raw).localCheckpoint(eager=True)
+    # Content fingerprint for every sweep-owned cache key (the
+    # _corpus_fingerprint discipline, embeddings-shaped): count +
+    # vec_id sum + an xxhash64 fold over (vec_id, embedding-as-string).
+    # The sweep is rows-only, so a stale model cache would NOT
+    # self-expose through an oracle — the key must be content-correct
+    # by construction, not by fixture-immutability convention.
+    frow = raw.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s"),
+        F.bit_xor(F.xxhash64("vec_id", F.col("embedding").cast("string")))
+        .alias("c")).collect()[0]
+    fp = f"{frow['n']}.{frow['s']}.{frow['c']}"
     # BOTH regimes reuse persisted train-once quantizer tables (the
     # q_sim_ann_ivf catalog-table pattern): the raw fixture's table is
-    # shared with the oracled entries; the clustered corpus is itself a
-    # deterministic md5-rebuild of the fixture, so its quantizer is just
-    # as cacheable — keyed on a distinct path suffix. Training is the
+    # shared with the oracled entries (content-checked there by the
+    # oracle itself, which replays training from the fixture); the
+    # clustered corpus is a deterministic md5-rebuild of the fixture,
+    # so its quantizer caches under the content key. Training is the
     # sweep's single largest fixed cost (~10 s at sf0.1), paid once per
     # corpus per host, exactly like a production index build.
     cdf_raw = S.persist_ivf_quantizer_fixed(
         raw, _ivf_quantizer_path(sf_dir), n_lists=_SWEEP_N_LISTS,
         iterations=2)
     cdf_cl = S.persist_ivf_quantizer_fixed(
-        clustered, _ivf_quantizer_path(sf_dir + "::clustered"),
+        clustered, _ivf_quantizer_path(f"{sf_dir}::clustered::{fp}"),
         n_lists=_SWEEP_N_LISTS, iterations=2)
     # PQ codebooks get the same train-once treatment (deterministic
     # corpora + deterministic training → identical files on rebuild);
-    # dirs keyed per corpus so the regimes never share a model
+    # dirs keyed per corpus AND content so the regimes never share a
+    # model and a regenerated fixture never stale-hits
     import os
 
-    books_c = _ivf_quantizer_path(sf_dir + "::pqbooks::clustered")
-    books_r = _ivf_quantizer_path(sf_dir + "::pqbooks::raw")
+    books_c = _ivf_quantizer_path(f"{sf_dir}::pqbooks::clustered::{fp}")
+    books_r = _ivf_quantizer_path(f"{sf_dir}::pqbooks::raw::{fp}")
     rows_c = _sweep_rows("clustered", clustered, _SWEEP_CLUSTERED,
                          centroids=cdf_cl,
                          codebooks_dir=os.path.dirname(books_c)
