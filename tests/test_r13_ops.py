@@ -233,3 +233,53 @@ def test_banded_admission_vs_exact_screen(spark, sf_dir):
     assert bd_near <= ex_near          # misses only, never inventions
     assert ex_near and len(bd_near & ex_near) / len(ex_near) >= 0.9
     assert all(banded[k][1] <= exact[k][1] for k in banded)
+
+
+def test_banded_admission_writeback_evolves_state(spark, sf_dir):
+    """The banded screen's writeback path: batch 2 must see batch 1's
+    ADMITTED docs as corpus members — an exact re-copy of an admitted
+    batch-1 doc gates as exact_dup in batch 2, and a near-copy verdicts
+    near_dup, while state for dropped batch-1 docs is NOT written."""
+    import os
+    import tempfile
+
+    import canary_weather_etl_spark.operators.dedup as D
+    from canary_weather_etl_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 200).select("doc_id", "text")
+    # batch 1: 10 fresh docs (will admit — token-prefixed so they share
+    # nothing with the corpus) + 1 exact dup of a corpus doc (dropped)
+    base = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    fresh = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                        F.regexp_replace("text", r"(\S+)", "fzx$1")
+                        .alias("text"))
+    dup_of_corpus = (corpus.limit(1)
+                     .select(F.lit(2_000_000).alias("doc_id"), "text"))
+    batch1 = fresh.unionByName(dup_of_corpus)
+
+    # batch 2: exact re-copy of one admitted batch-1 doc, a near-copy
+    # (appended tail) of another, and a re-copy of the DROPPED doc's
+    # text (must match the corpus original, not evidence of bad state)
+    b1 = {r["doc_id"]: r["text"] for r in batch1.collect()}
+    batch2 = spark.createDataFrame(
+        [(3_000_001, b1[1_000_000]),                      # exact of admit
+         (3_000_002, b1[1_000_001] + " zzz aaa zzz bbb"),  # near of admit
+         (3_000_003, "totally novel qqq www eee rrr ttt yyy uuu iii")],
+        "doc_id BIGINT, text STRING")
+
+    with tempfile.TemporaryDirectory() as td:
+        sdir = os.path.join(td, "state")
+        D.admission_state_init_banded(corpus, sdir, n=2)
+        v1 = {r["doc_id"]: r["verdict"]
+              for r in D.admission_screen_batch_banded(
+                  batch1, sdir, threshold=0.5, n=2,
+                  writeback=True).collect()}
+        assert v1[1_000_000] == "admit" and v1[1_000_001] == "admit"
+        assert v1[2_000_000] == "exact_dup"
+        v2 = {r["doc_id"]: r["verdict"]
+              for r in D.admission_screen_batch_banded(
+                  batch2, sdir, threshold=0.5, n=2).collect()}
+    assert v2[3_000_001] == "exact_dup"   # batch-1 admit now in state
+    assert v2[3_000_002] == "near_dup"    # banded candidates find it
+    assert v2[3_000_003] == "admit"
