@@ -331,13 +331,37 @@ def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
     set (from `shingle_sets`) and intersect with array ops. Cost is
     O(|candidates|) — independent of how common individual shingles are,
     which is what makes the LSH pipeline scale where the all-pairs join
-    degenerates."""
+    degenerates.
+
+    r13 shape: BOTH fat joins are preceded by a broadcast-semi-join
+    reduction of `sets` to each side's candidate docs. Without it the
+    b-side join shuffled the ENTIRE fat sets frame: the a-side join
+    broadcasts `pairs` (small) and streams sets shuffle-free, but its
+    output carries sh_a arrays — too fat to broadcast — so the planner
+    fell back to shuffling all of `sets` (corpus-sized string arrays)
+    against it. The candidate-doc id lists are bounded by |docs| and in
+    practice LSH-sparse (longs, broadcastable), so the reduction is
+    map-side and the fat shuffles that remain are candidate-sized on
+    both sides. Result-identical: inner equi-joins only ever read the
+    rows the semi-join keeps."""
+    # pairs is consumed three times now (two candidate-doc broadcast
+    # builds + the verification join); unmaterialized, each consumer
+    # re-runs the banded self-join lineage upstream — measured OOM at
+    # the 1000x decade before this checkpoint landed. Candidate-sized,
+    # so the materialization is small by the LSH contract.
+    pairs = pairs.localCheckpoint(eager=True)
+    adocs = pairs.select(F.col("a").alias("doc")).distinct()
+    bdocs = pairs.select(F.col("b").alias("doc")).distinct()
+    sets_a = sets.join(F.broadcast(adocs), "doc", "left_semi")
+    sets_b = sets.join(F.broadcast(bdocs), "doc", "left_semi")
     out = (
         pairs
-        .join(sets.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"),
-                          F.col("sz").alias("sz_a")), "a")
-        .join(sets.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"),
-                          F.col("sz").alias("sz_b")), "b")
+        .join(sets_a.select(F.col("doc").alias("a"),
+                            F.col("sh").alias("sh_a"),
+                            F.col("sz").alias("sz_a")), "a")
+        .join(sets_b.select(F.col("doc").alias("b"),
+                            F.col("sh").alias("sh_b"),
+                            F.col("sz").alias("sz_b")), "b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard",
                     F.col("common").cast("double")
