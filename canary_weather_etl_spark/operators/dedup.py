@@ -267,22 +267,20 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     if portable_hash:
-        def band_key(b):
-            bv = F.lit(b).cast("long")
-            for j in range(rows):
-                bv = (bv * F.lit(1_000_003)
-                      + F.col("signature")[b * rows + j]) % F.lit(MINHASH_P)
-            return bv
+        # ONE definition of the portable polynomial fold — shared with
+        # the banded admission state, whose persisted keys must match
+        # this self-join's banding bit-for-bit
+        banded = portable_band_table(sigs, bands, num_hashes)
     else:
         def band_key(b):
             return F.xxhash64(
                 *[F.col("signature")[b * rows + j] for j in range(rows)],
                 F.lit(b))
-    banded = sigs.select(
-        "doc",
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)]))
-        .alias("band", "band_hash"),
-    )
+        banded = sigs.select(
+            "doc",
+            F.posexplode(F.array(*[band_key(b) for b in range(bands)]))
+            .alias("band", "band_hash"),
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -1112,9 +1110,13 @@ def admission_screen_batch_banded(batch: DataFrame, state_dir: str,
     adm_ids = admitted.select("doc_id")
     asets = bsets.join(adm_ids, bsets["doc"] == adm_ids["doc_id"],
                        "left_semi")
-    asigs = minhash_signatures_from_sets(asets, num_hashes,
-                                         portable_hash=True)
-    (portable_band_table(asigs, bands, num_hashes)
+    # the admitted docs' band rows ALREADY exist in the checkpointed
+    # bbands frame — semi-join them out instead of re-running the
+    # signature aggregate (the screen's most expensive per-batch stage)
+    # on the admitted subset
+    (bbands.join(adm_ids, bbands["bdoc"] == adm_ids["doc_id"],
+                 "left_semi")
+     .select(F.col("bdoc").alias("doc"), "band", "band_hash")
      .withColumn("bucket", F.pmod(F.xxhash64("band_hash"), F.lit(buckets)))
      .repartition("bucket")
      .write.mode("append").partitionBy("bucket")

@@ -1224,9 +1224,15 @@ def ivfpq_sweep(embeddings: DataFrame, query_ids: list[int],
 
     out: list[dict] = []
     codes_by_mk: dict[tuple[int, int], tuple] = {}
-    # materialize a code table eagerly only when >1 grid point reuses it
-    # — for a single-use (m, pq_k) the checkpoint write costs more than
-    # the one lazy scan it would save
+    # materialize a code table eagerly only when >1 grid point reuses
+    # it. NOTE the real trade for a single-use (m, pq_k): the point's
+    # one window-rank job unions |query_ids| filtered branches over the
+    # lazy codes frame, so the encode projection runs once PER BRANCH —
+    # |query_ids| narrow codegen argmin passes vs one eager
+    # checkpoint write + |query_ids| cheap scans. For this entry's
+    # shape (5 queries, k <= 8 literals per subspace) the lazy side
+    # measured faster; a caller sweeping many queries over a single-use
+    # budget should checkpoint upstream instead.
     uses: dict[tuple[int, int], int] = {}
     for m, pq_k, _ in grid:
         uses[(m, pq_k)] = uses.get((m, pq_k), 0) + 1

@@ -133,7 +133,9 @@ def q_stream_admission_fixed_batch(spark: SparkSession,
     # invalidates across fixtures, so a repeat invocation pays only the
     # per-batch screen — the persistent-deployment cost shape
     fp = _corpus_fingerprint(corpus0, sf_dir)
-    cache = f"/tmp/canary_admission_fixed/{fp}"
+    # uid-scoped since r13 (the canary_ivf_u{uid} convention, ADVICE r2):
+    # a shared /tmp root PermissionErrors for the second user on a host
+    cache = f"/tmp/canary_admission_fixed_u{os.getuid()}/{fp}"
     corpus_dir = os.path.join(cache, "corpus")
     state_dir = os.path.join(cache, "state")
     if not os.path.exists(os.path.join(cache, "_DONE")):
@@ -280,12 +282,25 @@ def q_sim_ann_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=_SWEEP_N_LISTS, iterations=2)
     # PQ codebooks get the same train-once treatment (deterministic
     # corpora + deterministic training → identical files on rebuild);
-    # dirs keyed per corpus AND content so the regimes never share a
-    # model and a regenerated fixture never stale-hits
+    # dirs keyed per corpus AND content AND quantizer so the regimes
+    # never share a model, a regenerated fixture never stale-hits, and —
+    # since residuals are computed AGAINST the centroids — books trained
+    # under an older persisted quantizer can never pair with a newer one
+    # (the raw quantizer table is path-keyed, not content-keyed, so the
+    # corpus fingerprint alone would not see a refreshed table)
+    import hashlib
     import os
 
-    books_c = _ivf_quantizer_path(f"{sf_dir}::pqbooks::clustered::{fp}")
-    books_r = _ivf_quantizer_path(f"{sf_dir}::pqbooks::raw::{fp}")
+    def _cent_fp(cdf) -> str:
+        rows = sorted((int(r["list_id"]),
+                       tuple(int(v) for v in r["centroid"]))
+                      for r in cdf.collect())  # <= n_lists rows
+        return hashlib.md5(repr(rows).encode()).hexdigest()[:12]
+
+    books_c = _ivf_quantizer_path(
+        f"{sf_dir}::pqbooks::clustered::{fp}::{_cent_fp(cdf_cl)}")
+    books_r = _ivf_quantizer_path(
+        f"{sf_dir}::pqbooks::raw::{fp}::{_cent_fp(cdf_raw)}")
     rows_c = _sweep_rows("clustered", clustered, _SWEEP_CLUSTERED,
                          centroids=cdf_cl,
                          codebooks_dir=os.path.dirname(books_c)

@@ -77,7 +77,12 @@ def mix_weights_drift_adjusted(d: DataFrame) -> DataFrame:
               .withColumn("score",
                           F.sqrt(F.col("n_docs").cast("double")) * damp))
     tot = scored.agg(F.sum("score").alias("z"), F.sum("n_docs").alias("n"))
-    w = F.col("score") / F.col("z")
+    # z = 0 iff EVERY source is fully drifted (damp is in [0,1], sqrt
+    # >= 0): under ANSI, a bare score/z would crash with DIVIDE_BY_ZERO
+    # while the DuckDB oracle yields NULL — route the degenerate case to
+    # NULL explicitly so both engines agree (there is no meaningful mix
+    # when every source's snapshot moved entirely).
+    w = F.when(F.col("z") > 0, F.col("score") / F.col("z"))
     return (scored.crossJoin(F.broadcast(tot))
             .select("source", "n_docs", "tv_units",
                     round_det(w, 6).alias("weight"),
@@ -215,7 +220,9 @@ def q_stream_admission_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "text"))
 
     fp = _corpus_fingerprint(corpus, sf_dir)
-    cache = f"/tmp/canary_admission_banded/{fp}"
+    # uid-scoped (the canary_ivf_u{uid} convention, ADVICE r2): a shared
+    # /tmp root would PermissionError for the second user on a host
+    cache = f"/tmp/canary_admission_banded_u{os.getuid()}/{fp}"
     state_dir = os.path.join(cache, "state")
     if not os.path.exists(os.path.join(cache, "_DONE")):
         shutil.rmtree(cache, ignore_errors=True)

@@ -103,6 +103,8 @@ def main() -> None:
 
     spark = get_spark("admission-scale")
     batch = build_batch(spark, args.batch)
+    # report the ACTUAL batch size: thirds truncate (2000 -> 1998)
+    batch_n = batch.count()
 
     for mult in args.mults:
         cdir = build_corpus(spark, mult)
@@ -145,7 +147,7 @@ def main() -> None:
             verdicts[regime] = counts
             print(json.dumps({
                 "mult": mult, "regime": regime, "n_corpus": n_corpus,
-                "batch": args.batch, "screen_sec_best": min(walls),
+                "batch": batch_n, "screen_sec_best": min(walls),
                 "screen_sec_reps": walls, "seed_sec": seed_sec,
                 "verdicts": counts}), flush=True)
         if "rescan" in verdicts and "postings" in verdicts:

@@ -283,3 +283,32 @@ def test_banded_admission_writeback_evolves_state(spark, sf_dir):
     assert v2[3_000_001] == "exact_dup"   # batch-1 admit now in state
     assert v2[3_000_002] == "near_dup"    # banded candidates find it
     assert v2[3_000_003] == "admit"
+
+
+def test_drift_adjusted_mix_all_drifted_yields_null_not_crash(spark):
+    """z = 0 (every source fully drifted) must NOT crash under ANSI
+    (bare score/z raises DIVIDE_BY_ZERO) — both engines yield NULL
+    weight/docs_per_epoch rows, the DuckDB behavior."""
+    import hashlib
+
+    from canary_weather_etl_spark.plans.r13_queries import (
+        mix_weights_drift_adjusted,
+    )
+
+    def half(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7],
+                   16) % 2
+
+    # a VANISHED stratum (every doc in one md5-parity half) is the case
+    # that yields tv_units EXACTLY 1e9 (the totality CASE) and hence
+    # damp = 0; disjoint-vocab halves only reach 999999999 by the
+    # fixed-point floor
+    ids = [i for i in range(1, 200) if half(i) == 0][:40]
+    rows = [(i, "aaa bbb ccc", "en", "only_source") for i in ids]
+    d = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING")
+    out = mix_weights_drift_adjusted(d).collect()
+    assert len(out) == 1
+    assert out[0]["tv_units"] == 1_000_000_000
+    assert out[0]["weight"] is None
+    assert out[0]["docs_per_epoch"] is None
