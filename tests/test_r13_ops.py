@@ -312,3 +312,41 @@ def test_drift_adjusted_mix_all_drifted_yields_null_not_crash(spark):
     assert out[0]["tv_units"] == 1_000_000_000
     assert out[0]["weight"] is None
     assert out[0]["docs_per_epoch"] is None
+
+
+def test_banded_sets_fetch_prunes_doc_buckets(spark, sf_dir):
+    """The banded screen's candidate-verification fetch reads only the
+    candidate docs' bucket partitions (the sparse probe set the raw
+    shingle-postings layout can't have): the doc-bucket IN filter must
+    reach the sets scan as PartitionFilters, and a small candidate list
+    must touch strictly fewer than all buckets."""
+    import os
+    import shutil
+    import tempfile
+
+    import canary_weather_etl_spark.operators.dedup as D
+    from canary_weather_etl_spark.plans.registry import load
+
+    d = load(spark, sf_dir, "documents").limit(300)
+    tmp = tempfile.mkdtemp(prefix="canary_banded_prune_")
+    try:
+        state_dir = os.path.join(tmp, "state")
+        D.admission_state_init_banded(d.select("doc_id", "text"),
+                                      state_dir, n=2)
+        # a 5-doc candidate list touches <= 5 of the 64 doc buckets
+        cdocs = [1, 2, 3, 4, 5]
+        touched = (spark.createDataFrame([(c,) for c in cdocs],
+                                         "doc BIGINT")
+                   .select(F.pmod(F.xxhash64("doc"), F.lit(64))
+                           .alias("b")).distinct().collect())
+        blist = [r["b"] for r in touched]
+        assert len(blist) <= 5 < 64
+        pruned = (spark.read.parquet(os.path.join(state_dir, "sets"))
+                  .filter(F.col("bucket").isin(blist)))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan, plan
+        got = {r["bucket"] for r in pruned.select("bucket")
+               .distinct().collect()}
+        assert got <= set(blist)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
