@@ -350,3 +350,38 @@ def test_banded_sets_fetch_prunes_doc_buckets(spark, sf_dir):
         assert got <= set(blist)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# words + every whitespace class both regex families agree on
+_WS_TEXT = st.lists(
+    st.sampled_from(["foo", "bar", "baz", "Qux", "a", "zz9",
+                     " ", "\t", "\n", "  ", "\t\n", " \t "]),
+    max_size=12).map("".join)
+
+
+@given(texts=st.lists(_WS_TEXT, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_word_ngrams_fuzz_matches_duckdb_oracle(spark, texts):
+    """Hypothesis fuzz of the canonical shingle semantics: random
+    whitespace-heavy strings must produce identical (doc, shingle) sets
+    from the engine's word_ngrams and the _grams_sql DuckDB shape — the
+    generalization of the pointwise tab/newline edge list."""
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    eng = {(r["doc_id"], r["shingle"]) for r in
+           sdf.select("doc_id",
+                      F.explode(word_ngrams("text", 2)).alias("shingle"))
+           .collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+        sql = f"WITH {_grams_sql('d', 'g')} SELECT doc_id, shingle FROM g"
+        ora = set(map(tuple, con.execute(sql).fetchall()))
+    finally:
+        con.close()
+    assert eng == ora
