@@ -385,3 +385,40 @@ def test_word_ngrams_fuzz_matches_duckdb_oracle(spark, texts):
     finally:
         con.close()
     assert eng == ora
+
+
+_SMALL_DOC = st.lists(
+    st.sampled_from(["the", "cat", "sat", "on", "mat", "dog", "ran"]),
+    min_size=2, max_size=8).map(" ".join)
+
+
+@given(texts=st.lists(_SMALL_DOC, min_size=3, max_size=10))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_lsh_chain_fuzz_matches_duckdb(spark, texts):
+    """End-to-end fuzz of the portable MinHash→band→verify chain: on
+    small random corpora drawn from a tiny vocabulary (so candidates
+    and near-dups actually occur), the engine's verified pairs must
+    equal the _MINHASH_LSH_SQL oracle's — signatures, band folds,
+    candidate join and exact Jaccard all replayed from the same
+    literals. Guards the band-fold/signature contract on inputs the
+    fixture doesn't contain."""
+    from canary_weather_etl_spark.operators.dedup import (
+        near_dup_pairs_minhash,
+    )
+    from canary_weather_etl_spark.plans.llm import _MINHASH_LSH_SQL
+
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    eng = {(r["a"], r["b"], r["jaccard"]) for r in
+           near_dup_pairs_minhash(sdf, "doc_id", "text", n=2,
+                                  threshold=0.5, portable_hash=True)
+           .collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        ora = set(map(tuple, con.execute(_MINHASH_LSH_SQL).fetchall()))
+    finally:
+        con.close()
+    assert eng == ora
