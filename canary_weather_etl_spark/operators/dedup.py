@@ -1022,7 +1022,17 @@ def admission_screen_batch_banded(batch: DataFrame, state_dir: str,
 
     Returns (doc_id, text, verdict, n_near) exactly like the postings
     screen; ``writeback=True`` appends admitted docs' bands/sets/hashes
-    so the next batch sees them."""
+    so the next batch sees them.
+
+    Sizing ``buckets`` at deployment: a batch of B docs probes ~8·B
+    band keys, so the expected untouched fraction of the band table is
+    exp(-8B/buckets) — at the fixture's buckets=64 a 200-doc batch
+    touches everything (the win is that the whole table is ~25-50x
+    smaller than shingle postings), but a real deployment raises
+    buckets into the thousands and band-bucket pruning starts engaging
+    too (1600 probe keys vs 16384 buckets reads ~9%). The same math is
+    WHY the raw postings table can't be saved this way: its probe set
+    is ~200·B shingle keys (SCALE.md r13 floor analysis)."""
     import os
 
     sp = batch.sparkSession
