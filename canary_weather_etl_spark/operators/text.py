@@ -47,9 +47,12 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """Approximate BPE token count: word-piece-ish segmentation by a regex
     that splits words, digits runs, and punctuation separately — the cheap
     stand-in for a real tokenizer when budgeting LLM training data.
-    SQL twin: LEN(REGEXP_EXTRACT_ALL(x, pattern))."""
+    SQL twin: LEN(REGEXP_EXTRACT_ALL(x, pattern)) — the engine counts
+    with regexp_count (r13: same match count, no per-match array
+    allocation; match-COUNTING sites should never materialize the
+    matches)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"), 0))
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]"))
 
 
 def char_count(col: Column | str) -> Column:
@@ -81,10 +84,14 @@ def stopword_ratio(col: Column | str) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Punctuation chars ÷ total chars."""
+    """Punctuation chars ÷ total chars. Counted with regexp_count (r13):
+    identical count to the old size(regexp_extract_all(...)) without
+    allocating one String per punctuation mark. Measured at 5M docs:
+    wall PARITY (94.5 vs 98.0 s for the whole gate — the regex SCAN is
+    the floor, not the match allocations), so this is an allocation/GC
+    argument, not a claimed speedup (SCALE.md r13)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)).cast("double")
-            / F.length(c))
+    return F.regexp_count(c, F.lit(PUNCT_RE)).cast("double") / F.length(c)
 
 
 def quality_ok(col: Column | str,
@@ -101,9 +108,12 @@ def quality_ok(col: Column | str,
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts."""
+    """Per-language marker-hit counts — regexp_count (r13): the
+    counting form skips the five per-match array materializations the
+    old size(regexp_extract_all(...)) shape paid. Wall parity measured
+    (the five alternation SCANS are the cost — see punct_ratio)."""
     c = F.col(col) if isinstance(col, str) else col
-    return {lang: F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+    return {lang: F.regexp_count(F.lower(c), F.lit(pat))
             for lang, pat in LANG_MARKERS.items()}
 
 

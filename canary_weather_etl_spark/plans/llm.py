@@ -1454,9 +1454,9 @@ def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         cleaned.alias("cleaned"),
-        F.size(F.regexp_extract_all(raw, F.lit(email_re), 0)).cast("bigint")
+        F.regexp_count(raw, F.lit(email_re)).cast("bigint")
          .alias("n_emails"),
-        F.size(F.regexp_extract_all(raw, F.lit(phone_re), 0)).cast("bigint")
+        F.regexp_count(raw, F.lit(phone_re)).cast("bigint")
          .alias("n_phones"),
     )
 

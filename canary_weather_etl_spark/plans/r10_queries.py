@@ -170,8 +170,7 @@ def q_quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(c).cast("long").alias("tok"),
         T.char_count(c).cast("long").alias("chars"),
         T.stopword_count(c).cast("long").alias("stop"),
-        F.size(F.regexp_extract_all(c, F.lit(T.PUNCT_RE), 0))
-        .cast("long").alias("punct"),
+        F.regexp_count(c, F.lit(T.PUNCT_RE)).cast("long").alias("punct"),
         F.size(F.array_distinct(T.tokens(c))).cast("long").alias("dtok"),
         F.length(F.regexp_replace(c, r"\s+", "")).cast("long")
         .alias("nonspace"),
