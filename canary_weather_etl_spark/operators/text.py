@@ -21,11 +21,19 @@ STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 # Marker-word/char heuristics per language (n-gram-ish language ID: count
 # distinctive function words; CJK detected by codepoint class). Ordered —
 # first maximal score wins, 'und' (undetermined) when nothing matches.
+# LANG_MARKERS is the SQL-twin source of truth (the oracles replay these
+# regexes verbatim); WORD_MARKERS is the engine's token-equality form of
+# the same four word lists — a consistency pytest pins the two.
+WORD_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "was", "for", "with"),
+    "es": ("el", "la", "los", "las", "que", "de", "y", "en", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans", "pour"),
+}
+
 LANG_MARKERS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|is|was|for|with)\b",
-    "es": r"\b(el|la|los|las|que|de|y|en|por)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|mit|ein)\b",
-    "fr": r"\b(le|les|des|et|est|une|dans|pour)\b",
+    **{lang: r"\b(" + "|".join(ws) + r")\b"
+       for lang, ws in WORD_MARKERS.items()},
     "zh": r"[一-鿿]",
 }
 
@@ -108,13 +116,44 @@ def quality_ok(col: Column | str,
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts — regexp_count (r13): the
-    counting form skips the five per-match array materializations the
-    old size(regexp_extract_all(...)) shape paid. Wall parity measured
-    (the five alternation SCANS are the cost — see punct_ratio)."""
+    """Per-language marker-hit counts. r13 shape: the four WORD-marker
+    languages count by token equality over ONE punct-normalized
+    tokenization; zh stays a codepoint-class regexp_count (it counts
+    CHARS, not word tokens). Dict order preserved — lang_id's
+    tie-break depends on it.
+
+    WHY tokens, not \\b regexes: the oracles' RE2 \\b is ASCII, and
+    Java's \\b is not (it treats e-acute / CJK chars as word chars — no
+    boundary, no match), so the pre-r13 Java-\\b engine shape silently
+    diverged from every lang-marker oracle on non-ASCII-adjacent
+    markers ('theé': RE2 counts 1, Java 0); ASCII fixtures never fired
+    it. PUNCT_RE ([^\\w\\s], ASCII \\w in BOTH engines) turns every
+    non-word non-space char into a token break, which makes token
+    equality on the normalized split EXACTLY the RE2-\\b count —
+    hypothesis-fuzzed vs DuckDB incl. 'theé'/'the一'/'2the'/'_the_'
+    (tests/test_r13_ops.py).
+
+    Shapes measured at 5M docs (full gate predicate, warm best-of-3):
+    Java-\\b-on-raw regexp_count 94.5 s but WRONG per the above; THIS
+    shape 109.4 s; punct-normalize + \\b regexp_count 125.5 s (pays the
+    replace but keeps the alternation scans too); ASCII-lookaround and
+    token-anchored-lookahead regexp_count both >>600 s (Java cannot
+    literal-optimize a pattern behind a zero-width assertion, so the
+    alternation runs at every char). Correctness costs ~15% of the
+    gate stage; every faster shape measured keeps the divergence."""
     c = F.col(col) if isinstance(col, str) else col
-    return {lang: F.regexp_count(F.lower(c), F.lit(pat))
-            for lang, pat in LANG_MARKERS.items()}
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), PUNCT_RE, " "),
+                   TOKEN_SPLIT_RE)
+
+    def count_in(words: tuple[str, ...]) -> Column:
+        # one-arg lambda only: pyspark introspects HOF lambda signatures
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores: dict[str, Column] = {
+        lang: count_in(ws) for lang, ws in WORD_MARKERS.items()
+    }
+    scores["zh"] = F.regexp_count(F.lower(c), F.lit(LANG_MARKERS["zh"]))
+    return scores
 
 
 def lang_id(col: Column | str) -> Column:

@@ -34,6 +34,12 @@ from .registry import load, register
 
 _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_PAT = r"\+\d{1,2}-\d{3}-\d{4}"
+# NOTE on \b portability (the r13 lang-marker finding): Java's \b
+# treats non-ASCII letters as word chars while DuckDB/RE2's \b is
+# ASCII, so an IP ABUTTING a non-ASCII letter ('é1.2.3.4') redacts in
+# the oracle but not the engine. The synthetic PII fixture is ASCII by
+# construction, and an IP glued to a letter is malformed input either
+# way — documented rather than papered over.
 _IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 # Deterministic dirty-text synthesis, shared by both engines: one email

@@ -422,3 +422,65 @@ def test_minhash_lsh_chain_fuzz_matches_duckdb(spark, texts):
     finally:
         con.close()
     assert eng == ora
+
+
+def test_word_markers_match_lang_marker_regexes():
+    """WORD_MARKERS is the token form of the LANG_MARKERS regexes — the
+    two must stay in lockstep (the oracles replay the regex form)."""
+    from canary_weather_etl_spark.operators.text import (
+        LANG_MARKERS, WORD_MARKERS,
+    )
+
+    for lang, ws in WORD_MARKERS.items():
+        assert LANG_MARKERS[lang] == r"\b(" + "|".join(ws) + r")\b"
+    assert list(LANG_MARKERS) == [*WORD_MARKERS, "zh"]
+
+
+_LANG_TEXT = st.lists(
+    st.sampled_from(["the", "la", "der", "le", "und", "de", "cat",
+                     "xyz", "2the", "athe", "é", "一", "_the_",
+                     ",", ".", "-", "!", " ", "\t", "\n"]),
+    max_size=15).map(lambda parts: "".join(
+        p + s for p, s in zip(parts, [" ", "", ",", " "] * len(parts))))
+
+
+@given(texts=st.lists(_LANG_TEXT, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lang_scores_token_shape_equals_duckdb_oracle(spark, texts):
+    """The r13 token-equality lang scores must count EXACTLY what the
+    DuckDB oracles' \\b-regex counts — including punctuation-adjacent
+    markers, digit-joined non-matches ('2the'), underscore words and
+    NON-ASCII neighbors ('theé', 'the一'). The non-ASCII class is the
+    point: RE2's \\b is ASCII (boundary before é → match) while Java's
+    \\b treats é/一 as word chars (no match), so the OLD Java-regex
+    engine shape silently diverged from every lang-marker oracle on
+    such text — the token shape, built on the ASCII-\\w PUNCT_RE
+    normalization, lands on the RE2 semantics and closes that latent
+    divergence (fixtures are ASCII, so it never fired)."""
+    from canary_weather_etl_spark.operators.text import (
+        LANG_MARKERS, lang_scores,
+    )
+
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    new = lang_scores("text")
+    eng = {r["doc_id"]: r for r in sdf.select(
+        "doc_id", *[new[lang].alias(lang) for lang in LANG_MARKERS]
+    ).collect()}
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+        sel = ", ".join(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS {lang}"
+            for lang, pat in LANG_MARKERS.items())
+        ora = {r[0]: r[1:] for r in
+               con.execute(f"SELECT doc_id, {sel} FROM d").fetchall()}
+    finally:
+        con.close()
+
+    for doc_id, row in ora.items():
+        got = tuple(eng[doc_id][lang] for lang in LANG_MARKERS)
+        assert got == row, (doc_id, texts[doc_id], got, row)
