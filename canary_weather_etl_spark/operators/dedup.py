@@ -331,17 +331,17 @@ def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
     which is what makes the LSH pipeline scale where the all-pairs join
     degenerates.
 
-    r13 shape: BOTH fat joins are preceded by a broadcast-semi-join
-    reduction of `sets` to each side's candidate docs. Without it the
-    b-side join shuffled the ENTIRE fat sets frame: the a-side join
-    broadcasts `pairs` (small) and streams sets shuffle-free, but its
-    output carries sh_a arrays — too fat to broadcast — so the planner
-    fell back to shuffling all of `sets` (corpus-sized string arrays)
+    r13 shape: BOTH fat joins are preceded by a semi-join reduction of
+    `sets` to each side's candidate docs. Without it the b-side join
+    shuffled the ENTIRE fat sets frame: the a-side join broadcasts
+    `pairs` (small) and streams sets shuffle-free, but its output
+    carries sh_a arrays — too fat to broadcast — so the planner fell
+    back to shuffling all of `sets` (corpus-sized string arrays)
     against it. The candidate-doc id lists are bounded by |docs| and in
-    practice LSH-sparse (longs, broadcastable), so the reduction is
-    map-side and the fat shuffles that remain are candidate-sized on
-    both sides. Result-identical: inner equi-joins only ever read the
-    rows the semi-join keeps."""
+    practice LSH-sparse (longs), so AQE converts the semi-joins to
+    runtime broadcasts and the fat shuffles that remain are
+    candidate-sized on both sides. Result-identical: inner equi-joins
+    only ever read the rows the semi-join keeps."""
     # pairs is consumed three times now (two candidate-doc broadcast
     # builds + the verification join); unmaterialized, each consumer
     # re-runs the banded self-join lineage upstream — measured OOM at
@@ -350,8 +350,15 @@ def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
     pairs = pairs.localCheckpoint(eager=True)
     adocs = pairs.select(F.col("a").alias("doc")).distinct()
     bdocs = pairs.select(F.col("b").alias("doc")).distinct()
-    sets_a = sets.join(F.broadcast(adocs), "doc", "left_semi")
-    sets_b = sets.join(F.broadcast(bdocs), "doc", "left_semi")
+    # No forced F.broadcast on the candidate-doc lists (r14, ADVICE):
+    # under degenerate banding (one band hash colliding across a large
+    # fraction of a skewed/low-entropy corpus) the lists approach |docs|
+    # and a forced broadcast OOMs the driver. AQE decides at runtime —
+    # LSH-sparse lists (the contract case) convert to broadcast from
+    # the materialized shuffle stats; degenerate lists stay a shuffle
+    # semi-join, which degrades gracefully.
+    sets_a = sets.join(adocs, "doc", "left_semi")
+    sets_b = sets.join(bdocs, "doc", "left_semi")
     out = (
         pairs
         .join(sets_a.select(F.col("doc").alias("a"),

@@ -730,9 +730,21 @@ def persist_pq_codebooks(qdf: DataFrame, path: str, m: int, k: int,
     if os.path.isfile(path):
         with open(path) as f:
             raw = json.load(f)
-        return {int(s): {int(c): [int(x) for x in v]
-                         for c, v in d.items()}
-                for s, d in raw.items()}
+        books = {int(s): {int(c): [int(x) for x in v]
+                          for c, v in d.items()}
+                 for s, d in raw.items()}
+        # Cache validation (r14, ADVICE): a caller reusing a path across
+        # parameter changes must not silently get a mismatched codebook.
+        # Shape fully determines (m, k): m subspaces × k codewords.
+        if len(books) != m or any(len(d) != k for d in books.values()):
+            got = (len(books),
+                   sorted({len(d) for d in books.values()}))
+            raise ValueError(
+                f"cached PQ codebook at {path} has shape "
+                f"(m={got[0]}, k per subspace={got[1]}) but "
+                f"(m={m}, k={k}) was requested — delete the stale file "
+                f"or use a parameter-keyed path")
+        return books
     books = pq_train_codebooks(qdf, m=m, k=k, iterations=iterations)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -1191,6 +1203,11 @@ def ivfpq_sweep(embeddings: DataFrame, query_ids: list[int],
 
     from .clustering import quantize_vectors
 
+    if not query_ids:
+        # Fail loudly up front (r14, ADVICE): empty query_ids previously
+        # left scored_all as None and crashed opaquely at the
+        # window-rank step with AttributeError.
+        raise ValueError("query_ids must be non-empty")
     qdf = (quantize_vectors(embeddings, id_col, vec_col)
            .localCheckpoint(eager=True))
     cdf = centroids if centroids is not None else train_ivf_quantizer_fixed(

@@ -37,46 +37,49 @@ from . import r13_queries   # noqa: E402,F401  drift-adjusted mix weights
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-13 rotation, per the r12 verdict's
-# #1 directive: the r13-new entry at birth, then every remaining entry in
-# EVIDENCE-AGE order — computed from the CORRECTNESS_r*.json files
-# themselves (latest round each name appears in): the five r5-vintage
-# entries that missed r12's 50-cut, the full r7-vintage block (TPC-H
-# Q7..Q22 remainder + q_pii_redact/q_url_canonicalize/... — the oldest
-# driver evidence in the registry), then the r8-vintage block. The first
-# 50 cover new + r5 + r7 + 24 of the r8 block; the rest of the r8 block
-# is queued as the r14 head, completing the full-registry re-sample cycle.
+# hard external correctness row. Round-14 rotation, continuing the
+# evidence-age cycle (r13 verdict #4): entries ordered by ASCENDING
+# driver-evidence vintage, computed from the CORRECTNESS_r*.json files
+# themselves (latest round each name appears in). After r13 the oldest
+# blocks are the 26 r8-vintage entries (exactly _DRIVER_PRIORITY[50:]
+# of the r13 list — the r8 remainder the r13 50-cut didn't reach; the
+# r13 sample covered 23 of the 49-entry r8 block, per the r13 ADVICE
+# correction) and the 49 r9-vintage entries. The first 50 of this list
+# = any r14-new entries at birth + all 26 r8 + the first (50 - new - 26)
+# of the r9 block; the r9 remainder queues as the r15 head.
 _DRIVER_PRIORITY = (
-    # New in r13 — driver rows at birth (r12 verdict #3 + the banded
-    # admission state layout).
-    "q_mix_weights_drift_adjusted", "q_stream_admission_banded",
-    # r5-vintage (missed r12's 50-cut).
-    "q_pagerank_purchases", "q_percentile_within_group",
-    "q_join_null_safe", "q_subquery_exists", "q_group_by_all",
-    # r7-vintage block (r12 verdict #1: the oldest driver evidence).
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q4", "q_tpch_q9", "q_tpch_q19", "q_tpch_q21",
-    "q_tpch_q22", "q_tpch_q2", "q_tpch_q12", "q_pii_redact",
-    "q_url_canonicalize", "q_equidepth_histogram", "q_cohort_retention",
-    "q_sql_scripting", "q_perceptron_batch", "q_boilerplate_strip",
-    # r8-vintage block (last driver row r8); first 24 land in the r13
-    # sample, the remainder is the r14 head. Reference flagships first.
-    "q1_groupby_avg", "q2_groupby2_topk", "q3_filtered_groupby_avg",
-    "q_ab_test_zscore", "q_abc_classification", "q_anomaly_mad_approx",
-    "q_attribution_linear", "q_basket_pairs", "q_benford_digits",
-    "q_cdc_chunk_dedup", "q_chisq_independence", "q_concurrency_peak",
-    "q_corpus_novelty", "q_cusum_changepoint", "q_daily_autocorr",
-    "q_data_expectations", "q_degree_histogram", "q_distinct_pairs",
-    "q_embedding_dim_stats", "q_event_transitions", "q_filter_null_empty",
-    "q_funnel_latency", "q_gini_concentration", "q_hits_bipartite",
-    "q_incremental_recompute", "q_join_inner_fact", "q_jsonl_quarantine",
-    "q_kendall_tau", "q_listagg_topn", "q_longest_streak",
-    "q_mannwhitney_u", "q_partition_fingerprint", "q_projection_derived",
-    "q_rfm_segmentation", "q_rolling_active_users", "q_scalar_string",
-    "q_seasonal_baseline", "q_session_funnel", "q_skew_audit",
-    "q_snapshot_diff", "q_source_overlap", "q_spearman_corr",
-    "q_time_weighted_avg", "q_top_paths", "q_topk_global",
-    "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_watermark_late_audit",
+    # New in r14 — driver rows at birth. (Names added here as the
+    # entries land; the import-time guard below keeps this honest.)
+    # r8-vintage remainder (last driver row r8; the r13 sample stopped
+    # 23 entries into the r8 block, leaving exactly these 26).
+    "q_hits_bipartite", "q_incremental_recompute", "q_join_inner_fact",
+    "q_jsonl_quarantine", "q_kendall_tau", "q_listagg_topn",
+    "q_longest_streak", "q_mannwhitney_u", "q_partition_fingerprint",
+    "q_projection_derived", "q_rfm_segmentation", "q_rolling_active_users",
+    "q_scalar_string", "q_seasonal_baseline", "q_session_funnel",
+    "q_skew_audit", "q_snapshot_diff", "q_source_overlap",
+    "q_spearman_corr", "q_time_weighted_avg", "q_top_paths",
+    "q_topk_global", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    "q_watermark_late_audit",
+    # r9-vintage block (last driver row r9); the first 23 land in the
+    # r14 sample, the remainder queues as the r15 head.
+    "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
+    "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
+    "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
+    "q_lm_quality_score", "q_arrays_zip_explode", "q_sql_facade",
+    "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
+    "q_time_rollup", "q_percentiles", "q_stats_moments",
+    "q_epoch_repeat_mix", "q_manifest_sink_read", "q_skyline_pareto",
+    "q_anomaly_mad", "q_pmi_bigrams", "q_shingle_containment",
+    "q_kcore_peel", "q_nearest_view", "q_cdc_chunking",
+    "q_boolean_retrieval", "q_temperature_mix", "q_grid_knn",
+    "q_stream_upsert_readback", "q_setjoin_auto_regime", "q_pq_adc_topk",
+    "q_dsir_importance", "q_capped_balance", "q_inventory_clamped",
+    "q_bpe_decode_roundtrip", "q_parameterized_sql",
+    "q_pq_semantic_buckets", "q_tokenizer_fertility",
+    "q_ann_filtered_topk", "q_maxsim_late_interaction", "q_hybrid_rrf",
+    "q_semantic_dedup", "q_observe_quality_gate",
+    "q_eval_decontamination", "q_semdedup_threshold", "q_semdedup_auto_k",
 )
 
 

@@ -164,6 +164,28 @@ def test_ivfpq_validation_loud(spark):
         S.ivfpq_sweep(e, [0], [(2, 4, 99)])
     with pytest.raises(ValueError, match="not found"):
         S.ivfpq_sweep(e, [999_999], [(2, 4, 2)])
+    # r13 ADVICE: empty query_ids previously crashed opaquely with
+    # AttributeError (scored_all stayed None) at the window-rank step.
+    with pytest.raises(ValueError, match="non-empty"):
+        S.ivfpq_sweep(e, [], [(2, 4, 2)])
+
+
+def test_pq_codebook_cache_validates_params(spark, tmp_path):
+    """r13 ADVICE: a cached codebook JSON reused across parameter
+    changes must raise, not silently return the mismatched model."""
+    e = load_par(spark, SF, "embeddings").filter(F.col("vec_id") < 60)
+    from canary_weather_etl_spark.operators.clustering import quantize_vectors
+    qdf = quantize_vectors(e, "vec_id", "embedding")
+    path = str(tmp_path / "books.json")
+    books = S.persist_pq_codebooks(qdf, path, m=2, k=4)
+    assert len(books) == 2 and all(len(d) == 4 for d in books.values())
+    # same params → cache hit, identical model
+    again = S.persist_pq_codebooks(qdf, path, m=2, k=4)
+    assert again == books
+    with pytest.raises(ValueError, match="stale"):
+        S.persist_pq_codebooks(qdf, path, m=4, k=4)
+    with pytest.raises(ValueError, match="stale"):
+        S.persist_pq_codebooks(qdf, path, m=2, k=8)
 
 
 # --- per-stratum TV drift ----------------------------------------------------
