@@ -86,6 +86,37 @@ def curate_corpus(
     an arbitrary copy and silently reintroduce exactly the
     survivor-nondeterminism class this pipeline was fixed to remove.
     """
+    survivors = curation_survivors(
+        docs, id_col=id_col, text_col=text_col, keep_langs=keep_langs,
+        min_tokens=min_tokens, near_dup_threshold=near_dup_threshold,
+        portable_hash=portable_hash)
+
+    # 4. stratified source mixing (data-mix weights)
+    if mix_fractions:
+        survivors = survivors.sampleBy(source_col, mix_fractions, seed=seed)
+
+    # 5. chunking
+    return chunk_stage(survivors, id_col=id_col, source_col=source_col,
+                       text_col=text_col, chunk_tokens=chunk_tokens,
+                       chunk_overlap=chunk_overlap)
+
+
+def curation_survivors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] = ("en", "und"),
+    min_tokens: int = 20,
+    near_dup_threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Stages 1-3 of the curation pipeline — quality/language gate, exact
+    content-hash dedup (deterministic min-id keeper) and MinHash/LSH
+    near-dup removal — returning the SURVIVOR frame with every column of
+    ``docs`` intact. Extracted (r14) so mix-stage variants (static
+    sampleBy fractions in `curate_corpus`, the drift-adjusted
+    deterministic quota in plans/r14_queries) compose the identical
+    survivor derivation instead of re-stating it."""
     # 1. quality + language gate — narrow filters, pushed onto the scan
     gated = (
         docs.filter(quality_ok(text_col, min_tokens=min_tokens))
@@ -127,13 +158,18 @@ def curate_corpus(
     # full-row hash shuffle a second time.
     survivor_ids = (sets.select(F.col("doc").alias(id_col))
                     .join(drop_ids, on=id_col, how="left_anti"))
-    survivors = docs.join(survivor_ids, on=id_col, how="left_semi")
+    return docs.join(survivor_ids, on=id_col, how="left_semi")
 
-    # 4. stratified source mixing (data-mix weights)
-    if mix_fractions:
-        survivors = survivors.sampleBy(source_col, mix_fractions, seed=seed)
 
-    # 5. chunking: stride = chunk_tokens - chunk_overlap
+def chunk_stage(survivors: DataFrame,
+                id_col: str = "doc_id",
+                source_col: str = "source",
+                text_col: str = "text",
+                chunk_tokens: int = 40,
+                chunk_overlap: int = 10) -> DataFrame:
+    """Stage 5: overlapping token-window chunking, stride =
+    chunk_tokens - chunk_overlap. One explode over a generated start
+    sequence per row — per-row cost only, no shuffle."""
     stride = chunk_tokens - chunk_overlap
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     starts = F.sequence(F.lit(1),

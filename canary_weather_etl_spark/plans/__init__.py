@@ -33,6 +33,7 @@ from . import r10_queries   # noqa: E402,F401  containment / quality logit
 from . import r11_queries   # noqa: E402,F401  banded containment / postings screen
 from . import r12_queries   # noqa: E402,F401  fixed-batch admission / ivfpq sweep / strata drift
 from . import r13_queries   # noqa: E402,F401  drift-adjusted mix weights
+from . import r14_queries   # noqa: E402,F401  drift-adjusted curation composition
 
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
@@ -50,6 +51,7 @@ from . import r13_queries   # noqa: E402,F401  drift-adjusted mix weights
 _DRIVER_PRIORITY = (
     # New in r14 — driver rows at birth. (Names added here as the
     # entries land; the import-time guard below keeps this honest.)
+    "q_corpus_curation_drift",
     # r8-vintage remainder (last driver row r8; the r13 sample stopped
     # 23 entries into the r8 block, leaving exactly these 26).
     "q_hits_bipartite", "q_incremental_recompute", "q_join_inner_fact",

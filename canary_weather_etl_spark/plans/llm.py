@@ -1461,12 +1461,11 @@ def q_text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_oracle() -> str:
-    """The WHOLE five-stage curation composition in SQL: gate → exact
-    dedup (min-id keeper per md5) → portable-MinHash/LSH near-dup drop →
-    chunking — every stage reuses the fragment its standalone oracle
-    already proved (q_observe_quality_gate's gate, q_dedup_minhash_lsh's
-    signature/band/verify arithmetic, q_text_chunking's window slice)."""
+def _curation_survivors_cte() -> str:
+    """The stage-1..3 curation CTE chain, ending at `survivors` (no WITH
+    keyword, no trailing comma) — shared between q_corpus_curation's
+    oracle and the drift-adjusted mix composition (plans/r14_queries),
+    exactly as the Spark side shares pipeline.curation_survivors."""
     tok = _SQL_TOKENS.format(c="text")
     q_ok = (f"(len({tok}) >= 20 "
             f"AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) "
@@ -1475,8 +1474,7 @@ def _curation_oracle() -> str:
             f"AS DOUBLE) / length(text) <= 0.3)")
     band_case = " ".join(
         f"WHEN {b} THEN {_minhash_band_fold_sql(b)}" for b in range(8))
-    return rf"""
-    WITH gated AS (
+    return rf"""gated AS (
         SELECT doc_id, source, text FROM documents
         WHERE {q_ok} AND {_sql_lang_id()} IN ('en', 'und')
     ), exact AS (
@@ -1527,10 +1525,17 @@ def _curation_oracle() -> str:
         SELECT e.* FROM exact e
         WHERE NOT EXISTS (SELECT 1 FROM dropped d
                           WHERE d.doc_id = e.doc_id)
-    ), stoks AS (
+    )"""
+
+
+def _curation_chunk_select(src: str) -> str:
+    """The stage-5 chunk SELECT (q_text_chunking's slice arithmetic:
+    40-token windows, stride 30) over a prior CTE named ``src``.
+    Starts with a comma — appends to an open WITH chain."""
+    return rf""", stoks AS (
         SELECT doc_id, source,
                string_split_regex(lower(trim(text)), '\s+') AS t
-        FROM survivors
+        FROM {src}
     )
     SELECT doc_id, source,
            CAST((s - 1) / 30 AS INT) AS chunk_idx,
@@ -1541,6 +1546,16 @@ def _curation_oracle() -> str:
                      AS s
           FROM stoks)
     """
+
+
+def _curation_oracle() -> str:
+    """The WHOLE five-stage curation composition in SQL: gate → exact
+    dedup (min-id keeper per md5) → portable-MinHash/LSH near-dup drop →
+    chunking — every stage reuses the fragment its standalone oracle
+    already proved (q_observe_quality_gate's gate, q_dedup_minhash_lsh's
+    signature/band/verify arithmetic, q_text_chunking's window slice)."""
+    return ("WITH " + _curation_survivors_cte()
+            + _curation_chunk_select("survivors"))
 
 
 @register(
