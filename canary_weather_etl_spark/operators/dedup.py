@@ -323,6 +323,15 @@ def exact_jaccard(shingles: DataFrame, threshold: float = 0.0) -> DataFrame:
     return out.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+# Candidate-pair ceiling for the guarded broadcast in
+# verify_pairs_jaccard: below it, each side's candidate-doc list is at
+# most n_pairs distinct longs (<= ~32 MB of ids at the limit — well
+# inside executor broadcast budgets at any sane executor size); above
+# it, banding has degenerated (the lists approach |docs|) and the
+# broadcast that would OOM is skipped in favor of a shuffle semi-join.
+_BROADCAST_CANDIDATE_PAIRS = 4_000_000
+
+
 def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
                          threshold: float = 0.0) -> DataFrame:
     """Exact Jaccard for *candidate pairs only*: join each side's shingle
@@ -338,10 +347,10 @@ def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
     carries sh_a arrays — too fat to broadcast — so the planner fell
     back to shuffling all of `sets` (corpus-sized string arrays)
     against it. The candidate-doc id lists are bounded by |docs| and in
-    practice LSH-sparse (longs), so AQE converts the semi-joins to
-    runtime broadcasts and the fat shuffles that remain are
-    candidate-sized on both sides. Result-identical: inner equi-joins
-    only ever read the rows the semi-join keeps."""
+    practice LSH-sparse (longs), so the semi-joins broadcast them and
+    the fat shuffles that remain are candidate-sized on both sides.
+    Result-identical: inner equi-joins only ever read the rows the
+    semi-join keeps."""
     # pairs is consumed three times now (two candidate-doc broadcast
     # builds + the verification join); unmaterialized, each consumer
     # re-runs the banded self-join lineage upstream — measured OOM at
@@ -350,13 +359,22 @@ def verify_pairs_jaccard(sets: DataFrame, pairs: DataFrame,
     pairs = pairs.localCheckpoint(eager=True)
     adocs = pairs.select(F.col("a").alias("doc")).distinct()
     bdocs = pairs.select(F.col("b").alias("doc")).distinct()
-    # No forced F.broadcast on the candidate-doc lists (r14, ADVICE):
-    # under degenerate banding (one band hash colliding across a large
-    # fraction of a skewed/low-entropy corpus) the lists approach |docs|
-    # and a forced broadcast OOMs the driver. AQE decides at runtime —
-    # LSH-sparse lists (the contract case) convert to broadcast from
-    # the materialized shuffle stats; degenerate lists stay a shuffle
-    # semi-join, which degrades gracefully.
+    # GUARDED broadcast on the candidate-doc lists (r14). Unconditional
+    # F.broadcast OOMs under degenerate banding (one band hash colliding
+    # across a large corpus fraction pushes the lists toward |docs| —
+    # the r13 ADVICE finding); but leaving the hint off entirely plans
+    # both semi-joins as SortMergeJoin, and even when AQE converts them
+    # to broadcasts at runtime the corpus-sized shuffle WRITE of the fat
+    # `sets` frame has already been paid — measured: q_corpus_curation
+    # 1000x regressed 214 -> 264 s (outside the 1.4x same-code band)
+    # with the hint off, while the guarded shape restores the band.
+    # `pairs` is checkpointed, so the guard's count() is a cheap local
+    # scan; n_pairs bounds each side's distinct doc count, so the
+    # broadcast is <= ~8 bytes * n_pairs per side — far under executor
+    # memory at the threshold, and the degenerate case falls back to
+    # the gracefully-degrading shuffle semi-join.
+    if pairs.count() <= _BROADCAST_CANDIDATE_PAIRS:
+        adocs, bdocs = F.broadcast(adocs), F.broadcast(bdocs)
     sets_a = sets.join(adocs, "doc", "left_semi")
     sets_b = sets.join(bdocs, "doc", "left_semi")
     out = (

@@ -51,7 +51,7 @@ from . import r14_queries   # noqa: E402,F401  drift-adjusted curation compositi
 _DRIVER_PRIORITY = (
     # New in r14 — driver rows at birth. (Names added here as the
     # entries land; the import-time guard below keeps this honest.)
-    "q_corpus_curation_drift",
+    "q_corpus_curation_drift", "q_stream_mix_weights_drift",
     # r8-vintage remainder (last driver row r8; the r13 sample stopped
     # 23 entries into the r8 block, leaving exactly these 26).
     "q_hits_bipartite", "q_incremental_recompute", "q_join_inner_fact",
@@ -63,8 +63,9 @@ _DRIVER_PRIORITY = (
     "q_spearman_corr", "q_time_weighted_avg", "q_top_paths",
     "q_topk_global", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_watermark_late_audit",
-    # r9-vintage block (last driver row r9); the first 23 land in the
-    # r14 sample, the remainder queues as the r15 head.
+    # r9-vintage block (last driver row r9); the first 22 land in the
+    # r14 sample (2 r14-new + 26 r8 + 22 r9 = 50), the remainder queues
+    # as the r15 head.
     "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
     "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
     "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",

@@ -67,10 +67,25 @@ def mix_weights_drift_adjusted(d: DataFrame) -> DataFrame:
     temperature weight. All float steps are engine-portable IEEE
     (sqrt, an exact integer subtraction under 2^53, one division), the
     same discipline as the base entry."""
-    drift = (_strata_drift_from_counts(_strata_term_counts(d))
+    return mix_weights_from_counts(
+        _strata_term_counts(d),
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def mix_weights_from_counts(term_counts: DataFrame,
+                            doc_counts: DataFrame) -> DataFrame:
+    """The drift-adjusted mix tail over PRE-AGGREGATED state: takes the
+    monitor's (kind, stratum, term, c0, c1) count table and a
+    (source, n_docs) table and produces the identical weight rows as
+    `mix_weights_drift_adjusted`. Split out (r14) so the STREAMING twin
+    can feed the accumulated per-batch additive state through the same
+    arithmetic — both count families are sums of per-row contributions,
+    so a merge of disjoint batches lands on the batch entry's exact
+    inputs, and everything downstream is shared code, not a re-statement."""
+    drift = (_strata_drift_from_counts(term_counts)
              .filter(F.col("kind") == "source")
              .select(F.col("stratum").alias("source"), "tv_units"))
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = doc_counts
     damp = ((F.lit(1_000_000_000).cast("double")
              - F.col("tv_units").cast("double")) / F.lit(1e9))
     scored = (counts.join(drift, "source")

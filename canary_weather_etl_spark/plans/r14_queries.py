@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 
 from ..operators.pipeline import chunk_stage, curation_survivors
 from .llm import _curation_chunk_select, _curation_survivors_cte
-from .r13_queries import mix_weights_drift_adjusted
-from .registry import load_par, register
+from .r13_queries import _MIX_DRIFT_SQL, mix_weights_drift_adjusted, mix_weights_from_counts
+from .registry import load, load_par, register
 
 # ---------------------------------------------------------------------------
 # Drift-adjusted curation: the strata-TV consumer composed into the pipeline
@@ -172,3 +172,83 @@ def curate_corpus_drift_mix(docs: DataFrame,
 def q_corpus_curation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_par(spark, sf_dir, "documents")
     return curate_corpus_drift_mix(d, portable_hash=True)
+
+# ---------------------------------------------------------------------------
+# Streaming drift-adjusted mix: the weights re-derived from stream state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_mix_weights_drift",
+    oracle=_MIX_DRIFT_SQL,  # SHARED verbatim with the batch entry: the
+    # stream-state path must land on the identical weight rows
+    doc="STREAMING drift-adjusted mix weights — the r13 consumer as an "
+        "ingest stream (the q_stream_drift_tv_strata discipline "
+        "extended one stage downstream): each arriving document "
+        "micro-batch contributes TWO additive state tables — the "
+        "monitor's (kind, stratum, term, c0, c1) conditional counts "
+        "and a (source, n_docs) doc tally — written batch_id-keyed "
+        "(idempotent overwrite under at-least-once replays). Both are "
+        "sums of per-row contributions, so merging disjoint batches "
+        "reproduces the batch entry's exact inputs, and the shared "
+        "`mix_weights_from_counts` tail (sqrt(n)·(1−tv) scores, NULL "
+        "routing on the all-drifted degenerate) produces the SAME "
+        "weight rows — this entry shares q_mix_weights_drift_adjusted's "
+        "oracle verbatim, and row-for-row equality with the batch entry "
+        "is pytest-pinned (tests/test_r14_ops.py). At 100 TB this is "
+        "how drift-responsive mixing actually deploys: the mix table "
+        "can be re-derived at ANY stream point from accumulated state "
+        "without re-reading corpus history, per-batch cost is O(batch "
+        "tokens), per-batch state is batch-vocab-sized.",
+    tags=("llm", "curation", "sampling", "streaming"),
+)
+def q_stream_mix_weights_drift(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import drain
+    from .r12_queries import _strata_term_counts
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    # mod-3 drops: balanced at any id distribution (the r11 amplifier
+    # lesson); the split cannot affect the result — the shared oracle
+    # and the batch-equality pytest prove exactly that
+    thirds = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    base = tempfile.mkdtemp(prefix="canary_mixdrift_stream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    drops = os.path.join(base, "drops")
+    term_dir = os.path.join(base, "state_terms")
+    docs_dir = os.path.join(base, "state_docs")
+    ckpt = os.path.join(base, "ckpt")
+
+    def accumulate(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):  # an empty micro-batch contributes nothing
+            return
+        sub = f"batch_{int(batch_id):05d}"
+        (_strata_term_counts(batch)
+         .write.mode("overwrite").parquet(os.path.join(term_dir, sub)))
+        (batch.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+         .write.mode("overwrite").parquet(os.path.join(docs_dir, sub)))
+
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    for b in thirds:
+        b.repartition(4).write.mode("append").parquet(drops)
+        q = (spark.readStream.schema(schema).parquet(drops)
+             .writeStream.foreachBatch(accumulate)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        drain(q, timeout=600)
+
+    terms = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(term_dir)
+             .groupBy("kind", "stratum", "term")
+             .agg(F.sum("c0").alias("c0"), F.sum("c1").alias("c1")))
+    ndocs = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(docs_dir)
+             .groupBy("source").agg(F.sum("n_docs").alias("n_docs")))
+    return mix_weights_from_counts(terms, ndocs)

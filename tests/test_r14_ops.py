@@ -152,3 +152,101 @@ def test_banded_admission_recall_threshold_adjacent(spark):
     # wide enough for construction tweaks but pins both claims: the
     # screen works at the threshold edge AND the LSH trade is real.
     assert 0.25 <= recall < 1.0, recall
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift-adjusted mix twin
+# ---------------------------------------------------------------------------
+
+def test_stream_mix_weights_equals_batch(spark):
+    """The stream-state path must land on the batch entry's EXACT rows:
+    additive term counts + doc tallies merged across three mod-3
+    micro-batches, fed through the shared mix_weights_from_counts tail."""
+    batch = sorted(
+        tuple(r) for r in
+        REGISTRY["q_mix_weights_drift_adjusted"].fn(spark, SF_SMALL)
+        .collect())
+    stream = sorted(
+        tuple(r) for r in
+        REGISTRY["q_stream_mix_weights_drift"].fn(spark, SF_SMALL)
+        .collect())
+    assert stream == batch and len(stream) > 0
+
+
+def test_mix_weights_from_counts_replay_idempotent(spark):
+    """Re-accumulating a batch's state (the at-least-once replay case:
+    same batch_id, overwrite mode) must not change the merged counts —
+    asserted at the state layer the streaming entry actually writes."""
+    import shutil
+    import tempfile
+
+    from canary_weather_etl_spark.plans.r12_queries import (
+        _strata_term_counts,
+    )
+    from canary_weather_etl_spark.plans.r13_queries import (
+        mix_weights_from_counts,
+    )
+
+    d = load(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source")
+    thirds = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    base = tempfile.mkdtemp(prefix="canary_mixdrift_replay_")
+    try:
+        for i, b in enumerate(thirds):
+            sub = f"batch_{i:05d}"
+            for _ in range(2 if i == 1 else 1):  # batch 1 replays
+                (_strata_term_counts(b).write.mode("overwrite")
+                 .parquet(f"{base}/terms/{sub}"))
+                (b.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_docs"))
+                 .write.mode("overwrite").parquet(f"{base}/docs/{sub}"))
+        terms = (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(f"{base}/terms")
+                 .groupBy("kind", "stratum", "term")
+                 .agg(F.sum("c0").alias("c0"), F.sum("c1").alias("c1")))
+        ndocs = (spark.read.option("recursiveFileLookup", "true")
+                 .parquet(f"{base}/docs")
+                 .groupBy("source").agg(F.sum("n_docs").alias("n_docs")))
+        got = sorted(tuple(r) for r in
+                     mix_weights_from_counts(terms, ndocs).collect())
+        want = sorted(
+            tuple(r) for r in
+            REGISTRY["q_mix_weights_drift_adjusted"].fn(spark, SF_SMALL)
+            .collect())
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Guarded broadcast in verify_pairs_jaccard
+# ---------------------------------------------------------------------------
+
+def test_verify_pairs_guarded_broadcast_shape(spark, monkeypatch):
+    """The contract case (LSH-sparse candidates) must broadcast the
+    candidate-doc lists — the hint off entirely plans SortMergeJoin
+    semi-joins whose corpus-sized `sets` shuffle WRITE is paid even
+    after AQE converts (measured: curation 1000x 214 -> 264 s). The
+    degenerate case (candidates above the pair ceiling) must NOT force
+    the broadcast."""
+    from canary_weather_etl_spark.operators import dedup as D
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    sets = D.shingle_sets(docs, "doc_id", "text", 2).localCheckpoint(True)
+    sigs = D.minhash_signatures_from_sets(sets, 32, portable_hash=True)
+    cands = D.lsh_candidate_pairs(sigs, 8, 32, portable_hash=True)
+
+    out = D.verify_pairs_jaccard(sets, cands, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, \
+        "sparse candidates must broadcast both semi-join build sides"
+    baseline = sorted(tuple(r) for r in out.collect())
+
+    # degenerate guard: ceiling 0 -> every candidate set is "too big";
+    # the forced broadcast must disappear and the result must not change
+    monkeypatch.setattr(D, "_BROADCAST_CANDIDATE_PAIRS", 0)
+    out2 = D.verify_pairs_jaccard(sets, cands, threshold=0.5)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2, \
+        "above the ceiling the semi-joins must fall back to shuffle"
+    assert sorted(tuple(r) for r in out2.collect()) == baseline
