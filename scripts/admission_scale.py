@@ -58,12 +58,19 @@ def build_corpus(spark, mult: int) -> str:
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .select("doc_id", "text")
     n = base.agg(F.max("doc_id")).collect()[0][0] + 1
-    copies = [tagged(base, f"c{i}").select(
-        (F.col("doc_id") + i * n).alias("doc_id"), "text")
-        for i in range(mult)]
-    df = copies[0]
-    for c in copies[1:]:
-        df = df.unionByName(c)
+    # crossJoin with a copy-index range instead of a mult-way union
+    # chain (the bench_scale lesson, applied here for the third decade):
+    # identical rows — shift ids by i*n, prefix every token with c{i}x —
+    # but the plan stays O(1) nodes where a 1000-way unionByName makes
+    # analysis itself the bottleneck.
+    copies = spark.range(mult).select(F.col("id").alias("__copy"))
+    repl = F.concat(F.lit("c"), F.col("__copy").cast("string"),
+                    F.lit("x$1"))
+    df = (base.crossJoin(F.broadcast(copies))
+          .select((F.col("doc_id") + F.col("__copy") * F.lit(n))
+                  .alias("doc_id"),
+                  F.regexp_replace("text", F.lit(r"(\S+)"), repl)
+                  .alias("text")))
     df.write.mode("overwrite").parquet(f"{out}/docs")
     open(f"{out}/_DONE", "w").close()
     return out
