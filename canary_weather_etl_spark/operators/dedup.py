@@ -1049,15 +1049,23 @@ def admission_screen_batch_banded(batch: DataFrame, state_dir: str,
     screen; ``writeback=True`` appends admitted docs' bands/sets/hashes
     so the next batch sees them.
 
-    Sizing ``buckets`` at deployment: a batch of B docs probes ~8·B
-    band keys, so the expected untouched fraction of the band table is
-    exp(-8B/buckets) — at the fixture's buckets=64 a 200-doc batch
-    touches everything (the win is that the whole table is ~25-50x
-    smaller than shingle postings), but a real deployment raises
-    buckets into the thousands and band-bucket pruning starts engaging
-    too (1600 probe keys vs 16384 buckets reads ~9%). The same math is
-    WHY the raw postings table can't be saved this way: its probe set
-    is ~200·B shingle keys (SCALE.md r13 floor analysis)."""
+    Sizing ``buckets`` at deployment: the row-count math (a 200-doc
+    batch's ~130 candidate docs touch ~3% of 4096 sets buckets) is
+    NECESSARY but not sufficient — it counts rows, not files, and the
+    measured third decade falsifies the naive "more buckets" reading:
+    at a 5M-doc corpus, buckets=4096 is ~3x SLOWER than buckets=64 in
+    every cell of a same-session 2x2 (batch 200/2000), because ~400 KB
+    per bucket dir means thousands of parquet footer/open/listing
+    operations per screen and per-FILE overhead swamps the per-BYTE
+    pruning savings (SCALE.md r14). The binding rule is a
+    BYTES-PER-BUCKET floor: raise buckets only while each bucket still
+    holds ~100+ MB of state — true at a real 100 TB corpus (GBs per
+    bucket at buckets in the thousands, where the row-count math then
+    does engage), false at every corpus this repo can host. The same
+    file-count caveat is WHY the raw postings table can't be saved by
+    bucketing either — plus its probe set is ~200·B shingle keys, so
+    even the row-count math never engages there (SCALE.md r13 floor
+    analysis)."""
     import os
 
     sp = batch.sparkSession

@@ -103,6 +103,14 @@ def main() -> None:
     ap.add_argument("--mults", type=int, nargs="+", default=[1, 10, 100])
     ap.add_argument("--batch", type=int, default=2000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="state bucket-partition count (the banded screen's deployment-sizing knob — the sets point-fetch prunes only when buckets >> candidate docs)")
+    ap.add_argument("--seed-once", action="store_true",
+                    help="seed state once per (mult, regime) and time "
+                         "screen-only reps against it — valid for "
+                         "non-writeback screens (banded; postings gets "
+                         "writeback=False in this mode), where state is "
+                         "immutable across screens")
     ap.add_argument("--regimes", nargs="+",
                     default=["rescan", "postings"],
                     choices=["rescan", "postings", "banded"])
@@ -120,40 +128,55 @@ def main() -> None:
         verdicts = {}
         for regime in args.regimes:
             walls = []
+            shared = None
             for rep in range(args.reps):
-                # fresh per-rep dirs: each screen APPENDS admitted state
-                rdir = f"{WORK}/run_x{mult}_{regime}_{rep}"
-                shutil.rmtree(rdir, ignore_errors=True)
-                corpus_dir = f"{rdir}/corpus"
-                corpus.write.mode("overwrite").parquet(corpus_dir)
-                state_dir = None
-                seed_sec = None
-                if regime == "postings":
-                    state_dir = f"{rdir}/state"
-                    t0 = time.perf_counter()
-                    D.admission_state_init(corpus, state_dir, n=2)
-                    seed_sec = round(time.perf_counter() - t0, 2)
-                elif regime == "banded":
-                    state_dir = f"{rdir}/state"
-                    t0 = time.perf_counter()
-                    D.admission_state_init_banded(corpus, state_dir, n=2)
-                    seed_sec = round(time.perf_counter() - t0, 2)
+                if args.seed_once and shared is not None:
+                    rdir, corpus_dir, state_dir, seed_sec = shared
+                else:
+                    # fresh dirs: an appending screen mutates state
+                    rdir = f"{WORK}/run_x{mult}_{regime}_{rep}"
+                    shutil.rmtree(rdir, ignore_errors=True)
+                    corpus_dir = f"{rdir}/corpus"
+                    corpus.write.mode("overwrite").parquet(corpus_dir)
+                    state_dir = None
+                    seed_sec = None
+                    if regime == "postings":
+                        state_dir = f"{rdir}/state"
+                        t0 = time.perf_counter()
+                        D.admission_state_init(corpus, state_dir, n=2,
+                                               buckets=args.buckets)
+                        seed_sec = round(time.perf_counter() - t0, 2)
+                    elif regime == "banded":
+                        state_dir = f"{rdir}/state"
+                        t0 = time.perf_counter()
+                        D.admission_state_init_banded(
+                            corpus, state_dir, n=2, buckets=args.buckets)
+                        seed_sec = round(time.perf_counter() - t0, 2)
+                    if args.seed_once:
+                        shared = (rdir, corpus_dir, state_dir, seed_sec)
                 t0 = time.perf_counter()
                 if regime == "banded":
                     v = D.admission_screen_batch_banded(
-                        batch, state_dir, threshold=0.5, n=2)
+                        batch, state_dir, threshold=0.5, n=2,
+                        buckets=args.buckets)
                 else:
                     v = D.admission_screen_batch(
                         batch, corpus_dir, state_dir=state_dir,
-                        regime=regime, threshold=0.5, n=2)
+                        regime=regime, threshold=0.5, n=2,
+                        buckets=args.buckets,
+                        writeback=not args.seed_once)
                 counts = {r["verdict"]: r["n"] for r in
                           v.groupBy("verdict")
                           .agg(F.count(F.lit(1)).alias("n")).collect()}
                 walls.append(round(time.perf_counter() - t0, 2))
-                shutil.rmtree(rdir, ignore_errors=True)
+                if not args.seed_once:
+                    shutil.rmtree(rdir, ignore_errors=True)
+            if args.seed_once and shared is not None:
+                shutil.rmtree(shared[0], ignore_errors=True)
             verdicts[regime] = counts
             print(json.dumps({
                 "mult": mult, "regime": regime, "n_corpus": n_corpus,
+                "buckets": args.buckets,
                 "batch": batch_n, "screen_sec_best": min(walls),
                 "screen_sec_reps": walls, "seed_sec": seed_sec,
                 "verdicts": counts}), flush=True)
