@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litexpr import argmin_struct_sql, sqdist_sql
+
 UNIT_SCALE = 1_000_000
 
 
@@ -74,20 +76,21 @@ def quantize_vectors(df: DataFrame, id_col: str = "vec_id",
 
 def _dist_units(cent: list[int]):
     """Integer squared L2 distance from `qvec` to one literal centroid —
-    a zip_with/aggregate fold, fully inside whole-stage codegen."""
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
-    diff = F.zip_with(F.col("qvec"), carr, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    a zip_with/aggregate fold, fully inside whole-stage codegen. Built
+    from ONE JVM-parsed SQL string (functions.litexpr, r14): the former
+    element-wise F.lit(v).cast 'long' construction paid two py4j
+    round-trips per centroid element, which dominated driver wall on the
+    iterative callers (the tree is rebuilt every Lloyd round)."""
+    return F.expr(sqdist_sql("qvec", cent))
 
 
 def assign_clusters(qdf: DataFrame, centroids: dict[int, list[int]]) -> DataFrame:
     """(vec_id, qvec, cluster_id, dist_units): nearest centroid per point,
-    ties to the smaller cluster id. One narrow projection — no shuffle."""
-    best = F.array_min(F.array(*[
-        F.struct(_dist_units(c).alias("d"),
-                 F.lit(int(cid)).cast("int").alias("cid"))
-        for cid, c in sorted(centroids.items())
-    ]))
+    ties to the smaller cluster id. One narrow projection — no shuffle.
+    The whole k-way argmin tree parses from one SQL string (identical
+    analyzed expression to the old per-element build — pinned by
+    tests/test_litexpr.py)."""
+    best = F.expr(argmin_struct_sql("qvec", centroids))
     return (qdf.withColumn("_best", best)
             .withColumn("cluster_id", F.col("_best.cid"))
             .withColumn("dist_units", F.col("_best.d"))

@@ -22,6 +22,13 @@ import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litexpr import (
+    argmin_struct_sql,
+    case_long_array_sql,
+    double_array_sql,
+    long_array_sql,
+)
+
 
 def as_double(col: F.Column | str) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -156,7 +163,7 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     def sig(vcol: str, p: int) -> F.Column:
         if planes is not None:
-            return hyperplane_signature_planted(F.col(vcol), planes[p])
+            return hyperplane_signature_planted(vcol, planes[p])
         return hyperplane_signature(F.col(vcol), dim, bits, seed=1000 + p)
 
     def with_buckets(df: DataFrame, vcol: str, out: str) -> DataFrame:
@@ -232,21 +239,23 @@ def planted_hyperplanes(probes: int, bits: int, dim: int,
              for j in range(bits)] for p in range(probes)]
 
 
-def hyperplane_signature_planted(vec: F.Column,
+def hyperplane_signature_planted(vec_sql: str,
                                  plane_rows: list[list[float]]) -> F.Column:
     """Like `hyperplane_signature`, but the hyperplanes are explicit ±1
     literal arrays (from `planted_hyperplanes`) instead of xxhash64-derived —
     the signature becomes engine-portable: any SQL engine given the same
     literals computes the same buckets, so LSH candidate generation itself
-    can be differentially tested (r9 verdict #4)."""
-    sig = F.lit(0)
+    can be differentially tested (r9 verdict #4). Takes the vector
+    column's SQL text and parses the whole bits·dim literal tree from ONE
+    string (functions.litexpr, r14): the element-wise build paid two py4j
+    round-trips per plane coordinate — probes·bits·dim of them per query
+    construction."""
+    terms = ["0"]
     for j, row in enumerate(plane_rows):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in row]),
-                       lambda x, r: x * r),
-            F.lit(0.0), lambda acc, v: acc + v)
-        sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sig
+        proj = (f"aggregate(zip_with({vec_sql}, {double_array_sql(row)}, "
+                f"(x, r) -> x * r), 0.0D, (acc, v) -> acc + v)")
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
+    return F.expr(" + ".join(terms))
 
 
 def cosine_near_dup_pairs_planted(embeddings: DataFrame,
@@ -271,7 +280,7 @@ def cosine_near_dup_pairs_planted(embeddings: DataFrame,
     bucketed = base.select(
         "*",
         F.posexplode(F.array(*[
-            hyperplane_signature_planted(F.col("v"), plane_rows)
+            hyperplane_signature_planted("v", plane_rows)
             for plane_rows in planes
         ])).alias("probe", "bucket"),
     )
@@ -805,7 +814,7 @@ def pq_train_codebooks(qdf: DataFrame, m: int = 2, k: int = 4,
                              f"got {sorted(books[s])} in subspace {s}")
 
     for _ in range(iterations):
-        cid = _sub_argmin_switched(F.col("sub"), F.col("s"), books)
+        cid = _sub_argmin_switched("sub", "s", books)
         # the assignment fold lives in its OWN Project: co-locating it
         # with the posexplode generator trips Catalyst's generator
         # rewrite, which strips the alias-derived struct field names
@@ -836,31 +845,31 @@ def pq_train_codebooks(qdf: DataFrame, m: int = 2, k: int = 4,
     return books
 
 
-def _sub_argmin_switched(sub_vec: F.Column, s_col: F.Column,
+def _sub_argmin_switched(vec_sql: str, key_sql: str,
                          books: dict[int, dict[int, list[int]]]) -> F.Column:
     """_sub_argmin with the centroid set selected by the subspace column:
     a when-chain over literal per-subspace folds — still pure codegen,
-    each row evaluates only its branch."""
-    expr = None
-    for s in sorted(books):
-        branch = _sub_argmin(sub_vec, books[s])
-        expr = (F.when(s_col == s, branch) if expr is None
-                else expr.when(s_col == s, branch))
-    return expr
+    each row evaluates only its branch. Takes SQL text for the subvector
+    and subspace-key columns: the whole chain parses from ONE string
+    (functions.litexpr, r14 — the element-wise py4j build dominated
+    driver wall at m·k·sublen literals per training round)."""
+    whens = " ".join(
+        f"WHEN {key_sql} = {int(s)} THEN {_sub_argmin_sql(vec_sql, books[s])}"
+        for s in sorted(books))
+    return F.expr(f"CASE {whens} END")
 
 
-def _sub_argmin(sub_vec: F.Column, cents: dict[int, list[int]]) -> F.Column:
-    """Nearest-centroid code for one subvector against literal centroids:
-    integer squared L2, ties to the smaller code. Pure codegen fold."""
-    cands = []
-    for cid, c in sorted(cents.items()):
-        carr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        d = F.aggregate(
-            F.zip_with(sub_vec, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        cands.append(F.struct(d.alias("d"),
-                              F.lit(int(cid)).cast("int").alias("cid")))
-    return F.array_min(F.array(*cands))["cid"]
+def _sub_argmin_sql(vec_sql: str, cents: dict[int, list[int]]) -> str:
+    """SQL text of the nearest-centroid code for one subvector against
+    literal centroids: integer squared L2, ties to the smaller code.
+    Pure codegen fold, identical analyzed expression to the former
+    element-wise F.lit build (tests/test_litexpr.py)."""
+    return f"({argmin_struct_sql(vec_sql, cents)}).cid"
+
+
+def _sub_argmin(vec_sql: str, cents: dict[int, list[int]]) -> F.Column:
+    """Column form of `_sub_argmin_sql` — one JVM parse."""
+    return F.expr(_sub_argmin_sql(vec_sql, cents))
 
 
 def pq_encode(qdf: DataFrame,
@@ -872,7 +881,7 @@ def pq_encode(qdf: DataFrame,
     dims = m * len(next(iter(books[0].values())))
     sublen = dims // m
     cols = [
-        _sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+        _sub_argmin(f"slice(qvec, {s * sublen + 1}, {sublen})", books[s])
         .alias(f"code_{s}")
         for s in range(m)
     ]
@@ -890,14 +899,14 @@ def pq_adc_topk(codes: DataFrame, query_qvec: list[int],
     (rank, vec_id, adc_units), ties broken by vec_id."""
     m = len(books)
     sublen = len(query_qvec) // m
-    adc = F.lit(0).cast("long")
+    terms = ["0L"]
     for s in range(m):
         qs = query_qvec[s * sublen:(s + 1) * sublen]
         dt = []
         for cid, c in sorted(books[s].items()):
             dt.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
-        dtab = F.array(*[F.lit(int(d)).cast("long") for d in dt])
-        adc = adc + F.element_at(dtab, F.col(f"code_{s}") + 1)
+        terms.append(f"element_at({long_array_sql(dt)}, code_{s} + 1)")
+    adc = F.expr(" + ".join(terms))
     from pyspark.sql import Window
     scored = codes.select("vec_id", adc.alias("adc_units"))
     # sort+limit → TakeOrderedAndProject (per-partition heaps + k-row
@@ -921,14 +930,10 @@ def _residuals_from_quantized(qdf, cents: dict[int, list[int]]):
     from .clustering import assign_clusters
 
     asg = assign_clusters(qdf, cents)
-    cexpr = None
-    for cid, c in sorted(cents.items()):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        cexpr = (F.when(F.col("cluster_id") == cid, arr) if cexpr is None
-                 else cexpr.when(F.col("cluster_id") == cid, arr))
+    case = case_long_array_sql("cluster_id", cents)
     return asg.select(
         "vec_id", F.col("cluster_id").alias("list_id"),
-        F.zip_with("qvec", cexpr, lambda x, y: x - y).alias("qvec"))
+        F.expr(f"zip_with(qvec, {case}, (x, y) -> x - y)").alias("qvec"))
 
 
 def _probe_lists(q0: list[int], cents: dict[int, list[int]],
@@ -953,20 +958,19 @@ def _adc_expr(q0: list[int], cents: dict[int, list[int]],
     m = len(books)
     dims = len(next(iter(cents.values())))
     sublen = dims // m
-    adc = None
+    whens = []
     for lid in probed:
         r0 = [a - b for a, b in zip(q0, cents[lid])]
-        terms = None
+        terms = []
         for s in range(m):
             rs = r0[s * sublen:(s + 1) * sublen]
             tab = [sum((a - b) * (a - b) for a, b in zip(rs, c))
                    for _, c in sorted(books[s].items())]
-            tarr = F.array(*[F.lit(int(d)).cast("long") for d in tab])
-            t = F.element_at(tarr, F.col(f"code_{s}") + 1)
-            terms = t if terms is None else terms + t
-        adc = (F.when(F.col("list_id") == lid, terms) if adc is None
-               else adc.when(F.col("list_id") == lid, terms))
-    return adc
+            terms.append(
+                f"element_at({long_array_sql(tab)}, code_{s} + 1)")
+        whens.append(f"WHEN list_id = {int(lid)} "
+                     f"THEN {' + '.join(terms)}")
+    return F.expr("CASE " + " ".join(whens) + " END")
 
 
 def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
@@ -1034,7 +1038,7 @@ def topk_ivfpq_fixed(embeddings: DataFrame, query_vec_id: int = 0,
                                iterations=pq_iterations)
     codes = rdf.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", "list_id",
-        *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+        *[_sub_argmin(f"slice(qvec, {s * sublen + 1}, {sublen})", books[s])
           .alias(f"code_{s}") for s in range(m)])
 
     # query side: probe lists + per-(list, subspace) distance tables —
@@ -1091,7 +1095,7 @@ def topk_ivfpq_multi(embeddings: DataFrame, query_ids: list[int],
                                iterations=pq_iterations)
     codes = rdf.select(
         "vec_id", "list_id",
-        *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+        *[_sub_argmin(f"slice(qvec, {s * sublen + 1}, {sublen})", books[s])
           .alias(f"code_{s}") for s in range(m)])
 
     qrows = {int(r["vec_id"]): [int(v) for v in r["qvec"]]
@@ -1149,7 +1153,7 @@ def ivfpq_encode_frozen(vectors: DataFrame,
     r = _residuals_from_quantized(qdf, cents)
     return r.select(
         "vec_id", "list_id",
-        *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen), books[s])
+        *[_sub_argmin(f"slice(qvec, {s * sublen + 1}, {sublen})", books[s])
           .alias(f"code_{s}") for s in range(m)])
 
 
@@ -1273,7 +1277,7 @@ def ivfpq_sweep(embeddings: DataFrame, query_ids: list[int],
                                            iterations=pq_iterations)
             codes = rdf.select(
                 "vec_id", "list_id",
-                *[_sub_argmin(F.slice("qvec", s * sublen + 1, sublen),
+                *[_sub_argmin(f"slice(qvec, {s * sublen + 1}, {sublen})",
                               books[s]).alias(f"code_{s}")
                   for s in range(m)])
             if uses[(m, pq_k)] > 1:

@@ -48,6 +48,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litexpr import long_array
+
 # 1e3 coordinate units (not clustering.UNIT_SCALE's 1e6): Gram entries
 # are sums of coordinate PRODUCTS, so unit scale enters squared —
 # 1e3 keeps per-row products ≤ ~1e7 and the d-term fold of
@@ -174,7 +176,7 @@ def pca_power_projection(embeddings: DataFrame, id_col: str = "vec_id",
                   .cast("long").alias("mu"))
              .collect())  # d bounded rows
     mu = {int(r["ord"]): int(r["mu"]) for r in mrows}
-    mu_arr = F.array(*[F.lit(mu[i]).cast("long") for i in range(dims)])
+    mu_arr = long_array(mu[i] for i in range(dims))
 
     centered = qdf.select(
         "vec_id",
@@ -193,7 +195,7 @@ def pca_power_projection(embeddings: DataFrame, id_col: str = "vec_id",
     gram = gram_matrix(centered, dims)
     v = power_iterate(gram, iterations=iterations)
 
-    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    v_arr = long_array(v)
     return centered.select(
         "vec_id",
         F.aggregate(F.zip_with("cvec", v_arr, lambda c, w: c * w),
@@ -265,8 +267,8 @@ def project_on_direction(vectors: DataFrame, mu: list[int], v: list[int],
     center against literal means, fold against the literal direction.
     One narrow codegen pass."""
     qdf = _quantize(vectors, id_col, vec_col)
-    mu_arr = F.array(*[F.lit(int(x)).cast("long") for x in mu])
-    v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    mu_arr = long_array(mu)
+    v_arr = long_array(v)
     cvec = F.zip_with("qvec", mu_arr, lambda x, y: x - y)
     return qdf.select(
         "vec_id",
@@ -324,7 +326,7 @@ def pca_top2_projection(embeddings: DataFrame, id_col: str = "vec_id",
                   .cast("long").alias("mu"))
              .collect())
     mu = {int(r["ord"]): int(r["mu"]) for r in mrows}
-    mu_arr = F.array(*[F.lit(mu[i]).cast("long") for i in range(dims)])
+    mu_arr = long_array(mu[i] for i in range(dims))
     centered = qdf.select(
         "vec_id",
         F.zip_with("qvec", mu_arr, lambda x, y: x - y).alias("cvec"))
@@ -338,8 +340,8 @@ def pca_top2_projection(embeddings: DataFrame, id_col: str = "vec_id",
     v1 = power_iterate(gram, iterations=iterations)
     v2 = power_iterate(deflate_gram(gram, v1), iterations=iterations)
 
-    v1_arr = F.array(*[F.lit(int(x)).cast("long") for x in v1])
-    v2_arr = F.array(*[F.lit(int(x)).cast("long") for x in v2])
+    v1_arr = long_array(v1)
+    v2_arr = long_array(v2)
 
     def fold(arr) -> F.Column:
         return F.aggregate(F.zip_with("cvec", arr, lambda c, w: c * w),

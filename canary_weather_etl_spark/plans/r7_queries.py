@@ -1219,9 +1219,8 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = qdf.filter(F.col("vec_id") == 0).collect()[0]["qvec"]
 
     def dot_to(vec):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-        return F.aggregate(F.zip_with("qvec", arr, lambda x, y: x * y),
-                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+        from ..functions.litexpr import dot_sql
+        return F.expr(dot_sql("qvec", vec))
 
     pool = (qdf.filter(F.col("vec_id") != 0)
             .withColumn("rel", dot_to(q0))
