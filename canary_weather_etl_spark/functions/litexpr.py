@@ -69,6 +69,54 @@ def argmin_struct_sql(vec_sql: str, cents: dict[int, list[int]]) -> str:
     return f"array_min(array({entries}))"
 
 
+def num_array_sql(vals: Iterable[int]) -> str:
+    """SQL text of an integer array literal matching F.array(*[F.lit(v)])
+    py4j semantics: values inside int32 render as INT literals, larger as
+    BIGINT (`L`) — a mixed array coerces to ARRAY<BIGINT> exactly like
+    the old element-wise build's java Integer/Long auto-promotion."""
+    def one(v: int) -> str:
+        v = int(v)
+        return str(v) if -2**31 <= v < 2**31 else f"{v}L"
+    return "array(" + ",".join(one(v) for v in vals) + ")"
+
+
+_STR_ESC = {"\\": "\\\\", "'": "\\'", "\n": "\\n", "\r": "\\r",
+            "\t": "\\t", "\0": "\\0"}
+
+
+def string_literal_sql(s: str) -> str:
+    """SQL text of one STRING literal, value-exact under the default
+    parser (escapedStringLiterals=false: backslash escapes are live, so
+    backslash/quote/control characters must be escaped)."""
+    return "'" + "".join(_STR_ESC.get(ch, ch) for ch in s) + "'"
+
+
+def _num_literal_sql(v: int) -> str:
+    v = int(v)
+    return str(v) if -2**31 <= v < 2**31 else f"{v}L"
+
+
+def int_map_sql(d: dict[int, int]) -> str:
+    """SQL text of an integer-keyed map literal over sorted(d.items()),
+    with F.lit-matching INT/BIGINT promotion per entry."""
+    entries = ",".join(f"{_num_literal_sql(k)},{_num_literal_sql(v)}"
+                       for k, v in sorted(d.items()))
+    return f"map({entries})"
+
+
+def string_array_sql(vals: Iterable[str]) -> str:
+    """SQL text of an ARRAY<STRING> literal."""
+    return "array(" + ",".join(string_literal_sql(v) for v in vals) + ")"
+
+
+def string_int_map_sql(d: dict[str, int]) -> str:
+    """SQL text of a MAP<STRING, INT> literal over sorted(d.items()) —
+    the create_map(*[F.lit(x) ...]) shape as one parsed string."""
+    entries = ",".join(f"{string_literal_sql(k)},{int(v)}"
+                       for k, v in sorted(d.items()))
+    return f"map({entries})"
+
+
 def double_literal_sql(v: float) -> str:
     """SQL text of one DOUBLE literal, value-exact: repr() is the shortest
     round-trip decimal, and both the D-suffix literal and the

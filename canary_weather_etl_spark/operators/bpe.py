@@ -33,6 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litexpr import (
+    string_array_sql,
+    string_int_map_sql,
+    string_literal_sql,
+)
+
 # end-of-word marker, appended as a distinct final symbol so merges can
 # learn suffixes ("ing</w>") without crossing word boundaries
 EOW = "</w>"
@@ -76,22 +82,29 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
             .agg(F.sum("n").alias("pair_n")))
 
 
+def _merge_fold_sql(prev_sql: str, left: str, right: str) -> str:
+    """SQL text of one BPE merge fold: greedy left-to-right
+    non-overlapping rewrite of the (left, right) adjacency into the
+    merged symbol over the symbol array given by ``prev_sql``. One
+    JVM-parsed string per merge (functions.litexpr, r14) — the former
+    per-merge Python-lambda fold construction paid a dozen py4j
+    round-trips per merge per caller; the analyzed expression is
+    identical (pinned by tests/test_litexpr.py)."""
+    lft, rgt = string_literal_sql(left), string_literal_sql(right)
+    mrg = string_literal_sql(left + right)
+    return (f"aggregate({prev_sql}, cast(array() as array<string>), "
+            f"(acc, x) -> CASE WHEN size(acc) > 0 "
+            f"AND element_at(acc, -1) = {lft} AND x = {rgt} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array({mrg})) "
+            f"ELSE concat(acc, array(x)) END)")
+
+
 def _merge_pair(vocab: DataFrame, left: str, right: str) -> DataFrame:
     """Rewrite every non-overlapping left-to-right (left, right) adjacency
     into the merged symbol, with a pure JVM array fold (greedy left scan —
     the BPE application rule)."""
-    merged = F.concat(F.lit(left), F.lit(right))
-    new_syms = F.aggregate(
-        F.col("syms"),
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
-    return vocab.withColumn("syms", new_syms)
+    return vocab.withColumn("syms",
+                            F.expr(_merge_fold_sql("syms", left, right)))
 
 
 def bpe_train(docs: DataFrame, text_col: str = "text",
@@ -125,23 +138,6 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
               "pair_n BIGINT")
 
 
-def _merge_step(left: str, right: str):
-    """Fold step for one BPE merge: greedy left-to-right non-overlapping
-    rewrite of the (left, right) adjacency into the merged symbol. A
-    closure factory — PySpark introspects the lambda's arity, so the merge
-    pair must be captured, not passed as default args."""
-    _l, _r, _m = F.lit(left), F.lit(right), F.lit(left + right)
-
-    def step(acc, x):
-        return (
-            F.when((F.size(acc) > 0) & (F.element_at(acc, -1) == _l)
-                   & (x == _r),
-                   F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                            F.array(_m)))
-            .otherwise(F.concat(acc, F.array(x))))
-    return step
-
-
 def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
                    id_col: str = "doc_id", text_col: str = "text",
                    out_col: str = "n_bpe",
@@ -168,18 +164,18 @@ def bpe_encode_len(docs: DataFrame, merges: list[tuple[str, str]],
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("word")).filter(F.col("word") != "")
-    col = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    col_sql = f"concat(split(word, ''), array({string_literal_sql(EOW)}))"
     cur = words
     for i, (left, right) in enumerate(merges):
-        col = F.aggregate(col, F.array().cast("array<string>"),
-                          _merge_step(left, right))
+        col_sql = _merge_fold_sql(col_sql, left, right)
         if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
             # cut the expression tree: materialize the partially-merged
             # symbol arrays, then keep folding from the stored column
-            cur = (cur.select(id_col, col.alias("__syms"))
+            cur = (cur.select(id_col, F.expr(col_sql).alias("__syms"))
                    .localCheckpoint(eager=True))
-            col = F.col("__syms")
-    counts = (cur.select(id_col, F.size(col).alias("__w_toks"))
+            col_sql = "__syms"
+    counts = (cur.select(id_col,
+                         F.expr(f"size({col_sql})").alias("__w_toks"))
               .groupBy(id_col)
               .agg(F.sum("__w_toks").cast("bigint").alias(out_col)))
     # left-join back so empty/whitespace-only docs report 0, not absence —
@@ -214,22 +210,21 @@ def bpe_encode_ids(docs: DataFrame, merges: list[tuple[str, str]],
         F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         .alias("pos", "word")).filter(F.col("word") != "")
     wv = words.select("word").distinct()
-    col = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    col_sql = f"concat(split(word, ''), array({string_literal_sql(EOW)}))"
     cur = wv
     for i, (left, right) in enumerate(merges):
-        col = F.aggregate(col, F.array().cast("array<string>"),
-                          _merge_step(left, right))
+        col_sql = _merge_fold_sql(col_sql, left, right)
         if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
-            cur = (cur.select("word", col.alias("__syms"))
+            cur = (cur.select("word", F.expr(col_sql).alias("__syms"))
                    .localCheckpoint(eager=True))
-            col = F.col("__syms")
-    id_map = F.create_map(
-        *[F.lit(x) for sym, tid in sorted(vocab.items()) for x in (sym, tid)])
+            col_sql = "__syms"
+    # vocab lookup as ONE parsed map literal (the create_map build paid
+    # two py4j round-trips per vocab entry)
     encoded = cur.select(
         "word",
-        F.transform(col, lambda s: F.coalesce(
-            F.try_element_at(id_map, s), F.lit(-1)).cast("bigint"))
-        .alias("__ids"))
+        F.expr(f"transform({col_sql}, s -> cast(coalesce("
+               f"try_element_at({string_int_map_sql(vocab)}, s), -1) "
+               f"as bigint))").alias("__ids"))
     per_doc = (
         words.join(F.broadcast(encoded), "word")
         .groupBy(id_col)
@@ -273,7 +268,7 @@ def bpe_decode_expr(vocab: dict[str, int], ids_col: str = "token_ids",
             f"bpe_decode_expr requires dense token ids 0..{len(vocab) - 1} "
             f"with no duplicates; got {len(inv)} distinct ids over "
             f"{len(vocab)} symbols (first gaps/extras: {bad})")
-    sym_arr = F.array(*[F.lit(inv[i]) for i in range(len(inv))])
+    sym_arr = F.expr(string_array_sql(inv[i] for i in range(len(inv))))
     n = len(inv)
     return F.array_join(
         F.filter(

@@ -100,6 +100,13 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
     ).withColumn("sz", F.size("sh"))
 
 
+def _sig_array_sql(num_hashes: int) -> str:
+    """SQL text assembling the h0..h{n-1} permutation mins into the
+    signature array — one parsed string instead of num_hashes py4j
+    column conversions."""
+    return "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     """(doc, minhash array[num_hashes]) via seeded xxhash64: permutation i is
     xxhash64(shingle, i); signature_i = min over the doc's shingles. One
@@ -107,11 +114,11 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
 
     Prefer `minhash_signatures_from_sets` when a shingle-set frame already
     exists: it computes the same signature with zero shuffles."""
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+    aggs = [F.expr(f"min(xxhash64(shingle, {i}))").alias(f"h{i}")
             for i in range(num_hashes)]
     sigs = shingles.groupBy("doc").agg(*aggs)
-    return sigs.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)])
-                       .alias("signature"))
+    return sigs.select("doc",
+                       F.expr(_sig_array_sql(num_hashes)).alias("signature"))
 
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
@@ -195,12 +202,14 @@ def _portable_minhash_agg_signatures(sets: DataFrame,
     h = F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("long")
     exploded = (sets.select("doc", F.explode("sh").alias("g"))
                 .select("doc", h.alias("h")))
-    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))
+    # each permutation MIN parses from one SQL string (functions.litexpr
+    # discipline, r14): the element-wise F.lit arithmetic paid ~6 py4j
+    # round-trips per permutation per construction
+    aggs = [F.expr(f"min(({a}L * h + {b}L) % {MINHASH_P}L)")
             .alias(f"h{i}") for i, (a, b) in enumerate(ab)]
     sigs = exploded.groupBy("doc").agg(*aggs)
     return sigs.select(
-        "doc",
-        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+        "doc", F.expr(_sig_array_sql(num_hashes)).alias("signature"))
 
 
 def minhash_signatures_from_sets(sets: DataFrame,
@@ -236,12 +245,11 @@ def minhash_signatures_from_sets(sets: DataFrame,
     if portable_hash:
         return _portable_minhash_agg_signatures(sets, num_hashes)
     exploded = sets.select("doc", F.explode("sh").alias("g"))
-    aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
+    aggs = [F.expr(f"min(xxhash64(g, {i}))").alias(f"h{i}")
             for i in range(num_hashes)]
     sigs = exploded.groupBy("doc").agg(*aggs)
     return sigs.select(
-        "doc",
-        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+        "doc", F.expr(_sig_array_sql(num_hashes)).alias("signature"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
@@ -272,14 +280,15 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
         # this self-join's banding bit-for-bit
         banded = portable_band_table(sigs, bands, num_hashes)
     else:
-        def band_key(b):
-            return F.xxhash64(
-                *[F.col("signature")[b * rows + j] for j in range(rows)],
-                F.lit(b))
+        def band_key_sql(b: int) -> str:
+            args = ",".join(f"signature[{b * rows + j}]"
+                            for j in range(rows))
+            return f"xxhash64({args}, {b})"
         banded = sigs.select(
             "doc",
-            F.posexplode(F.array(*[band_key(b) for b in range(bands)]))
-            .alias("band", "band_hash"),
+            F.expr("posexplode(array("
+                   + ",".join(band_key_sql(b) for b in range(bands))
+                   + "))").alias("band", "band_hash"),
         )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -962,17 +971,20 @@ def portable_band_table(sigs: DataFrame, bands: int = 8,
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
 
-    def band_key(b: int) -> F.Column:
-        bv = F.lit(b).cast("long")
+    def band_key_sql(b: int) -> str:
+        # explicit parens per fold step: SQL's % binds tighter than +,
+        # so the textual form must force ((bv * m + sig[i]) % P)
+        bv = f"{b}L"
         for j in range(rows):
-            bv = (bv * F.lit(1_000_003)
-                  + F.col("signature")[b * rows + j]) % F.lit(MINHASH_P)
+            bv = (f"((({bv}) * 1000003 + signature[{b * rows + j}]) "
+                  f"% {MINHASH_P})")
         return bv
 
     return sigs.select(
         "doc",
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)]))
-        .alias("band", "band_hash"))
+        F.expr("posexplode(array("
+               + ",".join(band_key_sql(b) for b in range(bands))
+               + "))").alias("band", "band_hash"))
 
 
 def admission_state_init_banded(corpus: DataFrame, state_dir: str,

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litexpr import int_map_sql
+
 
 def global_rank(df: DataFrame, order: list[Column],
                 n_partitions: int | None = None,
@@ -58,9 +60,7 @@ def global_rank(df: DataFrame, order: list[Column],
         offsets[pid] = acc
         acc += counts[pid]
     offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
-                       for x in kv]),
-        F.col("__pid"))
+        F.expr(int_map_sql(offsets)), F.col("__pid"))
 
     w = Window.partitionBy("__pid").orderBy(*order)
     return (ranged
@@ -101,9 +101,7 @@ def global_cumsum(df: DataFrame, order: list[Column], value: str,
         offsets[pid] = acc
         acc += sums[pid]
     offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
-                       for x in kv]),
-        F.col("__pid"))
+        F.expr(int_map_sql(offsets)), F.col("__pid"))
 
     w = (Window.partitionBy("__pid").orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

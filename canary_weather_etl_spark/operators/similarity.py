@@ -103,30 +103,26 @@ def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def hyperplane_signature(vec: F.Column, dim: int, bits: int = 16,
+def hyperplane_signature(vec_sql: str, dim: int, bits: int = 16,
                          seed: int = 42) -> F.Column:
     """Random-hyperplane LSH signature: bit j = sign(⟨v, r_j⟩) where r_j is a
     deterministic pseudo-random ±1 hyperplane derived from xxhash64(j, i,
     seed). Cosine-similar vectors agree on most bits. Built-in-only: the
     hyperplanes are generated *inside the expression*, no driver-side
-    randomness, no UDF, fully distributed."""
-    def bit(j: int) -> F.Column:
+    randomness, no UDF, fully distributed. Takes the vector column's SQL
+    text and parses the whole bits-term tree from ONE string
+    (functions.litexpr discipline, r14 — the per-bit Python-lambda build
+    paid ~15 py4j round-trips per bit per probe)."""
+    def bit_sql(j: int) -> str:
         # ⟨v, r_j⟩ with r_j[i] = ±1 from the parity of a hash of (i, j, seed)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda i: F.when(
-                                F.xxhash64(i, F.lit(j), F.lit(seed)) % 2 == 0,
-                                F.lit(1.0)).otherwise(F.lit(-1.0))),
-                lambda x, r: x * r),
-            F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        proj = (f"aggregate(zip_with({vec_sql}, "
+                f"transform(sequence(0, {dim - 1}), "
+                f"i -> CASE WHEN xxhash64(i, {j}, {seed}) % 2 = 0 "
+                f"THEN 1.0D ELSE -1.0D END), (x, r) -> x * r), "
+                f"0.0D, (acc, v) -> acc + v)")
+        return f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END"
 
-    sig = bit(0)
-    for j in range(1, bits):
-        sig = sig + bit(j)
-    return sig
+    return F.expr(" + ".join(bit_sql(j) for j in range(bits)))
 
 
 def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -164,7 +160,7 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     def sig(vcol: str, p: int) -> F.Column:
         if planes is not None:
             return hyperplane_signature_planted(vcol, planes[p])
-        return hyperplane_signature(F.col(vcol), dim, bits, seed=1000 + p)
+        return hyperplane_signature(vcol, dim, bits, seed=1000 + p)
 
     def with_buckets(df: DataFrame, vcol: str, out: str) -> DataFrame:
         return df.select(
@@ -205,7 +201,7 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     bucketed = base.select(
         "*",
         F.posexplode(F.array(*[
-            hyperplane_signature(F.col("v"), dim, bits, seed=2000 + p)
+            hyperplane_signature("v", dim, bits, seed=2000 + p)
             for p in range(probes)
         ])).alias("probe", "bucket"),
     )

@@ -1645,7 +1645,10 @@ def q_perceptron_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = [0] * dims
     out_rows = []
     for rnd in range(1, 4):
-        w_lit = F.array(*[F.lit(int(x)) for x in w])
+        # num_array_sql mirrors the old F.lit auto-promotion (INT inside
+        # int32, BIGINT beyond) — one JVM parse instead of dims py4j calls
+        from ..functions.litexpr import num_array_sql
+        w_lit = F.expr(num_array_sql(w))
         margins = (q.groupBy("vec_id", "y")
                    .agg(F.sum(F.col("qx")
                               * F.element_at(w_lit, F.col("ord") + 1))

@@ -81,3 +81,172 @@ def test_long_array_types_and_values(spark):
     df = spark.range(1).select(X.long_array([1, -2, 3]).alias("a"))
     assert df.schema["a"].dataType.simpleString() == "array<bigint>"
     assert df.collect()[0]["a"] == [1, -2, 3]
+
+
+NASTY = ["", "a", "</w>", "it's", 'quote"d', "back\\slash", "tab\there",
+         "new\nline", "cr\rhere", "nul\0byte", "uni½çode é一",
+         "%s {brace} $dollar", "two''quotes", "\\' mix\\n", "🙂emoji"]
+
+
+def test_string_literal_sql_matches_lit(spark):
+    old = spark.range(1).select(
+        *[F.lit(s).alias(f"c{i}") for i, s in enumerate(NASTY)])
+    new = spark.range(1).select(
+        *[F.expr(X.string_literal_sql(s)).alias(f"c{i}")
+          for i, s in enumerate(NASTY)])
+    assert old.schema == new.schema
+    assert old.collect() == new.collect()
+
+
+def test_string_array_and_map_match_elementwise(spark):
+    old_arr = spark.range(1).select(
+        F.array(*[F.lit(s) for s in NASTY]).alias("a"))
+    new_arr = spark.range(1).select(
+        F.expr(X.string_array_sql(NASTY)).alias("a"))
+    assert old_arr.collect() == new_arr.collect()
+
+    d = {s: i for i, s in enumerate(NASTY) if s}
+    old_map = spark.range(1).select(F.create_map(
+        *[F.lit(x) for k, v in sorted(d.items()) for x in (k, v)])
+        .alias("m"))
+    new_map = spark.range(1).select(
+        F.expr(X.string_int_map_sql(d)).alias("m"))
+    assert old_map.schema == new_map.schema
+    assert old_map.collect() == new_map.collect()
+
+
+def test_num_array_sql_matches_lit_promotion(spark):
+    small = [0, -1, 2**31 - 1, -2**31]
+    big = [0, 2**31, -2**35]
+    for vals in (small, big):
+        old = spark.range(1).select(
+            F.array(*[F.lit(int(v)) for v in vals]).alias("a"))
+        new = spark.range(1).select(F.expr(X.num_array_sql(vals)).alias("a"))
+        assert old.schema == new.schema, vals
+        assert old.collect() == new.collect()
+
+
+def test_merge_fold_sql_matches_lambda_shape(spark):
+    from canary_weather_etl_spark.operators.bpe import _merge_fold_sql
+    rows = [("abab",), ("aabb",), ("bbbb",), ("a'b\\c",), ("",)]
+    df = spark.createDataFrame(rows, "word STRING").select(
+        "word",
+        F.concat(F.split("word", ""), F.array(F.lit("</w>"))).alias("syms"))
+    for left, right in [("a", "b"), ("b", "b"), ("'", "\\")]:
+        _l, _r, _m = F.lit(left), F.lit(right), F.lit(left + right)
+        old = df.select(F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == _l)
+                & (x == _r),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(_m)))
+            .otherwise(F.concat(acc, F.array(x)))).alias("s"))
+        new = df.select(
+            F.expr(_merge_fold_sql("syms", left, right)).alias("s"))
+        assert old.schema == new.schema
+        assert old.collect() == new.collect(), (left, right)
+
+
+def test_minhash_shapes_match_elementwise(spark):
+    """The r14 SQL-string rewrites of the MinHash signature aggregates
+    and band keys must equal the element-wise shapes they replaced."""
+    from canary_weather_etl_spark.operators import dedup as D
+
+    rows = [(i, f"alpha beta gamma delta epsilon {i % 7} {i % 3} zeta")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sets = D.shingle_sets(df, "doc_id", "text", n=2)
+
+    for portable in (False, True):
+        new = D.minhash_signatures_from_sets(sets, 32, portable)
+        if portable:
+            ab = D.minhash_perm_constants(32)
+            h = F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10) \
+                 .cast("long")
+            exploded = (sets.select("doc", F.explode("sh").alias("g"))
+                        .select("doc", h.alias("h")))
+            aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b))
+                          % F.lit(D.MINHASH_P)).alias(f"h{i}")
+                    for i, (a, b) in enumerate(ab)]
+        else:
+            exploded = sets.select("doc", F.explode("sh").alias("g"))
+            aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
+                    for i in range(32)]
+        old = (exploded.groupBy("doc").agg(*aggs)
+               .select("doc", F.array(*[f"h{i}" for i in range(32)])
+                       .alias("signature")))
+        assert old.schema == new.schema, portable
+        assert (sorted(map(tuple, old.collect()))
+                == sorted(map(tuple, new.collect()))), portable
+
+        # band keys, both bases
+        sigs = new
+        if portable:
+            def band_key(b):
+                bv = F.lit(b).cast("long")
+                for j in range(4):
+                    bv = (bv * F.lit(1_000_003)
+                          + F.col("signature")[b * 4 + j]) \
+                        % F.lit(D.MINHASH_P)
+                return bv
+            old_b = sigs.select("doc", F.posexplode(F.array(
+                *[band_key(b) for b in range(8)]))
+                .alias("band", "band_hash"))
+            new_b = D.portable_band_table(sigs, 8, 32)
+        else:
+            def band_key(b):
+                return F.xxhash64(
+                    *[F.col("signature")[b * 4 + j] for j in range(4)],
+                    F.lit(b))
+            old_b = sigs.select("doc", F.posexplode(F.array(
+                *[band_key(b) for b in range(8)]))
+                .alias("band", "band_hash"))
+            new_b = sigs.select("doc", F.expr(
+                "posexplode(array(" + ",".join(
+                    "xxhash64(" + ",".join(
+                        f"signature[{b * 4 + j}]" for j in range(4))
+                    + f", {b})" for b in range(8))
+                + "))").alias("band", "band_hash"))
+        assert old_b.schema == new_b.schema, portable
+        assert (sorted(map(tuple, old_b.collect()))
+                == sorted(map(tuple, new_b.collect()))), portable
+
+
+def test_int_map_sql_matches_create_map(spark):
+    d = {0: 0, 1: 5, 2: 2**33, 31: -7}
+    old = spark.range(1).select(F.create_map(
+        *[F.lit(x) for kv in sorted(d.items()) for x in kv]).alias("m"))
+    new = spark.range(1).select(F.expr(X.int_map_sql(d)).alias("m"))
+    assert old.schema == new.schema
+    assert old.collect() == new.collect()
+
+
+def test_hyperplane_signature_matches_elementwise(spark):
+    from canary_weather_etl_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+    rows = [(i, [((i * 13 + j * 7) % 19) / 7.0 - 1.3 for j in range(8)])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>")
+
+    def old_bit(j, dim, seed):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i: F.when(
+                                F.xxhash64(i, F.lit(j), F.lit(seed)) % 2
+                                == 0,
+                                F.lit(1.0)).otherwise(F.lit(-1.0))),
+                lambda x, r: x * r),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    bits, dim, seed = 5, 8, 1234
+    sig = old_bit(0, dim, seed)
+    for j in range(1, bits):
+        sig = sig + old_bit(j, dim, seed)
+    old = df.select(sig.alias("s"))
+    new = df.select(hyperplane_signature("v", dim, bits, seed).alias("s"))
+    assert old.schema == new.schema
+    assert old.collect() == new.collect()
