@@ -356,7 +356,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wedge join from Σ in·out ~ quadratic-in-hub-degree to O(m^1.5)
     # — measured 1.0e9 → 9.0e5 wedge rows (113 s → 0.38 s) on the
     # hub-and-spoke fixture in scripts/triangle_scale.py --skew.
-    tri = enumerate_triangles(orient_by_degree(edges))
+    # ... and materialize the ORIENTED list too (r14): enumerate_triangles
+    # aliases its input three times, and orient_by_degree's two degree
+    # joins + aggregate were re-planned under every alias — the before
+    # plan (plans/r14/q_triangle_count_before.txt) carries the orientation
+    # subtree in triplicate, 34 Exchanges total; checkpointing collapses
+    # the three-way self-join onto one materialized table (the same r5
+    # lesson applied one level up). Values unchanged: orientation is a
+    # deterministic row-wise relabeling.
+    tri = enumerate_triangles(
+        orient_by_degree(edges).localCheckpoint(eager=True))
     members = tri.select(
         F.explode(F.array("a_id", "b_id", "c_id")).alias("user_id"))
     return (
