@@ -39,11 +39,6 @@ def long_array(vals: Iterable[int]) -> Column:
     return F.expr(long_array_sql(vals))
 
 
-def int_array_sql(vals: Iterable[int]) -> str:
-    """SQL text of an ARRAY<INT> literal (plain int literals)."""
-    return "array(" + ",".join(str(int(v)) for v in vals) + ")"
-
-
 def sqdist_sql(vec_sql: str, cent: Iterable[int]) -> str:
     """Integer squared-L2 fold of a BIGINT-array column against a literal
     centroid — the ``zip_with``/``aggregate`` shape of

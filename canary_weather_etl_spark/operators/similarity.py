@@ -103,26 +103,46 @@ def topk_brute_force(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def hyperplane_signature(vec_sql: str, dim: int, bits: int = 16,
+def _plane_sql(j: int, dim: int, seed: int) -> str:
+    """SQL text of hyperplane r_j: ±1 per coordinate from the parity of
+    xxhash64(i, j, seed)."""
+    return (f"transform(sequence(0, {dim - 1}), "
+            f"i -> CASE WHEN xxhash64(i, {j}, {seed}) % 2 = 0 "
+            f"THEN 1.0D ELSE -1.0D END)")
+
+
+def hyperplane_signature(vec: F.Column | str, dim: int, bits: int = 16,
                          seed: int = 42) -> F.Column:
     """Random-hyperplane LSH signature: bit j = sign(⟨v, r_j⟩) where r_j is a
     deterministic pseudo-random ±1 hyperplane derived from xxhash64(j, i,
     seed). Cosine-similar vectors agree on most bits. Built-in-only: the
     hyperplanes are generated *inside the expression*, no driver-side
-    randomness, no UDF, fully distributed. Takes the vector column's SQL
-    text and parses the whole bits-term tree from ONE string
-    (functions.litexpr discipline, r14 — the per-bit Python-lambda build
-    paid ~15 py4j round-trips per bit per probe)."""
-    def bit_sql(j: int) -> str:
-        # ⟨v, r_j⟩ with r_j[i] = ±1 from the parity of a hash of (i, j, seed)
-        proj = (f"aggregate(zip_with({vec_sql}, "
-                f"transform(sequence(0, {dim - 1}), "
-                f"i -> CASE WHEN xxhash64(i, {j}, {seed}) % 2 = 0 "
-                f"THEN 1.0D ELSE -1.0D END), (x, r) -> x * r), "
-                f"0.0D, (acc, v) -> acc + v)")
-        return f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END"
+    randomness, no UDF, fully distributed.
 
-    return F.expr(" + ".join(bit_sql(j) for j in range(bits)))
+    ``vec`` is either the vector column's SQL TEXT (spliced verbatim —
+    the fast construction path: the whole bits-term tree parses from ONE
+    string, functions.litexpr discipline, r14; the per-bit Python-lambda
+    build paid ~15 py4j round-trips per bit per probe) or a Column
+    (ADVICE r14: external-caller convenience — same analyzed expression,
+    composed per bit, so names needing backtick quoting work via
+    F.col; construction cost is the old per-bit lambda price)."""
+    if isinstance(vec, str):
+        def bit_sql(j: int) -> str:
+            proj = (f"aggregate(zip_with({vec}, {_plane_sql(j, dim, seed)}, "
+                    f"(x, r) -> x * r), 0.0D, (acc, v) -> acc + v)")
+            return f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END"
+
+        return F.expr(" + ".join(bit_sql(j) for j in range(bits)))
+
+    total: F.Column | None = None
+    for j in range(bits):
+        proj = F.aggregate(
+            F.zip_with(vec, F.expr(_plane_sql(j, dim, seed)),
+                       lambda x, r: x * r),
+            F.lit(0.0), lambda acc, v: acc + v)
+        term = F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return total
 
 
 def topk_lsh(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -235,23 +255,35 @@ def planted_hyperplanes(probes: int, bits: int, dim: int,
              for j in range(bits)] for p in range(probes)]
 
 
-def hyperplane_signature_planted(vec_sql: str,
+def hyperplane_signature_planted(vec: F.Column | str,
                                  plane_rows: list[list[float]]) -> F.Column:
     """Like `hyperplane_signature`, but the hyperplanes are explicit ±1
     literal arrays (from `planted_hyperplanes`) instead of xxhash64-derived —
     the signature becomes engine-portable: any SQL engine given the same
     literals computes the same buckets, so LSH candidate generation itself
-    can be differentially tested (r9 verdict #4). Takes the vector
-    column's SQL text and parses the whole bits·dim literal tree from ONE
-    string (functions.litexpr, r14): the element-wise build paid two py4j
-    round-trips per plane coordinate — probes·bits·dim of them per query
-    construction."""
-    terms = ["0"]
+    can be differentially tested (r9 verdict #4). ``vec`` is the vector
+    column's SQL text (fast path: the whole bits·dim literal tree parses
+    from ONE string — functions.litexpr, r14; the element-wise build paid
+    two py4j round-trips per plane coordinate, probes·bits·dim of them
+    per query construction) or a Column (ADVICE r14, same expression
+    composed per plane — the literal arrays still parse from one string
+    each, so the dominant construction cost stays fixed)."""
+    if isinstance(vec, str):
+        terms = ["0"]
+        for j, row in enumerate(plane_rows):
+            proj = (f"aggregate(zip_with({vec}, {double_array_sql(row)}, "
+                    f"(x, r) -> x * r), 0.0D, (acc, v) -> acc + v)")
+            terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
+        return F.expr(" + ".join(terms))
+
+    total: F.Column = F.lit(0)
     for j, row in enumerate(plane_rows):
-        proj = (f"aggregate(zip_with({vec_sql}, {double_array_sql(row)}, "
-                f"(x, r) -> x * r), 0.0D, (acc, v) -> acc + v)")
-        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END")
-    return F.expr(" + ".join(terms))
+        proj = F.aggregate(
+            F.zip_with(vec, F.expr(double_array_sql(row)),
+                       lambda x, r: x * r),
+            F.lit(0.0), lambda acc, v: acc + v)
+        total = total + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total
 
 
 def cosine_near_dup_pairs_planted(embeddings: DataFrame,

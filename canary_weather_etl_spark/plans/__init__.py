@@ -38,51 +38,38 @@ from . import r14_queries   # noqa: E402,F401  drift-adjusted curation compositi
 # --- Driver-sample ordering -------------------------------------------------
 # The external driver snapshots the FIRST 50 registry entries per round
 # (CORRECTNESS_r{N}.json), so enumeration order decides which queries get a
-# hard external correctness row. Round-14 rotation, continuing the
-# evidence-age cycle (r13 verdict #4): entries ordered by ASCENDING
-# driver-evidence vintage, computed from the CORRECTNESS_r*.json files
-# themselves (latest round each name appears in). After r13 the oldest
-# blocks are the 26 r8-vintage entries (exactly _DRIVER_PRIORITY[50:]
-# of the r13 list — the r8 remainder the r13 50-cut didn't reach; the
-# r13 sample covered 23 of the 49-entry r8 block, per the r13 ADVICE
-# correction) and the 49 r9-vintage entries. The first 50 of this list
-# = any r14-new entries at birth + all 26 r8 + the first (50 - new - 26)
-# of the r9 block; the r9 remainder queues as the r15 head.
+# hard external correctness row. Round-15 rotation, continuing the
+# evidence-age cycle (r13 verdict #4, executed every round since):
+# entries ordered by ASCENDING driver-evidence vintage, computed from
+# the CORRECTNESS_r*.json files themselves (latest round each name
+# appears in). After r14 the oldest evidence is the 27-entry r9-vintage
+# remainder (the r14 sample consumed the r8 block and 22+1 of the r9
+# block) followed by the 50-entry r10-vintage block; the first 50 of
+# this list = all 27 r9 + the first 23 of the r10 block (alphabetical
+# within a vintage); the r10 remainder (q_intersect_distinct ...)
+# queues as the r16 head. No entries are new this round (optimization
+# round — no features).
 _DRIVER_PRIORITY = (
-    # New in r14 — driver rows at birth. (Names added here as the
-    # entries land; the import-time guard below keeps this honest.)
-    "q_corpus_curation_drift", "q_stream_mix_weights_drift",
-    # r8-vintage remainder (last driver row r8; the r13 sample stopped
-    # 23 entries into the r8 block, leaving exactly these 26).
-    "q_hits_bipartite", "q_incremental_recompute", "q_join_inner_fact",
-    "q_jsonl_quarantine", "q_kendall_tau", "q_listagg_topn",
-    "q_longest_streak", "q_mannwhitney_u", "q_partition_fingerprint",
-    "q_projection_derived", "q_rfm_segmentation", "q_rolling_active_users",
-    "q_scalar_string", "q_seasonal_baseline", "q_session_funnel",
-    "q_skew_audit", "q_snapshot_diff", "q_source_overlap",
-    "q_spearman_corr", "q_time_weighted_avg", "q_top_paths",
-    "q_topk_global", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
-    "q_watermark_late_audit",
-    # r9-vintage block (last driver row r9); the first 22 land in the
-    # r14 sample (2 r14-new + 26 r8 + 22 r9 = 50), the remainder queues
-    # as the r15 head.
-    "q_corpus_shuffle_shards", "q_pack_sequences", "q_text_clean_redact",
-    "q_heavy_hitters", "q_zscore_grouped_pandas", "q_pandas_scalar_score",
-    "q_text_repetition", "q_text_dup_lines", "q_cosine_pairs_exact",
-    "q_lm_quality_score", "q_arrays_zip_explode", "q_sql_facade",
-    "q_asof_join", "q_salted_join", "q_two_phase_agg", "q_range_join",
-    "q_time_rollup", "q_percentiles", "q_stats_moments",
-    "q_epoch_repeat_mix", "q_manifest_sink_read", "q_skyline_pareto",
-    "q_anomaly_mad", "q_pmi_bigrams", "q_shingle_containment",
-    "q_kcore_peel", "q_nearest_view", "q_cdc_chunking",
-    "q_boolean_retrieval", "q_temperature_mix", "q_grid_knn",
-    "q_stream_upsert_readback", "q_setjoin_auto_regime", "q_pq_adc_topk",
-    "q_dsir_importance", "q_capped_balance", "q_inventory_clamped",
-    "q_bpe_decode_roundtrip", "q_parameterized_sql",
-    "q_pq_semantic_buckets", "q_tokenizer_fertility",
-    "q_ann_filtered_topk", "q_maxsim_late_interaction", "q_hybrid_rrf",
-    "q_semantic_dedup", "q_observe_quality_gate",
-    "q_eval_decontamination", "q_semdedup_threshold", "q_semdedup_auto_k",
+    # r9-vintage remainder (last driver row r9).
+    "q_ann_filtered_topk", "q_anomaly_mad", "q_boolean_retrieval",
+    "q_bpe_decode_roundtrip", "q_capped_balance", "q_cdc_chunking",
+    "q_dsir_importance", "q_eval_decontamination", "q_grid_knn",
+    "q_hybrid_rrf", "q_inventory_clamped", "q_kcore_peel",
+    "q_maxsim_late_interaction", "q_nearest_view",
+    "q_observe_quality_gate", "q_parameterized_sql", "q_pmi_bigrams",
+    "q_pq_adc_topk", "q_pq_semantic_buckets", "q_semantic_dedup",
+    "q_semdedup_auto_k", "q_semdedup_threshold", "q_setjoin_auto_regime",
+    "q_shingle_containment", "q_stream_upsert_readback",
+    "q_temperature_mix", "q_tokenizer_fertility",
+    # r10-vintage block, first 23 (27 + 23 = 50).
+    "q_array_composite", "q_bpe_encode_ids", "q_containment_pairs",
+    "q_contamination_ngrams", "q_correlated_subquery", "q_cosine_near_dup",
+    "q_cross_join", "q_csv_roundtrip", "q_cube",
+    "q_data_quality_profile", "q_dedup_embedding_clusters",
+    "q_domain_mix_weights", "q_events_cohort_retention", "q_events_funnel",
+    "q_events_scalar_composite", "q_events_session", "q_events_sliding",
+    "q_events_tumbling", "q_except_all", "q_gap_fill_calendar",
+    "q_global_rank", "q_grouping_sets", "q_intersect_all",
 )
 
 

@@ -273,20 +273,43 @@ def coactivity_edges(spark: SparkSession, sf_dir: str,
     # with an index-windowed pair comprehension, instead of the former
     # blocked SELF-JOIN (cell-count aggregate + join-back + equi-self-
     # join). Same pair multiset — u1 < u2 comes from sort_array, the cap
-    # filter on size(us) is exactly the old n_in_cell cap — but the
-    # (cell, user) rows cross the network once (one groupBy(cell)
-    # exchange) instead of being shuffled again for both self-join
-    # sides. The pair comprehension is a CodegenFallback HOF, which the
-    # r11 shingle probes taught us to price before shipping: measured on
-    # synthetic cells (≤ cap actives, ints), the HOF shape wins at every
-    # decade and the gap GROWS — 0.94/0.67 s at 20k users, 1.65/0.92 at
-    # 200k, 6.69/1.44 at 1M (join/hof, best-of-2, edge-set equality
-    # asserted) — interpreted per-pair dispatch on bounded int arrays is
-    # far cheaper than the extra exchange + sort-merge machinery.
-    # Per-cell state stays ≤ cell_cap longs, so no skew risk is added.
-    lists = (act0.groupBy("event_type", "hb")
-             .agg(F.sort_array(F.collect_list("user_id")).alias("us"))
-             .filter(F.size("us") <= cell_cap))
+    # filter is exactly the old n_in_cell cap — but the (cell, user)
+    # rows cross the network once instead of being shuffled again for
+    # both self-join sides. The pair comprehension is a CodegenFallback
+    # HOF, which the r11 shingle probes taught us to price before
+    # shipping: measured on synthetic cells (≤ cap actives, ints), the
+    # HOF shape wins at every decade and the gap GROWS — 0.94/0.67 s at
+    # 20k users, 1.65/0.92 at 200k, 6.69/1.44 at 1M (join/hof,
+    # best-of-2, edge-set equality asserted) — interpreted per-pair
+    # dispatch on bounded int arrays is far cheaper than the extra
+    # exchange + sort-merge machinery.
+    #
+    # r15 (VERDICT r14 #1): the cap is applied BEFORE the wide aggregate.
+    # r14 collected first and filtered after, so a viral (event_type,
+    # hour) cell — the exact case the cap exists to drop — materialized
+    # its full distinct-user array in ONE aggregation buffer (a single
+    # group's collect_list state cannot spill) before being discarded:
+    # a per-task OOM vector at 100 TB. Now a WINDOW count over the cell
+    # partition tags each row with its cell size and the cap filter
+    # drops hot-cell rows before any list is built, so collect_list
+    # state is ≤ cell_cap longs per group BY CONSTRUCTION; the hot
+    # cell's rows only ever sit in WindowExec's spillable row buffer
+    # (ExternalAppendOnlyUnsafeRowArray — disk-backed past the spill
+    # threshold), never in an unspillable hash-aggregate entry. The
+    # window and the collect_list hash-partition by the SAME cell keys,
+    # so the aggregate inherits the window's exchange — one act0
+    # shuffle, one events scan, exactly the r14 plan's exchange count
+    # (the count-prefilter + semi-join alternative the verdict sketched
+    # re-runs the scan + distinct under both branches because Catalyst
+    # pushes the LeftSemi below the distinct; priced and rejected in
+    # scripts/coactivity_shape_probe.py, which also asserts edge-set
+    # equality of all three shapes on the fixture SFs and plants a
+    # viral cell to demonstrate the bounded-state behaviour).
+    wcell = Window.partitionBy("event_type", "hb")
+    act = (act0.withColumn("__n", F.count(F.lit(1)).over(wcell))
+           .filter(F.col("__n") <= cell_cap).drop("__n"))
+    lists = (act.groupBy("event_type", "hb")
+             .agg(F.sort_array(F.collect_list("user_id")).alias("us")))
     pairs = lists.select(F.explode(F.expr(
         "flatten(transform(us, (x, i) -> "
         "transform(slice(us, i + 2, size(us) - i - 1), "

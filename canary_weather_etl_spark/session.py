@@ -34,6 +34,12 @@ _DEFAULT_CONF = {
     "spark.sql.shuffle.partitions": "32",
     # Parquet: vectorized reader on, don't write _SUCCESS noise in tests.
     "spark.sql.parquet.filterPushdown": "true",
+    # functions/litexpr.py splices data-derived strings into SQL text
+    # assuming the DEFAULT parser escaping (backslash escapes live);
+    # pin it so a deployment enabling the legacy conf cannot silently
+    # change parsed literal values (ADVICE r14). This is the Spark
+    # default — stated, not changed.
+    "spark.sql.parser.escapedStringLiterals": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -250,3 +250,39 @@ def test_hyperplane_signature_matches_elementwise(spark):
     new = df.select(hyperplane_signature("v", dim, bits, seed).alias("s"))
     assert old.schema == new.schema
     assert old.collect() == new.collect()
+
+
+def test_hyperplane_signature_accepts_column(spark):
+    """ADVICE r14: the public signature takes Column | str. Column input
+    (external callers, names needing backtick quoting) must produce the
+    same values and schema as the SQL-text fast path."""
+    from canary_weather_etl_spark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signature_planted,
+        planted_hyperplanes,
+    )
+    rows = [(i, [((i * 11 + j * 5) % 23) / 9.0 - 1.1 for j in range(8)])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "id BIGINT, v ARRAY<DOUBLE>")
+
+    s_txt = df.select(hyperplane_signature("v", 8, 5, 77).alias("s"),
+                      "id").orderBy("id")
+    s_col = df.select(hyperplane_signature(F.col("v"), 8, 5, 77).alias("s"),
+                      "id").orderBy("id")
+    assert s_txt.schema == s_col.schema
+    assert s_txt.collect() == s_col.collect()
+
+    planes = planted_hyperplanes(probes=1, bits=5, dim=8)[0]
+    p_txt = df.select(hyperplane_signature_planted("v", planes).alias("s"),
+                      "id").orderBy("id")
+    p_col = df.select(
+        hyperplane_signature_planted(F.col("v"), planes).alias("s"),
+        "id").orderBy("id")
+    assert p_txt.schema == p_col.schema
+    assert p_txt.collect() == p_col.collect()
+
+    # a column name that NEEDS quoting works through the Column path
+    odd = df.withColumnRenamed("v", "v vec")
+    q = odd.select(hyperplane_signature(F.col("v vec"), 8, 5, 77).alias("s"),
+                   "id").orderBy("id")
+    assert q.collect() == s_txt.collect()

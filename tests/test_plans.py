@@ -152,3 +152,30 @@ def test_window_rank_filter_pushes_group_limit(spark, sf_dir):
     df = REGISTRY["q_window_rank"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_coactivity_cap_applied_before_collect(spark, sf_dir):
+    """r15 scale-safety pin (VERDICT r14 #1): in the coactivity edge
+    build, the hot-cell cap must drop rows BEFORE the collect_list
+    aggregate, so no aggregation buffer ever holds an uncapped cell's
+    user array (a single group's collect_list state cannot spill — the
+    per-task OOM vector on a viral cell). The shipped shape is a window
+    count over the cell partition (spillable row buffer) + filter; the
+    collect_list aggregate must inherit the window's hash partitioning
+    (no Exchange between the cap filter and the collect)."""
+    from canary_weather_etl_spark.plans.advanced_sql import coactivity_edges
+
+    plan = (coactivity_edges(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "collect_list" in plan and "Window" in plan, plan[:2000]
+    i_collect = plan.index("collect_list")
+    i_window = plan.index("Window")
+    # the plan tree prints downstream-first: the collect aggregate must
+    # sit ABOVE the window+filter (i.e. consume already-capped rows)
+    assert i_collect < i_window, \
+        "cap/window must run below the collect_list aggregate"
+    between = plan[i_collect:i_window]
+    assert "<= 40" in between, \
+        "the cell_cap filter must sit between the collect and the window"
+    assert "Exchange" not in between, \
+        "collect_list must inherit the window's cell partitioning"
